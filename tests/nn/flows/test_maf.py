@@ -1,0 +1,194 @@
+"""MAF tests: round-trip, Jacobian oracle, autoregressive property, identity.
+
+Mirrors the reference test strategy (tests/nn/flows/test_maf.py): every flow
+must satisfy inverse(forward(x)) == x with log_det_J + log_det_J_inv == 0,
+its analytic log-det must match the brute-force jacfwd+slogdet oracle, and
+perturbing input i must leave outputs of degree <= degree(i) unchanged.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tfep_tpu.nn.conditioners.made import generate_degrees
+from tfep_tpu.nn.flows import MAF, PartialFlow, SequentialFlow
+from tfep_tpu.nn.transformers.affine import AffineTransformer
+from tfep_tpu.utils.math import batch_log_abs_det_J
+
+BATCH = 5
+N_FEATURES = 7
+
+
+def randomize(flow, key, scale=0.5):
+    """Perturb all trainable parameters so the flow is not the identity."""
+    from tfep_tpu.nn.module import partition, combine
+    trainable, frozen = partition(flow)
+    leaves, treedef = jax.tree_util.tree_flatten(trainable)
+    keys = jax.random.split(key, len(leaves))
+    new_leaves = [
+        l + scale * jax.random.normal(k, l.shape, l.dtype)
+        for l, k in zip(leaves, keys)
+    ]
+    return combine(jax.tree_util.tree_unflatten(treedef, new_leaves), frozen)
+
+
+@pytest.mark.parametrize('conditioning_indices', [None, [0, 3], [1, 6]])
+@pytest.mark.parametrize('order', ['ascending', 'descending'])
+@pytest.mark.parametrize('weight_norm', [False, True])
+@pytest.mark.parametrize('repeats', [1, 2])
+def test_maf_round_trip_and_jacobian(conditioning_indices, order,
+                                     weight_norm, repeats):
+    degrees_in = generate_degrees(
+        N_FEATURES, order=order, conditioning_indices=conditioning_indices,
+        repeats=repeats)
+    flow = MAF.create(jax.random.key(0), degrees_in,
+                      weight_norm=weight_norm)
+    flow = randomize(flow, jax.random.key(1))
+
+    x = jax.random.normal(jax.random.key(2), (BATCH, N_FEATURES),
+                          jnp.float64)
+    y, log_det_J = flow.forward(x)
+    x_back, log_det_J_inv = flow.inverse(y)
+
+    np.testing.assert_allclose(np.asarray(x_back), np.asarray(x), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(log_det_J + log_det_J_inv),
+                               np.zeros(BATCH), atol=1e-8)
+
+    # Analytic log-det vs brute-force oracle.
+    oracle = batch_log_abs_det_J(lambda z: flow.forward(z)[0], x)
+    np.testing.assert_allclose(np.asarray(log_det_J), np.asarray(oracle),
+                               atol=1e-7)
+
+    # Conditioning features are propagated unchanged.
+    if conditioning_indices is not None:
+        np.testing.assert_array_equal(
+            np.asarray(y[:, conditioning_indices]),
+            np.asarray(x[:, conditioning_indices]))
+
+
+@pytest.mark.parametrize('order', ['ascending', 'descending'])
+def test_maf_identity_initialization(order):
+    degrees_in = generate_degrees(N_FEATURES, order=order)
+    flow = MAF.create(jax.random.key(0), degrees_in,
+                      initialize_identity=True)
+    x = jax.random.normal(jax.random.key(1), (BATCH, N_FEATURES),
+                          jnp.float64)
+    y, log_det_J = flow.forward(x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(log_det_J), np.zeros(BATCH),
+                               atol=1e-10)
+
+
+def check_autoregressive_property(flow, x, degrees_in):
+    """Perturbing feature i must not change outputs with degree <= degree(i)."""
+    degrees_in = np.asarray(degrees_in)
+    y_ref = np.asarray(flow.forward(x)[0])
+    positions = np.arange(x.shape[1])
+    for i in range(x.shape[1]):
+        x_pert = x.at[:, i].add(1.3)
+        y_pert = np.asarray(flow.forward(x_pert)[0])
+        # Outputs of strictly lower degree are unaffected; outputs of equal
+        # degree too except position i itself (the transformer consumes x_i
+        # directly).
+        unaffected = (degrees_in < degrees_in[i]) | (
+            (degrees_in == degrees_in[i]) & (positions != i))
+        if degrees_in[i] == -1:
+            # Conditioning features affect everything except other
+            # conditioning features.
+            unaffected = (degrees_in == -1) & (positions != i)
+        np.testing.assert_allclose(
+            y_pert[:, unaffected], y_ref[:, unaffected], atol=1e-10,
+            err_msg=f'feature {i} leaked into lower degrees')
+
+
+@pytest.mark.parametrize('conditioning_indices', [None, [2, 4]])
+def test_maf_autoregressive_property(conditioning_indices):
+    degrees_in = generate_degrees(
+        N_FEATURES, conditioning_indices=conditioning_indices)
+    flow = MAF.create(jax.random.key(0), degrees_in)
+    flow = randomize(flow, jax.random.key(3))
+    x = jax.random.normal(jax.random.key(4), (BATCH, N_FEATURES),
+                          jnp.float64)
+    check_autoregressive_property(flow, x, degrees_in)
+
+
+def test_sequential_flow():
+    d1 = generate_degrees(N_FEATURES, order='ascending')
+    d2 = generate_degrees(N_FEATURES, order='descending')
+    flow = SequentialFlow.create(
+        MAF.create(jax.random.key(0), d1),
+        MAF.create(jax.random.key(1), d2),
+    )
+    flow = randomize(flow, jax.random.key(2))
+    x = jax.random.normal(jax.random.key(3), (BATCH, N_FEATURES),
+                          jnp.float64)
+    y, ldj = flow.forward(x)
+    x_back, ldj_inv = flow.inverse(y)
+    np.testing.assert_allclose(np.asarray(x_back), np.asarray(x), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(ldj + ldj_inv), np.zeros(BATCH),
+                               atol=1e-8)
+    oracle = batch_log_abs_det_J(lambda z: flow.forward(z)[0], x)
+    np.testing.assert_allclose(np.asarray(ldj), np.asarray(oracle), atol=1e-7)
+
+
+@pytest.mark.parametrize('return_partial', [False, True])
+def test_partial_flow(return_partial):
+    fixed = [1, 4]
+    n_propagated = N_FEATURES - len(fixed)
+    inner = MAF.create(jax.random.key(0),
+                       generate_degrees(n_propagated))
+    inner = randomize(inner, jax.random.key(1))
+    flow = PartialFlow.create(inner, fixed, n_features=N_FEATURES,
+                              return_partial=return_partial)
+    x = jax.random.normal(jax.random.key(2), (BATCH, N_FEATURES),
+                          jnp.float64)
+    out = flow.forward(x)
+    if return_partial:
+        assert out[0].shape == (BATCH, n_propagated)
+        return
+    y, ldj = out
+    # Fixed DOFs unchanged.
+    np.testing.assert_array_equal(np.asarray(y[:, fixed]),
+                                  np.asarray(x[:, fixed]))
+    x_back, ldj_inv = flow.inverse(y)
+    np.testing.assert_allclose(np.asarray(x_back), np.asarray(x), atol=1e-8)
+    oracle = batch_log_abs_det_J(lambda z: flow.forward(z)[0], x)
+    np.testing.assert_allclose(np.asarray(ldj), np.asarray(oracle), atol=1e-7)
+
+
+def test_maf_gradients_flow():
+    """Gradients reach every trainable leaf through forward and inverse."""
+    from tfep_tpu.nn.module import filter_value_and_grad, partition
+    degrees_in = generate_degrees(N_FEATURES)
+    flow = MAF.create(jax.random.key(0), degrees_in)
+    x = jax.random.normal(jax.random.key(1), (BATCH, N_FEATURES),
+                          jnp.float64)
+
+    def loss(f):
+        y, ldj = f.forward(x)
+        return jnp.sum(y ** 2) - jnp.sum(ldj)
+
+    value, grads = filter_value_and_grad(loss)(flow)
+    leaves = [l for l in jax.tree_util.tree_leaves(grads) if l is not None]
+    assert len(leaves) > 0
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+
+    def loss_inv(f):
+        xi, ldj = f.inverse(x)
+        return jnp.sum(xi ** 2) - jnp.sum(ldj)
+
+    value, grads = filter_value_and_grad(loss_inv)(flow)
+    leaves = [l for l in jax.tree_util.tree_leaves(grads) if l is not None]
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+
+
+def test_maf_inverse_jit():
+    degrees_in = generate_degrees(N_FEATURES)
+    flow = MAF.create(jax.random.key(0), degrees_in)
+    flow = randomize(flow, jax.random.key(1))
+    x = jax.random.normal(jax.random.key(2), (BATCH, N_FEATURES),
+                          jnp.float64)
+    y, _ = jax.jit(lambda f, z: f.forward(z))(flow, x)
+    x_back, _ = jax.jit(lambda f, z: f.inverse(z))(flow, y)
+    np.testing.assert_allclose(np.asarray(x_back), np.asarray(x), atol=1e-8)

@@ -1,0 +1,374 @@
+"""TFEP map base: wires dataset, flow, potential, loss, and logging together.
+
+The map object is a host-side coordinator (not a pytree): it owns the
+data-dependent model-construction phase (atom-role partitioning into
+mapped/conditioning/fixed sets, reference-frame bookkeeping, flow creation)
+which runs once before tracing, so every device shape is static. The actual
+training step is the pure function :meth:`training_step_fn(flow, batch)`,
+jitted by the :class:`tfep_tpu.app.trainer.Trainer`.
+
+Reference behaviors mirrored: /root/reference/tfep/app/base.py —
+atom partitioning (:601-729), kT computation (:208-213), PartialFlow wrapping
+(:573-599), forward/inverse dict contract (:731-778), training step
+(:780-840), per-sample TFEP logging (:820-830).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from tfep_tpu.io.log import TFEPLogger
+from tfep_tpu.io.traj import System, TrajectoryDataset
+from tfep_tpu.loss import boltzmann_kl_div_loss
+from tfep_tpu.nn.flows import PartialFlow
+from tfep_tpu.units import Quantity, ureg
+from tfep_tpu.utils.misc import (
+    atom_to_flattened_indices, ensure_int_array,
+    remove_and_shift_sorted_indices,
+)
+
+__all__ = ['TFEPMapBase']
+
+
+class TFEPMapBase:
+    """Abstract base class for TFEP maps.
+
+    Subclasses implement :meth:`configure_flow` returning a flow over the
+    non-fixed DOFs; fixed atoms are wrapped away by a PartialFlow.
+    """
+
+    def __init__(self,
+                 potential_energy_func,
+                 temperature: Quantity,
+                 system: Optional[System] = None,
+                 topology_file_path: Optional[str] = None,
+                 coordinates_file_path: Optional[Union[str, Sequence[str]]] = None,
+                 batch_size: int = 1,
+                 mapped_atoms=None,
+                 conditioning_atoms=None,
+                 origin_atom=None,
+                 axes_atoms=None,
+                 tfep_logger_dir_path: Optional[str] = 'tfep_logs',
+                 ignore_nan: bool = False,
+                 seed: int = 0):
+        """Either pass an in-memory ``system`` or file path(s); selections
+        accept index sequences or selection strings (see
+        :mod:`tfep_tpu.io.topology`)."""
+        if system is None:
+            if coordinates_file_path is None:
+                raise ValueError(
+                    'Pass either system or coordinates_file_path.')
+            system = System.from_file(coordinates_file_path,
+                                      topology_path=topology_file_path)
+        self._system = system
+        self._potential_energy_func = potential_energy_func
+        self.batch_size = int(batch_size)
+        self._mapped_atoms = mapped_atoms
+        self._conditioning_atoms = conditioning_atoms
+        self._origin_atom = origin_atom
+        self._axes_atoms = axes_atoms
+        self._tfep_logger_dir_path = tfep_logger_dir_path
+        self._ignore_nan = ignore_nan
+        self.seed = seed
+
+        # kT in the energy unit returned by the potential (reference
+        # app/base.py:208-213; per-mole units use R, per-particle kB).
+        energy_unit = getattr(potential_energy_func, 'energy_unit', None)
+        if energy_unit is None:
+            self.kT = 1.0
+        else:
+            self.kT = float(ureg.kT(temperature, energy_unit).magnitude)
+
+        # Data-dependent state initialized in setup().
+        self.dataset: Optional[TrajectoryDataset] = None
+        self.flow = None
+        self.trainer = None
+        self._tfep_logger: Optional[TFEPLogger] = None
+        self._mapped_atom_indices = None
+        self._conditioning_atom_indices = None
+        self._fixed_atom_indices = None
+        self._origin_atom_idx = None
+        self._axes_atoms_indices = None
+
+    # ------------------------------------------------------------------ #
+    # Setup phase (host-side, pre-jit).
+    # ------------------------------------------------------------------ #
+    def setup(self):
+        if self.flow is not None:
+            return  # Already set up (idempotent, like Lightning's setup).
+        self.dataset = self.create_dataset()
+        self.determine_atom_indices()
+        flow = self.configure_flow()
+        self.flow = self.create_partial_flow(flow)
+
+    def create_dataset(self) -> TrajectoryDataset:
+        return TrajectoryDataset(self._system)
+
+    def configure_flow(self):
+        """Build the flow over non-fixed DOFs (abstract)."""
+        raise NotImplementedError
+
+    def create_partial_flow(self, flow, return_partial: bool = False):
+        """Wrap ``flow`` in a PartialFlow carrying the fixed DOFs."""
+        if self.n_fixed_atoms > 0:
+            fixed_dof_indices = atom_to_flattened_indices(
+                self._fixed_atom_indices)
+            n_dofs = self.dataset.n_atoms * 3
+            flow = PartialFlow.create(
+                flow, fixed_dof_indices, n_features=n_dofs,
+                return_partial=return_partial)
+        return flow
+
+    def determine_atom_indices(self):
+        """Partition atoms into mapped / conditioning / fixed and resolve
+        the reference-frame (origin/axes) atoms.
+
+        Mirrors /root/reference/tfep/app/base.py:601-729 including all the
+        validation errors.
+        """
+        n_atoms = self.dataset.n_atoms
+        mapped = self._mapped_atoms
+        conditioning = self._conditioning_atoms
+
+        if mapped is None and conditioning is None:
+            mapped_idx = np.arange(n_atoms)
+            conditioning_idx = None
+            fixed_idx = None
+        elif conditioning is None:
+            mapped_idx = self._get_selected_indices(mapped)
+            fixed_idx = np.setdiff1d(np.arange(n_atoms), mapped_idx)
+            conditioning_idx = None
+        elif mapped is None:
+            conditioning_idx = self._get_selected_indices(conditioning)
+            mapped_idx = np.setdiff1d(np.arange(n_atoms), conditioning_idx)
+            fixed_idx = None
+        else:
+            mapped_idx = self._get_selected_indices(mapped)
+            conditioning_idx = self._get_selected_indices(conditioning)
+            if len(np.intersect1d(mapped_idx, conditioning_idx)) > 0:
+                raise ValueError('Mapped and conditioning selections cannot '
+                                 'have overlapping atoms.')
+            non_fixed = np.union1d(mapped_idx, conditioning_idx)
+            fixed_idx = np.setdiff1d(np.arange(n_atoms), non_fixed)
+
+        if conditioning_idx is not None and len(conditioning_idx) == 0:
+            conditioning_idx = None
+        if fixed_idx is not None and len(fixed_idx) == 0:
+            fixed_idx = None
+        if len(mapped_idx) == 0:
+            raise ValueError('There are no atoms to map.')
+        if len(set(mapped_idx.tolist())) != len(mapped_idx):
+            raise ValueError('There are duplicate mapped atom indices.')
+        if (conditioning_idx is not None and
+                len(set(conditioning_idx.tolist())) != len(conditioning_idx)):
+            raise ValueError('There are duplicate conditioning atom indices.')
+
+        # Origin atom.
+        origin = self._origin_atom
+        if origin is None:
+            origin_idx = None
+        else:
+            origin_arr = self._get_selected_indices(origin, sort=False)
+            if origin_arr.size > 1:
+                raise ValueError('Selected multiple atoms as the origin atom')
+            origin_idx = int(origin_arr.reshape(-1)[0])
+
+        # Axes atoms.
+        axes = self._axes_atoms
+        if axes is None:
+            axes_idx = None
+        else:
+            axes_idx = self._get_selected_indices(axes, sort=False)
+            if len(axes_idx) != 2:
+                raise ValueError('Exactly 2 axes atoms must be given.')
+            reference = list(axes_idx.tolist())
+            if origin_idx is not None:
+                reference = [origin_idx] + reference
+            if len(set(reference)) != len(reference):
+                raise ValueError(
+                    'center, axis, and plane atoms must be different')
+            if fixed_idx is not None and np.any(np.isin(axes_idx, fixed_idx)):
+                raise ValueError(
+                    'axis and plane atoms must be mapped or conditioning '
+                    'atoms as they affect the mapping.')
+
+        self._mapped_atom_indices = mapped_idx.astype(np.int64)
+        self._conditioning_atom_indices = (
+            None if conditioning_idx is None
+            else conditioning_idx.astype(np.int64))
+        self._fixed_atom_indices = (
+            None if fixed_idx is None else fixed_idx.astype(np.int64))
+        self._origin_atom_idx = origin_idx
+        self._axes_atoms_indices = (
+            None if axes is None else np.asarray(axes_idx, dtype=np.int64))
+
+    def _get_selected_indices(self, selection, sort: bool = True):
+        """Resolve a selection string / index sequence to atom indices."""
+        if isinstance(selection, str):
+            idx = self._system.select_atoms(selection)
+        else:
+            idx = ensure_int_array(selection)
+        if sort:
+            idx = np.sort(idx)
+        return idx
+
+    # ------------------------------------------------------------------ #
+    # Index bookkeeping helpers for subclasses.
+    # ------------------------------------------------------------------ #
+    @property
+    def n_mapped_atoms(self) -> int:
+        return len(self._mapped_atom_indices)
+
+    @property
+    def n_conditioning_atoms(self) -> int:
+        if self._conditioning_atom_indices is None:
+            return 0
+        return len(self._conditioning_atom_indices)
+
+    @property
+    def n_fixed_atoms(self) -> int:
+        if self._fixed_atom_indices is None:
+            return 0
+        return len(self._fixed_atom_indices)
+
+    @property
+    def n_nonfixed_atoms(self) -> int:
+        return self.n_mapped_atoms + self.n_conditioning_atoms
+
+    def get_reference_atoms_indices(self, remove_fixed: bool,
+                                    separate_origin_axes: bool = False):
+        """Indices of origin+axes atoms, optionally in the fixed-removed frame.
+
+        Reference behavior: /root/reference/tfep/app/base.py:484-548.
+        """
+        origin, axes = self._origin_atom_idx, self._axes_atoms_indices
+        if origin is None and axes is None:
+            if separate_origin_axes:
+                return None, None
+            return None
+
+        indices = []
+        if origin is not None:
+            indices.append(origin)
+        if axes is not None:
+            indices.extend(axes.tolist())
+        indices = np.asarray(indices, dtype=np.int64)
+
+        if remove_fixed and self._fixed_atom_indices is not None:
+            indices = remove_and_shift_sorted_indices(
+                np.sort(indices), self._fixed_atom_indices, remove=False)
+            # Restore original (origin, axis, plane) order.
+            order = np.argsort(np.argsort(
+                ([origin] if origin is not None else [])
+                + (axes.tolist() if axes is not None else [])))
+            indices = indices[order]
+
+        if separate_origin_axes:
+            if origin is None:
+                return None, indices
+            if axes is None:
+                return indices[0], None
+            return indices[0], indices[1:]
+        return indices
+
+    def get_mapped_indices(self, idx_type: str = 'atom',
+                           remove_fixed: bool = True) -> np.ndarray:
+        """Mapped atom (or DOF) indices, optionally after fixed-atom removal."""
+        return self._get_nonfixed_indices(self._mapped_atom_indices,
+                                          idx_type, remove_fixed)
+
+    def get_conditioning_indices(self, idx_type: str = 'atom',
+                                 remove_fixed: bool = True):
+        if self._conditioning_atom_indices is None:
+            return None
+        return self._get_nonfixed_indices(self._conditioning_atom_indices,
+                                          idx_type, remove_fixed)
+
+    def _get_nonfixed_indices(self, atom_indices, idx_type, remove_fixed):
+        if remove_fixed and self._fixed_atom_indices is not None:
+            atom_indices = remove_and_shift_sorted_indices(
+                atom_indices, self._fixed_atom_indices, remove=False)
+        if idx_type == 'atom':
+            return atom_indices
+        if idx_type == 'dof':
+            return atom_to_flattened_indices(atom_indices)
+        raise ValueError("idx_type must be 'atom' or 'dof'.")
+
+    # ------------------------------------------------------------------ #
+    # Device-side pure functions.
+    # ------------------------------------------------------------------ #
+    def forward(self, batch: Dict) -> Dict:
+        return self._run_flow(self.flow, batch, inverse=False)
+
+    def inverse(self, batch: Dict) -> Dict:
+        return self._run_flow(self.flow, batch, inverse=True)
+
+    @staticmethod
+    def _run_flow(flow, batch: Dict, inverse: bool) -> Dict:
+        x = batch['positions']
+        out = flow.inverse(x) if inverse else flow.forward(x)
+        result = dict(positions=out[0], log_det_J=out[1])
+        if len(out) > 2:
+            result['regularization'] = out[2]
+        return result
+
+    def training_step_fn(self, flow, batch: Dict):
+        """Pure loss function for jit: ``(flow, batch) -> (loss, aux)``."""
+        result = self._run_flow(flow, batch, inverse=False)
+
+        if 'dimensions' in batch:
+            potential = self._potential_energy_func(
+                result['positions'], batch['dimensions'])
+        else:
+            potential = self._potential_energy_func(result['positions'])
+        potential = potential / self.kT
+
+        if 'log_weights' in batch:
+            log_weights = batch['log_weights']
+        elif 'bias' in batch:
+            log_weights = batch['bias'] / self.kT
+        else:
+            log_weights = None
+
+        loss = boltzmann_kl_div_loss(
+            target_potentials=potential,
+            log_det_J=result['log_det_J'],
+            log_weights=log_weights,
+            ignore_nan=self._ignore_nan,
+        )
+        if 'regularization' in result:
+            loss = loss + jnp.mean(result['regularization'])
+
+        aux = {
+            'potential': potential,
+            'log_det_J': result['log_det_J'],
+            'dataset_sample_index': batch['dataset_sample_index'],
+            'trajectory_sample_index': batch['trajectory_sample_index'],
+            'loss': loss,
+        }
+        return loss, aux
+
+    # ------------------------------------------------------------------ #
+    # Host-side logging.
+    # ------------------------------------------------------------------ #
+    @property
+    def tfep_logger(self) -> Optional[TFEPLogger]:
+        if self._tfep_logger is None and self._tfep_logger_dir_path is not None:
+            n = len(self.dataset)
+            self._tfep_logger = TFEPLogger(
+                save_dir_path=self._tfep_logger_dir_path,
+                batch_size=self.batch_size,
+                n_samples_per_epoch=n)
+        return self._tfep_logger
+
+    def log_train_tensors(self, aux: Dict, epoch_idx: int, batch_idx: int):
+        logger = self.tfep_logger
+        if logger is None:
+            return
+        tensors = {k: np.asarray(v) for k, v in aux.items()
+                   if np.ndim(v) == 1}
+        logger.save_train_tensors(tensors, epoch_idx=epoch_idx,
+                                  batch_idx=batch_idx)

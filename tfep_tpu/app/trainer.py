@@ -1,0 +1,205 @@
+"""Minimal training loop with exact mid-epoch resume (Lightning replacement).
+
+The trainer owns: the optimization loop (optax), checkpointing of model
+parameters + optimizer state + sampler seed + global step, per-step TFEP
+logging, and the jitted training step. Device work is one compiled function
+per step (flow forward + potential callback + loss + grad + optimizer
+update); the host only moves batches and writes logs.
+
+Resume semantics follow the reference invariant
+(/root/reference/tfep/app/base.py:842-904, tests/app/test_maps.py:202-303):
+restarting from a mid-epoch checkpoint replays the same epoch permutation and
+visits exactly the unseen batches.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tfep_tpu.io.sampler import StatefulBatchSampler
+from tfep_tpu.nn.module import (
+    apply_updates, combine, filter_value_and_grad, partition,
+)
+
+__all__ = ['Trainer']
+
+
+class Trainer:
+    """Train a TFEP map.
+
+    Parameters
+    ----------
+    save_dir : str, optional
+        Directory for checkpoints. ``None`` disables checkpointing.
+    max_epochs, max_steps : int, optional
+        Stop conditions (whichever comes first).
+    optimizer : optax.GradientTransformation, optional
+        Defaults to AdamW(lr=1e-4) — the reference default
+        (app/base.py:277-286).
+    checkpoint_every_n_steps : int, optional
+        Write ``last.ckpt`` every N steps (default 1, like the reference's
+        per-step ModelCheckpoint).
+    shuffle : bool, optional
+        Shuffle batches each epoch through the stateful sampler.
+    sharding : optional
+        A ``jax.sharding.Sharding`` for the batch (data parallelism over the
+        frames axis). Parameters are replicated.
+    """
+
+    CHECKPOINT_NAME = 'last.ckpt'
+
+    def __init__(self, save_dir: Optional[str] = None,
+                 max_epochs: Optional[int] = None,
+                 max_steps: Optional[int] = None,
+                 optimizer: Optional[optax.GradientTransformation] = None,
+                 checkpoint_every_n_steps: int = 1,
+                 shuffle: bool = True,
+                 drop_last: bool = False,
+                 sharding=None):
+        if max_epochs is None and max_steps is None:
+            raise ValueError('Set at least one of max_epochs/max_steps.')
+        self.save_dir = save_dir
+        self.max_epochs = max_epochs
+        self.max_steps = max_steps
+        self.optimizer = optimizer if optimizer is not None else optax.adamw(1e-4)
+        self.checkpoint_every_n_steps = checkpoint_every_n_steps
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.sharding = sharding
+
+        self.global_step = 0
+        self.current_epoch = 0
+        self._sampler_state_to_restore = None
+
+    # ------------------------------------------------------------------ #
+    @property
+    def checkpoint_path(self) -> Optional[str]:
+        if self.save_dir is None:
+            return None
+        return os.path.join(self.save_dir, self.CHECKPOINT_NAME)
+
+    def fit(self, tfep_map, resume: bool = False):
+        """Run the optimization loop on ``tfep_map``.
+
+        ``tfep_map`` must implement the app contract:
+        ``setup()``, ``dataset``, ``batch_size``, ``flow`` (pytree, settable),
+        ``training_step_fn(flow, batch) -> (loss, aux_dict)`` and optionally
+        ``log_train_tensors(aux, epoch_idx, batch_idx)``.
+        """
+        tfep_map.setup()
+        if getattr(tfep_map, 'trainer', None) is None:
+            tfep_map.trainer = self
+
+        sampler = StatefulBatchSampler(
+            tfep_map.dataset, batch_size=tfep_map.batch_size,
+            shuffle=self.shuffle, drop_last=self.drop_last, trainer=self)
+        n_batches = len(sampler)
+
+        flow = tfep_map.flow
+        trainable, _ = partition(flow)
+        opt_state = self.optimizer.init(trainable)
+
+        if resume:
+            flow, opt_state = self._load_checkpoint(flow, opt_state, sampler)
+
+        step_fn = self._build_step_fn(tfep_map)
+
+        stop = False
+        while not stop:
+            if self.max_epochs is not None and \
+                    self.current_epoch >= self.max_epochs:
+                break
+            epoch_idx = self.current_epoch
+            for batch_indices in sampler:
+                batch_idx = self.global_step % n_batches
+                batch = tfep_map.dataset.get_batch(batch_indices)
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                if self.sharding is not None:
+                    batch = jax.device_put(batch, self.sharding)
+
+                flow, opt_state, loss, aux = step_fn(flow, opt_state, batch)
+
+                # Per-sample TFEP logging (host side).
+                if hasattr(tfep_map, 'log_train_tensors'):
+                    tfep_map.log_train_tensors(
+                        aux, epoch_idx=epoch_idx, batch_idx=batch_idx)
+
+                self.global_step += 1
+
+                if (self.checkpoint_path is not None
+                        and self.global_step % self.checkpoint_every_n_steps == 0):
+                    self._save_checkpoint(flow, opt_state, sampler)
+
+                if self.max_steps is not None and \
+                        self.global_step >= self.max_steps:
+                    stop = True
+                    break
+            else:
+                self.current_epoch += 1
+                continue
+            break
+
+        tfep_map.flow = flow
+        return flow
+
+    # ------------------------------------------------------------------ #
+    def _build_step_fn(self, tfep_map) -> Callable:
+        optimizer = self.optimizer
+
+        def loss_fn(flow, batch):
+            return tfep_map.training_step_fn(flow, batch)
+
+        @jax.jit
+        def step(flow, opt_state, batch):
+            (loss, aux), grads = filter_value_and_grad(
+                loss_fn, has_aux=True)(flow, batch)
+            trainable, _ = partition(flow)
+            updates, new_opt_state = optimizer.update(grads, opt_state,
+                                                      trainable)
+            new_flow = apply_updates(flow, updates)
+            return new_flow, new_opt_state, loss, aux
+
+        return step
+
+    # ------------------------------------------------------------------ #
+    def _save_checkpoint(self, flow, opt_state, sampler):
+        os.makedirs(self.save_dir, exist_ok=True)
+        leaves = [np.asarray(l) for l in jax.tree_util.tree_leaves(flow)]
+        opt_leaves = [np.asarray(l)
+                      for l in jax.tree_util.tree_leaves(opt_state)]
+        state = {
+            'flow_leaves': leaves,
+            'opt_leaves': opt_leaves,
+            'global_step': self.global_step,
+            'current_epoch': self.current_epoch,
+            'sampler_state': sampler.state_dict(),
+        }
+        tmp_path = self.checkpoint_path + '.tmp'
+        with open(tmp_path, 'wb') as f:
+            pickle.dump(state, f)
+        os.replace(tmp_path, self.checkpoint_path)
+
+    def _load_checkpoint(self, flow, opt_state, sampler):
+        path = self.checkpoint_path
+        if path is None or not os.path.isfile(path):
+            return flow, opt_state
+        with open(path, 'rb') as f:
+            state = pickle.load(f)
+        flow_leaves, flow_treedef = jax.tree_util.tree_flatten(flow)
+        new_flow = jax.tree_util.tree_unflatten(
+            flow_treedef,
+            [jnp.asarray(l) for l in state['flow_leaves']])
+        opt_leaves, opt_treedef = jax.tree_util.tree_flatten(opt_state)
+        new_opt_state = jax.tree_util.tree_unflatten(
+            opt_treedef, [jnp.asarray(l) for l in state['opt_leaves']])
+        self.global_step = state['global_step']
+        self.current_epoch = state['current_epoch']
+        sampler.load_state_dict(state['sampler_state'])
+        return new_flow, new_opt_state

@@ -1,0 +1,78 @@
+"""Stateful batch sampler for exact mid-epoch resume.
+
+The epoch's shuffle permutation is derived from a stored seed; on resume the
+sampler replays the same permutation and skips the first
+``global_step % n_batches`` batches, so the union of visited samples across a
+crash is exactly one epoch with no repeats (the invariant tested by the
+reference at tests/app/test_maps.py:202-303). Reference behavior:
+/root/reference/tfep/io/sampler.py:29-192.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Optional
+
+import numpy as np
+
+__all__ = ['StatefulBatchSampler']
+
+
+class StatefulBatchSampler:
+    """Batch sampler whose shuffle state is checkpointable."""
+
+    def __init__(self, dataset, batch_size: int = 1, shuffle: bool = False,
+                 drop_last: bool = False, trainer=None):
+        """``trainer`` must expose a ``global_step`` attribute (total batches
+        seen across the entire training), set here or later via the
+        :attr:`trainer` attribute."""
+        self._dataset = dataset
+        self._batch_size = int(batch_size)
+        self._shuffle = bool(shuffle)
+        self._drop_last = bool(drop_last)
+        self._current_epoch_seed: Optional[int] = None
+        self.trainer = trainer
+
+    @property
+    def batch_size(self) -> int:
+        return self._batch_size
+
+    @property
+    def shuffle(self) -> bool:
+        return self._shuffle
+
+    @property
+    def drop_last(self) -> bool:
+        return self._drop_last
+
+    def __len__(self) -> int:
+        n = len(self._dataset)
+        if self._drop_last:
+            return n // self._batch_size
+        return (n + self._batch_size - 1) // self._batch_size
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        if self.trainer is None:
+            raise RuntimeError('trainer must be set before iterating.')
+
+        # != 0 when resuming from a mid-epoch checkpoint.
+        current_batch_idx = self.trainer.global_step % len(self)
+
+        if self._shuffle:
+            if current_batch_idx == 0:
+                # New epoch: draw a fresh seed (kept for checkpointing).
+                self._current_epoch_seed = int(
+                    np.random.SeedSequence().entropy % (2 ** 63))
+            rng = np.random.default_rng(self._current_epoch_seed)
+            epoch_indices = rng.permutation(len(self._dataset))
+        else:
+            epoch_indices = np.arange(len(self._dataset))
+
+        for batch_idx in range(current_batch_idx, len(self)):
+            start = batch_idx * self._batch_size
+            yield epoch_indices[start:start + self._batch_size]
+
+    def state_dict(self) -> dict:
+        return {'current_epoch_seed': self._current_epoch_seed}
+
+    def load_state_dict(self, state_dict: dict):
+        self._current_epoch_seed = state_dict['current_epoch_seed']

@@ -1,0 +1,322 @@
+"""Trajectory readers and the trajectory dataset.
+
+Host-side replacements for the MDAnalysis-backed data layer of the reference
+(/root/reference/tfep/io/dataset/traj.py:43-380). Multi-frame PDB (MODEL
+records + CONECT bonds), GRO, and XYZ readers load frames into memory as
+numpy; :class:`TrajectoryDataset` exposes dict samples
+``{'positions' (n_atoms*3 flattened), 'dimensions' (box), 'dataset_sample_index',
+'trajectory_sample_index', aux keys}`` with atom selection, frame subsampling
+(by index or time), and auxiliary per-frame data (e.g. PLUMED log-weights).
+
+Positions are in angstrom (PDB/XYZ native; GRO converted from nm).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Sequence, Union
+
+import numpy as np
+
+from tfep_tpu.io.dataset import Dataset
+from tfep_tpu.io.topology import Topology
+from tfep_tpu.units import Quantity, ureg
+
+__all__ = ['System', 'TrajectoryDataset', 'read_pdb', 'read_gro', 'read_xyz',
+           'get_subsampled_indices']
+
+
+class System:
+    """Topology + trajectory frames (the framework's 'Universe')."""
+
+    def __init__(self, topology: Topology, positions: np.ndarray,
+                 dimensions: Optional[np.ndarray] = None,
+                 times: Optional[np.ndarray] = None):
+        """``positions``: (n_frames, n_atoms, 3) angstrom. ``dimensions``:
+        (n_frames, 6) box [lx, ly, lz, alpha, beta, gamma] or None.
+        ``times``: (n_frames,) ps or None (defaults to frame index)."""
+        self.topology = topology
+        self.positions = np.asarray(positions, dtype=np.float32)
+        if self.positions.ndim == 2:
+            self.positions = self.positions[None]
+        self.dimensions = (None if dimensions is None
+                           else np.asarray(dimensions, dtype=np.float32))
+        self.times = (np.arange(self.n_frames, dtype=np.float64)
+                      if times is None else np.asarray(times, np.float64))
+
+    @property
+    def n_frames(self) -> int:
+        return self.positions.shape[0]
+
+    @property
+    def n_atoms(self) -> int:
+        return self.positions.shape[1]
+
+    def select_atoms(self, selection) -> np.ndarray:
+        return self.topology.select_atoms(selection)
+
+    @classmethod
+    def from_file(cls, path: str, topology_path: Optional[str] = None
+                  ) -> 'System':
+        """Load from a trajectory file (PDB/GRO/XYZ by extension)."""
+        readers = {'.pdb': read_pdb, '.gro': read_gro, '.xyz': read_xyz}
+        ext = os.path.splitext(path)[1].lower()
+        if ext not in readers:
+            raise ValueError(f'Unsupported trajectory format: {ext}')
+        return readers[ext](path)
+
+
+# =============================================================================
+# Readers
+# =============================================================================
+
+def read_pdb(path: str) -> System:
+    """Multi-MODEL PDB reader with CONECT bonds and CRYST1 box."""
+    frames = []
+    names, resnames, resids, elements = [], [], [], []
+    bonds = set()
+    box = None
+    current: list = []
+    first_model_done = False
+
+    with open(path) as f:
+        for line in f:
+            record = line[:6]
+            if record in ('ATOM  ', 'HETATM'):
+                x = float(line[30:38])
+                y = float(line[38:46])
+                z = float(line[46:54])
+                current.append((x, y, z))
+                if not first_model_done:
+                    names.append(line[12:16].strip())
+                    resnames.append(line[17:21].strip())
+                    try:
+                        resids.append(int(line[22:26]))
+                    except ValueError:
+                        resids.append(1)
+                    elem = line[76:78].strip() if len(line) > 76 else ''
+                    elements.append(elem if elem else None)
+            elif record == 'CRYST1':
+                box = [float(line[6:15]), float(line[15:24]),
+                       float(line[24:33]), float(line[33:40]),
+                       float(line[40:47]), float(line[47:54])]
+            elif record.startswith('CONECT'):
+                fields = line.split()
+                if len(fields) >= 3:
+                    a = int(fields[1]) - 1
+                    for b_str in fields[2:]:
+                        b = int(b_str) - 1
+                        bonds.add((min(a, b), max(a, b)))
+            elif record.startswith('ENDMDL') or record.startswith('END '):
+                if current:
+                    frames.append(current)
+                    current = []
+                    first_model_done = True
+    if current:
+        frames.append(current)
+
+    if elements and all(e is None for e in elements):
+        elements = None
+    elif elements:
+        elements = [e if e else None for e in elements]
+        from tfep_tpu.io.topology import guess_element
+        elements = [e if e is not None else guess_element(n)
+                    for e, n in zip(elements, names)]
+
+    topology = Topology(names=names, elements=elements, resnames=resnames,
+                        resids=resids, bonds=sorted(bonds))
+    positions = np.asarray(frames, dtype=np.float32)
+    dimensions = (None if box is None else
+                  np.tile(np.asarray(box, np.float32), (len(frames), 1)))
+    return System(topology, positions, dimensions)
+
+
+def read_gro(path: str) -> System:
+    """GRO reader (single or concatenated frames); nm -> angstrom."""
+    frames, boxes = [], []
+    names, resnames, resids = [], [], []
+    first = True
+    with open(path) as f:
+        lines = f.readlines()
+    i = 0
+    while i < len(lines):
+        if not lines[i].strip():
+            i += 1
+            continue
+        n_atoms = int(lines[i + 1])
+        frame = []
+        for j in range(n_atoms):
+            line = lines[i + 2 + j]
+            if first:
+                resids.append(int(line[0:5]))
+                resnames.append(line[5:10].strip())
+                names.append(line[10:15].strip())
+            frame.append((float(line[20:28]) * 10.0,
+                          float(line[28:36]) * 10.0,
+                          float(line[36:44]) * 10.0))
+        box_fields = lines[i + 2 + n_atoms].split()
+        lx, ly, lz = (float(box_fields[0]) * 10.0,
+                      float(box_fields[1]) * 10.0,
+                      float(box_fields[2]) * 10.0)
+        boxes.append([lx, ly, lz, 90.0, 90.0, 90.0])
+        frames.append(frame)
+        first = False
+        i += 3 + n_atoms
+
+    topology = Topology(names=names, resnames=resnames, resids=resids)
+    return System(topology, np.asarray(frames, np.float32),
+                  np.asarray(boxes, np.float32))
+
+
+def read_xyz(path: str) -> System:
+    """Multi-frame XYZ reader (element symbol + angstrom coordinates)."""
+    frames, symbols = [], []
+    first = True
+    with open(path) as f:
+        lines = f.readlines()
+    i = 0
+    while i < len(lines):
+        if not lines[i].strip():
+            i += 1
+            continue
+        n_atoms = int(lines[i].strip())
+        frame = []
+        for j in range(n_atoms):
+            fields = lines[i + 2 + j].split()
+            if first:
+                symbols.append(fields[0])
+            frame.append(tuple(map(float, fields[1:4])))
+        frames.append(frame)
+        first = False
+        i += 2 + n_atoms
+
+    topology = Topology(names=symbols, elements=symbols)
+    return System(topology, np.asarray(frames, np.float32))
+
+
+# =============================================================================
+# Subsampling helper
+# =============================================================================
+
+def get_subsampled_indices(n_frames: int, times: Optional[np.ndarray] = None,
+                           start=None, stop=None, step=None,
+                           n_frames_out: Optional[int] = None) -> np.ndarray:
+    """Regular-interval frame indices, by frame number or pint-style time.
+
+    Reference behavior: /root/reference/tfep/io/dataset/traj.py:549-645.
+    """
+    def to_frame(value, default, round_up):
+        if value is None:
+            return default
+        if isinstance(value, Quantity):
+            t = value.to(ureg.picosecond).magnitude
+            if times is None:
+                raise ValueError('Time-based subsampling requires times.')
+            idx = (np.searchsorted(times, t, side='left') if round_up
+                   else np.searchsorted(times, t, side='right') - 1)
+            return int(np.clip(idx, 0, n_frames - 1))
+        return int(value)
+
+    start_f = to_frame(start, 0, round_up=True)
+    stop_f = to_frame(stop, n_frames - 1, round_up=False)
+
+    if n_frames_out is not None:
+        if step is not None:
+            raise ValueError('Pass either step or n_frames, not both.')
+        return np.unique(np.linspace(start_f, stop_f, n_frames_out
+                                     ).round().astype(np.int64))
+    if step is None:
+        step_f = 1
+    elif isinstance(step, Quantity):
+        dt = step.to(ureg.picosecond).magnitude
+        if times is None:
+            raise ValueError('Time-based subsampling requires times.')
+        sel_times = np.arange(times[start_f], times[stop_f] + dt * 0.5, dt)
+        return np.searchsorted(times, sel_times - 1e-9)
+    else:
+        step_f = int(step)
+    return np.arange(start_f, stop_f + 1, step_f, dtype=np.int64)
+
+
+# =============================================================================
+# Dataset
+# =============================================================================
+
+class TrajectoryDataset(Dataset):
+    """Map-style dataset over a :class:`System`'s frames.
+
+    Samples are dicts with ``positions`` flattened to ``(n_atoms*3,)`` in
+    angstrom (float32, converted on access), optional ``dimensions`` box,
+    registered auxiliary keys, and both dataset- and trajectory-frame
+    indices for the TFEP logger addressing scheme.
+    """
+
+    def __init__(self, system: System, return_dimensions: Optional[bool] = None):
+        self.system = system
+        self._frame_indices = np.arange(system.n_frames, dtype=np.int64)
+        self._atom_indices: Optional[np.ndarray] = None
+        if return_dimensions is None:
+            return_dimensions = system.dimensions is not None
+        self._return_dimensions = return_dimensions
+        self._aux: Dict[str, np.ndarray] = {}
+
+    # -- configuration -------------------------------------------------- #
+    def select_atoms(self, selection) -> np.ndarray:
+        """Restrict samples to the selected atoms; returns the indices."""
+        self._atom_indices = self.system.select_atoms(selection)
+        return self._atom_indices
+
+    def subsample(self, start=None, stop=None, step=None, n_frames=None):
+        """Keep a regular subset of frames (frame counts or time Quantities)."""
+        idx = get_subsampled_indices(
+            self.system.n_frames, times=self.system.times,
+            start=start, stop=stop, step=step, n_frames_out=n_frames)
+        self._frame_indices = self._frame_indices[
+            np.isin(self._frame_indices, idx)]
+        # Subsampling aux data must track the frames.
+        return self._frame_indices
+
+    def add_aux(self, name: str, values: Sequence):
+        """Register per-frame auxiliary data (e.g. log-weights), full-traj length."""
+        values = np.asarray(values)
+        if len(values) != self.system.n_frames:
+            raise ValueError(
+                f'Auxiliary data {name!r} must have one entry per trajectory '
+                f'frame ({self.system.n_frames}), got {len(values)}.')
+        self._aux[name] = values
+
+    # -- properties ----------------------------------------------------- #
+    @property
+    def n_atoms(self) -> int:
+        if self._atom_indices is None:
+            return self.system.n_atoms
+        return len(self._atom_indices)
+
+    @property
+    def atom_indices(self) -> Optional[np.ndarray]:
+        return self._atom_indices
+
+    @property
+    def trajectory_sample_indices(self) -> np.ndarray:
+        return self._frame_indices
+
+    # -- Dataset API ----------------------------------------------------- #
+    def __len__(self):
+        return len(self._frame_indices)
+
+    def __getitem__(self, index):
+        frame = int(self._frame_indices[index])
+        pos = self.system.positions[frame]
+        if self._atom_indices is not None:
+            pos = pos[self._atom_indices]
+        sample = {
+            'positions': pos.reshape(-1).astype(np.float64),
+            'dataset_sample_index': np.int64(index),
+            'trajectory_sample_index': np.int64(frame),
+        }
+        if self._return_dimensions and self.system.dimensions is not None:
+            sample['dimensions'] = self.system.dimensions[frame].astype(
+                np.float64)
+        for name, values in self._aux.items():
+            sample[name] = values[frame]
+        return sample

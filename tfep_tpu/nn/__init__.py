@@ -1,0 +1,7 @@
+"""Neural-network layer: pytree modules, flows, transformers, conditioners."""
+
+from tfep_tpu.nn import module  # noqa: F401
+from tfep_tpu.nn.module import (  # noqa: F401
+    Module, static, buffer, partition, combine, filter_value_and_grad,
+    apply_updates, n_parameters,
+)

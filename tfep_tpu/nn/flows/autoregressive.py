@@ -1,0 +1,140 @@
+"""Generic autoregressive flow: conditioner + transformer composition.
+
+Forward is a single conditioner pass plus a transformer apply. Inverse runs
+one conditioner pass per autoregressive degree-group as a ``lax.fori_loop``
+with masked updates — compiling to a rolled scan rather than the reference's
+Python loop (/root/reference/tfep/nn/flows/autoregressive.py:179-229), so
+compile time stays O(1) in the number of degrees while runtime stays
+O(n_degree_groups) conditioner passes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tfep_tpu.nn.flows.flow import Flow
+from tfep_tpu.nn.module import buffer, static
+
+__all__ = ['AutoregressiveFlow']
+
+
+class AutoregressiveFlow(Flow):
+    """Autoregressive flow parametrized by a conditioner and a transformer.
+
+    ``transformer_indices`` (host-side, at construction) groups the
+    transformed feature indices by autoregressive order; features absent from
+    it are fixed (propagated unchanged). Reference behavior:
+    /root/reference/tfep/nn/flows/autoregressive.py:29-247.
+    """
+
+    conditioner: object
+    transformer: object
+    # (n_transformed,) sorted indices of features fed to the transformer.
+    transformer_indices_buf: Optional[jnp.ndarray] = buffer()
+    # (n_iterations, n_features) bool: which features resolve at iteration i.
+    inverse_masks: jnp.ndarray = buffer()
+    # (n_fixed,) indices not transformed (may be empty).
+    fixed_indices: jnp.ndarray = buffer()
+    # Optional subset of features passed to the conditioner (None = all).
+    conditioner_indices: Optional[jnp.ndarray] = buffer()
+    n_features_in: int = static()
+
+    @classmethod
+    def create(cls, n_features_in: int, transformer_indices,
+               conditioner, transformer,
+               conditioner_indices=None,
+               initialize_identity: bool = True) -> 'AutoregressiveFlow':
+        groups = [np.asarray(g).reshape(-1) for g in transformer_indices]
+        for g in groups:
+            if np.any((g < 0) | (g >= n_features_in)):
+                raise ValueError('All indices must be 0 <= i < n_features_in.')
+        if conditioner_indices is not None:
+            conditioner_indices = np.asarray(conditioner_indices)
+            if np.any((conditioner_indices < 0) |
+                      (conditioner_indices >= n_features_in)):
+                raise ValueError('All indices must be 0 <= i < n_features_in.')
+
+        inverse_masks = np.zeros((len(groups), n_features_in), dtype=bool)
+        for i, g in enumerate(groups):
+            inverse_masks[i, g] = True
+
+        all_transformed = np.sort(np.concatenate(groups)) if groups else \
+            np.zeros(0, dtype=np.int64)
+        fixed = np.setdiff1d(np.arange(n_features_in), all_transformed)
+        n_transformed = len(all_transformed)
+
+        if initialize_identity:
+            identity_parameters = transformer.get_identity_parameters(
+                n_transformed)
+            conditioner = conditioner.set_output(
+                jnp.asarray(identity_parameters))
+
+        return cls(
+            conditioner=conditioner,
+            transformer=transformer,
+            transformer_indices_buf=(
+                jnp.asarray(all_transformed) if len(fixed) > 0 else None),
+            inverse_masks=jnp.asarray(inverse_masks),
+            fixed_indices=jnp.asarray(fixed),
+            conditioner_indices=(
+                None if conditioner_indices is None
+                else jnp.asarray(conditioner_indices)),
+            n_features_in=int(n_features_in),
+        )
+
+    @property
+    def has_fixed_indices(self) -> bool:
+        return self.transformer_indices_buf is not None
+
+    def get_transformer_parameters(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.conditioner_indices is not None:
+            x = x[:, self.conditioner_indices]
+        return self.conditioner(x)
+
+    def forward(self, x: jnp.ndarray):
+        parameters = self.get_transformer_parameters(x)
+        if self.has_fixed_indices:
+            idx = self.transformer_indices_buf
+            y_t, log_det_J = self.transformer.forward(x[:, idx], parameters)
+            y = x.at[:, idx].set(y_t)
+        else:
+            y, log_det_J = self.transformer.forward(x, parameters)
+        return y, log_det_J
+
+    def inverse(self, y: jnp.ndarray):
+        n_iterations = self.inverse_masks.shape[0]
+
+        if self.has_fixed_indices:
+            idx = self.transformer_indices_buf
+            y_t = y[:, idx]
+            # Masks over the transformer feature axis.
+            inverse_masks_t = self.inverse_masks[:, idx]
+        else:
+            idx = None
+            y_t = y
+            inverse_masks_t = self.inverse_masks
+
+        x0 = jnp.where(self.inverse_masks.any(axis=0)[None, :],
+                       jnp.zeros_like(y), y)
+
+        def step(i, x):
+            parameters = self.get_transformer_parameters(x)
+            x_temp, log_det_J = self.transformer.inverse(y_t, parameters)
+            mask_t = inverse_masks_t[i]                # (n_transformed,)
+            if idx is not None:
+                x_new = x.at[:, idx].set(
+                    jnp.where(mask_t[None, :], x_temp, x[:, idx]))
+            else:
+                x_new = jnp.where(mask_t[None, :], x_temp, x)
+            return x_new, log_det_J
+
+        x = jax.lax.fori_loop(
+            0, n_iterations - 1, lambda i, x: step(i, x)[0], x0)
+        # Final iteration outside the loop: its log_det_J is the total one
+        # (same contract as the reference's last-pass log_det_J).
+        x, log_det_J = step(n_iterations - 1, x)
+        return x, log_det_J

@@ -1,0 +1,84 @@
+"""Masked Autoregressive Flow: MADE conditioner + arbitrary transformer.
+
+Reference behaviors: /root/reference/tfep/nn/flows/maf.py:33-194 — degree
+validation (consecutive values from -1/0), embedding-lifted conditioner
+degrees, identity initialization through the transformer's identity
+parameters, and per-degree-group inverse ordering.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import numpy as np
+
+from tfep_tpu.nn.conditioners.made import MADE
+from tfep_tpu.nn.flows.autoregressive import AutoregressiveFlow
+from tfep_tpu.nn.transformers.affine import AffineTransformer
+
+__all__ = ['MAF']
+
+
+class MAF(AutoregressiveFlow):
+    """Masked Autoregressive Flow."""
+
+    @classmethod
+    def create(cls, key, degrees_in, transformer=None,
+               hidden_layers: Union[int, list] = 2,
+               embedding=None, weight_norm: bool = True,
+               initialize_identity: bool = True, dtype=None) -> 'MAF':
+        """Build a MAF layer.
+
+        Parameters
+        ----------
+        key : jax.random key for parameter initialization.
+        degrees_in : array-like of int, shape (n_features,)
+            Autoregressive degree per input feature; must take consecutive
+            values starting at 0, or -1 for conditioning features (which
+            affect the output without being mapped).
+        transformer : MAFTransformer, optional (default AffineTransformer).
+        hidden_layers : int | list[int] | list[array], optional
+            MADE hidden-layer spec (see :meth:`MADE.create`).
+        embedding : MAFEmbedding, optional
+            Input lift applied before the conditioner (e.g. periodic cos/sin).
+        weight_norm : bool, optional
+        initialize_identity : bool, optional
+        """
+        if transformer is None:
+            transformer = AffineTransformer()
+
+        degrees_in = np.asarray(degrees_in)
+        min_d, max_d = int(degrees_in.min()), int(degrees_in.max())
+        if (set(degrees_in.tolist()) != set(range(min_d, max_d + 1))
+                or min_d not in (-1, 0)):
+            raise ValueError(
+                'degrees_in must assume consecutive values starting from 0 '
+                '(or -1 for conditioning input features).')
+
+        if embedding is None:
+            degrees_in_embedded = degrees_in
+        else:
+            degrees_in_embedded = embedding.get_degrees_out(degrees_in)
+
+        # Feature groups in inverse-evaluation order.
+        transformer_indices = [np.nonzero(degrees_in == d)[0]
+                               for d in range(max_d + 1)]
+
+        # Conditioner output degrees only for transformed inputs.
+        degrees_out = transformer.get_degrees_out(degrees_in[degrees_in != -1])
+
+        conditioner = MADE.create(
+            key, degrees_in=degrees_in_embedded, degrees_out=degrees_out,
+            hidden_layers=hidden_layers, weight_norm=weight_norm,
+            embedding=embedding, dtype=dtype)
+
+        return super().create(
+            n_features_in=len(degrees_in),
+            transformer_indices=transformer_indices,
+            conditioner=conditioner,
+            transformer=transformer,
+            initialize_identity=initialize_identity,
+        )
+
+    def n_parameters(self) -> int:
+        return self.conditioner.n_parameters()

@@ -1,0 +1,137 @@
+"""Masked linear layers for autoregressive conditioners.
+
+TPU-first design: instead of a custom autograd Function masking gradients
+(the reference's ``MaskedLinearFunc``, /root/reference/tfep/nn/masked.py:220-305),
+the mask is folded into the weight at apply time (``W_eff = where(mask, W, 0)``).
+XLA fuses the select into the matmul operand and autodiff masks the gradient
+for free. Weight normalization is computed over the masked weight with a
+zero-norm guard, replacing the reference's NaN-safe gradient hooks
+(/root/reference/tfep/nn/masked.py:312-440) with plain algebra that is safe
+under autodiff.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tfep_tpu.nn.module import Module, buffer, static
+
+__all__ = ['create_autoregressive_mask', 'MaskedLinear']
+
+
+def create_autoregressive_mask(
+        degrees_in: np.ndarray,
+        degrees_out: np.ndarray,
+        strictly_less: bool = True,
+        transpose: bool = False,
+) -> np.ndarray:
+    """Create the autoregressive connectivity mask between two layers.
+
+    ``mask[i, j]`` is True when input ``i`` feeds output ``j`` (or transposed
+    when ``transpose=True``). Output nodes connect to inputs of strictly lower
+    degree when ``strictly_less`` (MADE output layer), else lower-or-equal
+    (hidden layers). Host-side, numpy; reference behavior:
+    /root/reference/tfep/nn/masked.py:36-108.
+    """
+    degrees_in = np.asarray(degrees_in)
+    degrees_out = np.asarray(degrees_out)
+    if transpose:
+        if strictly_less:
+            mask = degrees_out[:, None] > degrees_in[None, :]
+        else:
+            mask = degrees_out[:, None] >= degrees_in[None, :]
+    else:
+        if strictly_less:
+            mask = degrees_out[None, :] > degrees_in[:, None]
+        else:
+            mask = degrees_out[None, :] >= degrees_in[:, None]
+    return mask
+
+
+class MaskedLinear(Module):
+    """Masked dense layer ``y = x @ (M o W)^T + b``, with optional weight norm.
+
+    With ``weight_norm=True`` the effective weight is
+    ``W = g * (M o V) / ||M o V||_row`` (norm over the input axis per output
+    row); rows whose mask is entirely False produce zero weights with safe
+    gradients. Setting ``g = 0`` (or ``W = 0`` without weight norm) makes the
+    layer output its bias — the hook used for identity initialization
+    (reference contract: /root/reference/tfep/nn/conditioners/made.py:358-364).
+    """
+
+    weight: jnp.ndarray                 # (out, in) — V when weight_norm
+    bias: Optional[jnp.ndarray]         # (out,)
+    gain: Optional[jnp.ndarray]         # (out, 1) weight-norm g, or None
+    mask: Optional[jnp.ndarray] = buffer()   # bool (out, in), or None (dense)
+    use_weight_norm: bool = static(default=False)
+
+    @classmethod
+    def create(cls, key, in_features: int, out_features: int,
+               mask: Optional[np.ndarray] = None, bias: bool = True,
+               weight_norm: bool = False, dtype=None):
+        """Initialize like torch.nn.Linear (Kaiming-uniform), masked."""
+        if dtype is None:
+            dtype = jnp.result_type(float)
+        wkey, bkey = jax.random.split(key)
+        bound = 1.0 / np.sqrt(in_features) if in_features > 0 else 0.0
+        weight = jax.random.uniform(
+            wkey, (out_features, in_features), dtype, -bound, bound)
+        bias_arr = (jax.random.uniform(bkey, (out_features,), dtype, -bound,
+                                       bound) if bias else None)
+        mask_arr = None
+        if mask is not None:
+            mask_arr = jnp.asarray(np.asarray(mask, dtype=bool))
+        gain = None
+        if weight_norm:
+            masked_w = weight if mask_arr is None else jnp.where(
+                mask_arr, weight, 0.0)
+            norms = jnp.linalg.norm(masked_w, axis=1, keepdims=True)
+            gain = norms.astype(dtype)
+        return cls(weight=weight, bias=bias_arr, gain=gain, mask=mask_arr,
+                   use_weight_norm=weight_norm)
+
+    @property
+    def in_features(self) -> int:
+        return self.weight.shape[1]
+
+    @property
+    def out_features(self) -> int:
+        return self.weight.shape[0]
+
+    def effective_weight(self) -> jnp.ndarray:
+        w = self.weight
+        if self.mask is not None:
+            w = jnp.where(self.mask, w, 0.0)
+        if self.use_weight_norm:
+            norms = jnp.linalg.norm(w, axis=1, keepdims=True)
+            safe = jnp.where(norms > 0.0, norms, 1.0)
+            w = self.gain * w / safe
+        return w
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        w = self.effective_weight()
+        y = x @ w.T
+        if self.bias is not None:
+            y = y + self.bias
+        return y
+
+    def n_parameters(self) -> int:
+        """Number of unmasked trainable parameters (reference parity)."""
+        n = (int(np.sum(np.asarray(self.mask)))
+             if self.mask is not None else self.weight.size)
+        if self.bias is not None:
+            n += self.bias.size
+        if self.gain is not None:
+            n += self.gain.size
+        return n
+
+    def set_output(self, output: jnp.ndarray) -> 'MaskedLinear':
+        """Return a copy that constantly outputs ``output`` (identity init)."""
+        output = jnp.asarray(output, dtype=self.weight.dtype)
+        if self.use_weight_norm:
+            return self.replace(gain=jnp.zeros_like(self.gain), bias=output)
+        return self.replace(weight=jnp.zeros_like(self.weight), bias=output)

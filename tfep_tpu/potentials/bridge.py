@@ -1,0 +1,107 @@
+"""Host-callback bridge: external engines as differentiable device functions.
+
+The training step is one jitted XLA computation; the engine call is a
+``jax.pure_callback`` hole in the graph. A ``custom_vjp`` makes it
+differentiable with the TFEP contract: the forward host call returns
+``(energies, forces)`` (forces precomputed in the same engine evaluation,
+like the reference's ``precompute_gradient``), and the backward is
+``grad = -forces * g`` — exactly the reference autograd-Function pattern
+(/root/reference/tfep/potentials/ase.py:168-320). NaN policies are the host
+function's responsibility (energies/forces containing NaN propagate to the
+loss, which handles them with ``ignore_nan``).
+
+Host functions receive numpy arrays of shape ``(batch, n_dofs)`` (and
+optionally a cell) and must return numpy arrays; per-sample engine fan-out
+(process pools, SLURM) happens inside them via
+:mod:`tfep_tpu.parallel.strategies`.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ['make_callback_potential']
+
+
+def make_callback_potential(
+        energy_and_forces_fn: Callable,
+        energy_fn: Optional[Callable] = None,
+        has_cell: bool = False,
+        vmap_method: str = 'sequential',
+) -> Callable:
+    """Wrap host energy(+forces) functions into a differentiable device fn.
+
+    Parameters
+    ----------
+    energy_and_forces_fn : Callable
+        ``(positions[, cell]) -> (energies, forces)`` with numpy arrays;
+        positions/forces shape ``(batch, n_dofs)``, energies ``(batch,)``.
+        Used on the differentiated path (one engine call per step).
+    energy_fn : Callable, optional
+        ``(positions[, cell]) -> energies``. Used on the non-differentiated
+        path; defaults to calling ``energy_and_forces_fn`` and dropping
+        forces (engines where forces are cheap), mirroring
+        ``precompute_gradient=False`` semantics otherwise.
+    has_cell : bool
+        Whether the returned function takes a ``batch_cell`` second argument.
+    vmap_method : str
+        Forwarded to ``jax.pure_callback`` for transforms that vmap over it.
+
+    Returns
+    -------
+    potential : Callable
+        ``potential(batch_positions[, batch_cell]) -> (batch,)`` energies,
+        differentiable w.r.t. positions (cotangent ``-forces * g``).
+    """
+
+    def _host_energy(*args):
+        if energy_fn is not None:
+            return np.asarray(energy_fn(*args))
+        return np.asarray(energy_and_forces_fn(*args)[0])
+
+    def _host_energy_forces(*args):
+        energies, forces = energy_and_forces_fn(*args)
+        return np.asarray(energies), np.asarray(forces)
+
+    if has_cell:
+        @jax.custom_vjp
+        def potential(x, cell):
+            shape = jax.ShapeDtypeStruct(x.shape[:1], x.dtype)
+            return jax.pure_callback(_host_energy, shape, x, cell,
+                                     vmap_method=vmap_method)
+
+        def fwd(x, cell):
+            e_shape = jax.ShapeDtypeStruct(x.shape[:1], x.dtype)
+            f_shape = jax.ShapeDtypeStruct(x.shape, x.dtype)
+            e, f = jax.pure_callback(_host_energy_forces, (e_shape, f_shape),
+                                     x, cell, vmap_method=vmap_method)
+            return e, f
+
+        def bwd(forces, g):
+            return (-forces * g[:, None], None)
+
+        potential.defvjp(fwd, bwd)
+        return potential
+
+    @jax.custom_vjp
+    def potential(x):
+        shape = jax.ShapeDtypeStruct(x.shape[:1], x.dtype)
+        return jax.pure_callback(_host_energy, shape, x,
+                                 vmap_method=vmap_method)
+
+    def fwd(x):
+        e_shape = jax.ShapeDtypeStruct(x.shape[:1], x.dtype)
+        f_shape = jax.ShapeDtypeStruct(x.shape, x.dtype)
+        e, f = jax.pure_callback(_host_energy_forces, (e_shape, f_shape), x,
+                                 vmap_method=vmap_method)
+        return e, f
+
+    def bwd(forces, g):
+        return (-forces * g[:, None],)
+
+    potential.defvjp(fwd, bwd)
+    return potential
