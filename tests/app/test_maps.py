@@ -1,0 +1,181 @@
+"""App-layer integration tests: real training runs with a mock potential.
+
+Mirrors the reference integration tests (tests/app/test_maps.py): error
+paths for bad selections, end-to-end training for the Cartesian MAF map with
+and without reference-frame atoms, and the crash/mid-epoch-resume invariant
+(union of visited samples across a crash = one full epoch, no repeats).
+"""
+
+import os
+import shutil
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tfep_tpu.app import CartesianMAFMap, TFEPMapBase, Trainer
+from tfep_tpu.io.topology import Topology
+from tfep_tpu.io.traj import System
+from tfep_tpu.units import ureg
+
+N_FRAMES, N_ATOMS = 10, 6
+
+
+class MockPotential:
+    """u(x) = sum(x) — the reference's MockPotential (tests/__init__.py:31)."""
+    energy_unit = ureg.kilocalorie_per_mole
+    positions_unit = ureg.angstrom
+
+    def __call__(self, x, cell=None):
+        return jnp.sum(x, axis=-1)
+
+
+def make_system(n_frames=N_FRAMES, n_atoms=N_ATOMS, seed=0):
+    rng = np.random.default_rng(seed)
+    topology = Topology(
+        names=[f'C{i}' for i in range(n_atoms)],
+        elements=['C'] * n_atoms,
+        resnames=['MOL'] * (n_atoms // 2) + ['SOL'] * (n_atoms - n_atoms // 2),
+        resids=[1] * (n_atoms // 2) + [2] * (n_atoms - n_atoms // 2),
+    )
+    positions = rng.normal(0, 1, size=(n_frames, n_atoms, 3))
+    return System(topology, positions)
+
+
+def make_map(tmp_path, name='logs', **kwargs):
+    kwargs.setdefault('n_maf_layers', 2)
+    return CartesianMAFMap(
+        potential_energy_func=MockPotential(),
+        temperature=300.0 * ureg.kelvin,
+        system=make_system(),
+        batch_size=5,
+        tfep_logger_dir_path=str(tmp_path / name),
+        **kwargs)
+
+
+def test_overlapping_selections_raise(tmp_path):
+    tfep_map = make_map(tmp_path, mapped_atoms=[0, 1, 2],
+                        conditioning_atoms=[2, 3])
+    with pytest.raises(ValueError, match='overlapping'):
+        tfep_map.setup()
+
+
+def test_origin_must_be_conditioning(tmp_path):
+    tfep_map = make_map(tmp_path, mapped_atoms=[0, 1, 2],
+                        conditioning_atoms=[3], origin_atom=0)
+    with pytest.raises(ValueError, match='conditioning'):
+        tfep_map.setup()
+
+
+def test_fixed_axes_atoms_raise(tmp_path):
+    tfep_map = make_map(tmp_path, mapped_atoms=[0, 1],
+                        conditioning_atoms=[2], axes_atoms=[4, 5])
+    with pytest.raises(ValueError, match='axis and plane'):
+        tfep_map.setup()
+
+
+def test_no_mapped_atoms_raise(tmp_path):
+    tfep_map = make_map(tmp_path, conditioning_atoms='all')
+    with pytest.raises(ValueError, match='no atoms to map'):
+        tfep_map.setup()
+
+
+@pytest.mark.parametrize('selections', [
+    dict(),
+    dict(mapped_atoms=[0, 1, 2, 3]),
+    dict(mapped_atoms='resname MOL', conditioning_atoms=[3]),
+    dict(mapped_atoms=[0, 1, 2], conditioning_atoms=[3],
+         origin_atom=3, axes_atoms=[0, 1]),
+])
+def test_cartesian_maf_map_trains(tmp_path, selections):
+    tfep_map = make_map(tmp_path, **selections)
+    trainer = Trainer(save_dir=str(tmp_path / 'ckpt'), max_epochs=2,
+                      shuffle=True)
+    flow = trainer.fit(tfep_map)
+    assert trainer.global_step == 4  # 10 samples / batch 5 * 2 epochs
+
+    # Mapped positions differ from input; fixed atoms don't move.
+    batch = {k: jnp.asarray(v)
+             for k, v in tfep_map.dataset.get_batch([0, 1]).items()}
+    out = tfep_map.forward(batch)
+    assert out['positions'].shape == batch['positions'].shape
+    assert np.all(np.isfinite(np.asarray(out['positions'])))
+    if tfep_map.n_fixed_atoms > 0:
+        from tfep_tpu.utils.misc import atom_to_flattened_indices
+        fixed_dofs = atom_to_flattened_indices(
+            tfep_map._fixed_atom_indices)
+        np.testing.assert_array_equal(
+            np.asarray(out['positions'][:, fixed_dofs]),
+            np.asarray(batch['positions'][:, fixed_dofs]))
+
+    # Logger recorded per-sample potentials for both epochs.
+    logged = tfep_map.tfep_logger.read_train_tensors(epoch_idx=1)
+    assert len(logged['potential']) == N_FRAMES
+    assert set(logged['dataset_sample_index'].tolist()) == set(range(N_FRAMES))
+
+
+def test_crash_resume_invariant(tmp_path):
+    """Union of visited samples across a crash = one epoch, no repeats."""
+    visited = []
+
+    class RecordingMap(CartesianMAFMap):
+        def log_train_tensors(self, aux, epoch_idx, batch_idx):
+            visited.append((epoch_idx,
+                            np.asarray(aux['dataset_sample_index']).tolist()))
+            super().log_train_tensors(aux, epoch_idx, batch_idx)
+
+    def new_map(name):
+        return RecordingMap(
+            potential_energy_func=MockPotential(),
+            temperature=300.0 * ureg.kelvin,
+            system=make_system(),
+            batch_size=5,
+            n_maf_layers=2,
+            tfep_logger_dir_path=str(tmp_path / name))
+
+    ckpt = str(tmp_path / 'ckpt')
+
+    # "Crash" after 3 steps (1.5 epochs at 2 batches/epoch).
+    t1 = Trainer(save_dir=ckpt, max_steps=3, shuffle=True)
+    t1.fit(new_map('logs1'))
+    assert t1.global_step == 3
+
+    # Resume and complete epoch 1 + run epoch 2.
+    t2 = Trainer(save_dir=ckpt, max_steps=6, shuffle=True)
+    t2.fit(new_map('logs1'), resume=True)
+    assert t2.global_step == 6
+
+    # Epoch 1's two halves (pre- and post-crash) partition the dataset.
+    epoch1_batches = [s for e, s in visited if e == 1]
+    assert len(epoch1_batches) == 2
+    all_epoch1 = [i for b in epoch1_batches for i in b]
+    assert sorted(all_epoch1) == list(range(N_FRAMES))
+
+
+def test_checkpoint_restores_parameters(tmp_path):
+    tfep_map = make_map(tmp_path, name='logs_a')
+    trainer = Trainer(save_dir=str(tmp_path / 'ckpt'), max_steps=3,
+                      shuffle=False)
+    flow = trainer.fit(tfep_map)
+
+    tfep_map2 = make_map(tmp_path, name='logs_b')
+    trainer2 = Trainer(save_dir=str(tmp_path / 'ckpt'), max_steps=3,
+                       shuffle=False)
+    tfep_map2.setup()
+    flow2, _ = trainer2._load_checkpoint(
+        tfep_map2.flow, trainer2.optimizer.init(
+            __import__('tfep_tpu.nn.module', fromlist=['partition']
+                       ).partition(tfep_map2.flow)[0]), _DummySampler())
+    l1 = jax.tree_util.tree_leaves(flow)
+    l2 = jax.tree_util.tree_leaves(flow2)
+    assert all(np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(l1, l2))
+
+
+class _DummySampler:
+    def load_state_dict(self, sd):
+        pass
+
+    def state_dict(self):
+        return {}

@@ -1,0 +1,126 @@
+"""Tests for CenteredCentroidFlow, OrientedFlow, PCAWhitenedFlow.
+
+Mirrors the reference property tests: round trips, Jacobian-vs-oracle, and
+the geometric constraints each wrapper enforces (centroid pinned, axis/plane
+points constrained).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tfep_tpu.nn.conditioners.made import generate_degrees
+from tfep_tpu.nn.flows import (
+    MAF, CenteredCentroidFlow, OrientedFlow, PCAWhitenedFlow,
+)
+from tfep_tpu.utils.math import batch_log_abs_det_J
+
+from tests.nn.flows.test_maf import randomize
+
+BATCH = 4
+N_POINTS = 5
+N_DOFS = N_POINTS * 3
+
+
+def make_inner(n_features, key=0):
+    flow = MAF.create(jax.random.key(key), generate_degrees(n_features))
+    return randomize(flow, jax.random.key(key + 100))
+
+
+@pytest.mark.parametrize('weights', [None, [1.0, 2.0, 3.0, 4.0, 5.0]])
+@pytest.mark.parametrize('subset', [None, [0, 2, 4]])
+def test_centered_centroid_flow(weights, subset):
+    n_centroid_points = N_POINTS if subset is None else len(subset)
+    if weights is not None:
+        weights = weights[:n_centroid_points]
+    inner = make_inner(N_DOFS - 3)
+    flow = CenteredCentroidFlow.create(
+        inner, space_dimension=3, n_features=N_DOFS,
+        subset_point_indices=subset, weights=weights)
+
+    x = jax.random.normal(jax.random.key(1), (BATCH, N_DOFS), jnp.float64)
+    y, ldj = flow.forward(x)
+
+    # The weighted centroid of the mapped configuration equals the input's.
+    w = (np.full(n_centroid_points, 1 / n_centroid_points) if weights is None
+         else np.asarray(weights, float) / np.sum(weights))
+    pts = np.asarray(subset) if subset is not None else np.arange(N_POINTS)
+    cent_x = np.einsum('p,bpd->bd', w, np.asarray(x).reshape(BATCH, -1, 3)[:, pts])
+    cent_y = np.einsum('p,bpd->bd', w, np.asarray(y).reshape(BATCH, -1, 3)[:, pts])
+    np.testing.assert_allclose(cent_y, cent_x, atol=1e-8)
+
+    x_back, ldj_inv = flow.inverse(y)
+    np.testing.assert_allclose(np.asarray(x_back), np.asarray(x), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(ldj + ldj_inv), 0.0, atol=1e-8)
+
+
+@pytest.mark.parametrize('axis,plane', [('z', 'xz'), ('x', 'xy'),
+                                        ('y', 'yz')])
+@pytest.mark.parametrize('axis_point_idx,plane_point_idx', [(0, 1), (2, 4)])
+def test_oriented_flow(axis, plane, axis_point_idx, plane_point_idx):
+    # Identity-initialized inner flow so the geometric constraints are
+    # directly observable on the output.
+    inner = MAF.create(jax.random.key(0), generate_degrees(N_DOFS - 3))
+    flow = OrientedFlow.create(
+        inner, n_features=N_DOFS, axis_point_idx=axis_point_idx,
+        plane_point_idx=plane_point_idx, axis=axis, plane=plane,
+        rotate_back=False)
+
+    x = jax.random.normal(jax.random.key(2), (BATCH, N_DOFS), jnp.float64)
+    y, ldj = flow.forward(x)
+    y_atoms = np.asarray(y).reshape(BATCH, -1, 3)
+
+    axis_dim = 'xyz'.index(axis)
+    off_axis = [d for d in range(3) if d != axis_dim]
+    # The axis point lies on the axis: other coordinates are zero.
+    np.testing.assert_allclose(y_atoms[:, axis_point_idx][:, off_axis], 0.0,
+                               atol=1e-8)
+    # The plane point lies on the plane: its normal coordinate is zero.
+    normal_dim = 'xyz'.index([c for c in 'xyz' if c not in plane][0])
+    np.testing.assert_allclose(y_atoms[:, plane_point_idx][:, normal_dim],
+                               0.0, atol=1e-8)
+    # Rotations preserve distances from the origin.
+    np.testing.assert_allclose(
+        np.linalg.norm(y_atoms, axis=-1),
+        np.linalg.norm(np.asarray(x).reshape(BATCH, -1, 3), axis=-1),
+        atol=1e-6)
+
+
+def test_oriented_flow_round_trip_and_jacobian():
+    inner = make_inner(N_DOFS - 3)
+    flow = OrientedFlow.create(inner, n_features=N_DOFS,
+                               axis_point_idx=0, plane_point_idx=1,
+                               axis='z', plane='xz', rotate_back=True)
+    x = jax.random.normal(jax.random.key(3), (BATCH, N_DOFS), jnp.float64)
+    y, ldj = flow.forward(x)
+    x_back, ldj_inv = flow.inverse(y)
+    np.testing.assert_allclose(np.asarray(x_back), np.asarray(x), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(ldj + ldj_inv), 0.0, atol=1e-8)
+
+
+def test_pca_whitened_flow():
+    n_features = 6
+    rng = np.random.default_rng(0)
+    # Correlated data for a non-trivial whitening matrix.
+    a = rng.normal(size=(n_features, n_features))
+    data = rng.normal(size=(500, n_features)) @ a
+
+    inner = make_inner(n_features, key=7)
+    flow = PCAWhitenedFlow.create(inner, data, blacken=True)
+
+    x = jnp.asarray(data[:BATCH])
+    y, ldj = flow.forward(x)
+    x_back, ldj_inv = flow.inverse(y)
+    np.testing.assert_allclose(np.asarray(x_back), np.asarray(x), atol=1e-7)
+
+    oracle = batch_log_abs_det_J(lambda z: flow.forward(z)[0], x)
+    np.testing.assert_allclose(np.asarray(ldj), np.asarray(oracle),
+                               atol=1e-6)
+
+    # Without blackening, the whitening log-det enters the total.
+    flow_nb = PCAWhitenedFlow.create(inner, data, blacken=False)
+    y_nb, ldj_nb = flow_nb.forward(x)
+    oracle_nb = batch_log_abs_det_J(lambda z: flow_nb.forward(z)[0], x)
+    np.testing.assert_allclose(np.asarray(ldj_nb), np.asarray(oracle_nb),
+                               atol=1e-6)

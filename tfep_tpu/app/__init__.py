@@ -1,1 +1,5 @@
 """App layer: trainer and TFEP maps."""
+
+from tfep_tpu.app.trainer import Trainer  # noqa: F401
+from tfep_tpu.app.base import TFEPMapBase  # noqa: F401
+from tfep_tpu.app.cartesianmaf import CartesianMAFMap  # noqa: F401

@@ -238,6 +238,17 @@ class TFEPMapBase:
     def n_nonfixed_atoms(self) -> int:
         return self.n_mapped_atoms + self.n_conditioning_atoms
 
+    @property
+    def n_nonfixed_dofs(self) -> int:
+        """Non-fixed DOFs after removing the reference-frame constrained ones
+        (origin: 3, axes: 3). Reference: app/base.py:348-355."""
+        n = 3 * self.n_nonfixed_atoms
+        if self._origin_atom_idx is not None:
+            n -= 3
+        if self._axes_atoms_indices is not None:
+            n -= 3
+        return n
+
     def get_reference_atoms_indices(self, remove_fixed: bool,
                                     separate_origin_axes: bool = False):
         """Indices of origin+axes atoms, optionally in the fixed-removed frame.

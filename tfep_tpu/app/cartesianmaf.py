@@ -1,0 +1,148 @@
+"""Cartesian MAF map: stacked MAF layers on Cartesian coordinates.
+
+Alternating ascending/descending-degree MAF layers over the non-fixed DOFs,
+optionally in a relative reference frame: an OrientedFlow places the axes
+atoms on the z axis / xz plane and a CenteredCentroidFlow pins the origin
+atom. Reference behaviors: /root/reference/tfep/app/cartesianmaf.py:178-367.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+
+from tfep_tpu.app.base import TFEPMapBase
+from tfep_tpu.nn.conditioners.made import generate_degrees
+from tfep_tpu.nn.flows import (
+    MAF, CenteredCentroidFlow, OrientedFlow, SequentialFlow,
+)
+from tfep_tpu.utils.misc import (
+    atom_to_flattened_indices, remove_and_shift_sorted_indices,
+)
+
+__all__ = ['CartesianMAFMap']
+
+
+class CartesianMAFMap(TFEPMapBase):
+    """TFEP map built from MAF layers acting on Cartesian coordinates."""
+
+    def __init__(self, *args, n_maf_layers: int = 6, flow_kwargs=None,
+                 **kwargs):
+        super().__init__(*args, **kwargs)
+        self.n_maf_layers = int(n_maf_layers)
+        self.flow_kwargs = dict(flow_kwargs or {})
+
+    # ------------------------------------------------------------------ #
+    def determine_atom_indices(self):
+        """Additionally validates that the origin atom is conditioning."""
+        super().determine_atom_indices()
+        if self._origin_atom_idx is not None and (
+                self._conditioning_atom_indices is None
+                or self._origin_atom_idx
+                not in self._conditioning_atom_indices):
+            raise ValueError(
+                'origin_atom is not a conditioning atom. origin_atom affects '
+                'the mapping but its position is constrained.')
+
+    def configure_flow(self):
+        conditioning_indices = self.get_conditioning_indices(
+            idx_type='dof', remove_fixed=True, remove_reference=True)
+
+        # n_nonfixed_dofs already excludes the reference-frame constrained
+        # DOFs (origin xyz + axis-atom xy + plane-atom y), which the
+        # Oriented/CenteredCentroid wrappers remove before the MAF sees them.
+        n_flow_features = self.n_nonfixed_dofs
+        n_total_features = 3 * self.n_nonfixed_atoms
+        origin_atom_idx, axes_atoms_indices = self.get_reference_atoms_indices(
+            remove_fixed=True, separate_origin_axes=True)
+
+        keys = jax.random.split(jax.random.key(self.seed), self.n_maf_layers)
+        maf_layers = []
+        for layer_idx in range(self.n_maf_layers):
+            degrees_in = generate_degrees(
+                n_features=n_flow_features,
+                conditioning_indices=conditioning_indices,
+                order='ascending' if layer_idx % 2 == 0 else 'descending',
+            )
+            maf_layers.append(MAF.create(keys[layer_idx], degrees_in,
+                                         **self.flow_kwargs))
+        flow = SequentialFlow.create(*maf_layers)
+
+        # If the removed origin atom sits before an axes atom, the axes-atom
+        # index shifts down in the origin-removed frame seen by OrientedFlow.
+        if origin_atom_idx is not None and axes_atoms_indices is not None:
+            axes_atoms_indices = np.where(
+                origin_atom_idx < axes_atoms_indices,
+                axes_atoms_indices - 1, axes_atoms_indices)
+
+        if axes_atoms_indices is not None:
+            n_oriented_features = (n_total_features - 3
+                                   if origin_atom_idx is not None
+                                   else n_total_features)
+            flow = OrientedFlow.create(
+                flow, n_features=n_oriented_features,
+                axis_point_idx=int(axes_atoms_indices[0]),
+                plane_point_idx=int(axes_atoms_indices[1]),
+                axis='z', plane='xz')
+
+        if origin_atom_idx is not None:
+            flow = CenteredCentroidFlow.create(
+                flow, space_dimension=3, n_features=n_total_features,
+                subset_point_indices=[int(origin_atom_idx)])
+
+        return flow
+
+    # ------------------------------------------------------------------ #
+    def get_mapped_indices(self, idx_type: str = 'atom',
+                           remove_fixed: bool = True,
+                           remove_reference: bool = False) -> np.ndarray:
+        indices = super().get_mapped_indices(idx_type=idx_type,
+                                             remove_fixed=remove_fixed)
+        if remove_reference:
+            indices = self._remove_reference_indices(
+                indices, idx_type=idx_type, remove_fixed=remove_fixed)
+        return indices
+
+    def get_conditioning_indices(self, idx_type: str = 'atom',
+                                 remove_fixed: bool = True,
+                                 remove_reference: bool = False):
+        indices = super().get_conditioning_indices(idx_type=idx_type,
+                                                   remove_fixed=remove_fixed)
+        if remove_reference and indices is not None:
+            indices = self._remove_reference_indices(
+                indices, idx_type=idx_type, remove_fixed=remove_fixed)
+        return indices
+
+    def _remove_reference_indices(self, indices, idx_type: str,
+                                  remove_fixed: bool):
+        """Shift out the reference-frame constrained atom/DOF indices.
+
+        Mirrors /root/reference/tfep/app/cartesianmaf.py:324-367: the origin
+        atom loses all 3 DOFs, the axis atom its x,y, and the plane atom its
+        y (axis='z', plane='xz').
+        """
+        removed = self.get_reference_atoms_indices(remove_fixed=remove_fixed)
+        if removed is None:
+            return indices
+
+        if idx_type == 'dof':
+            removed_dofs = []
+            has_origin = len(removed) in (1, 3)
+            if has_origin:
+                removed_dofs.append(atom_to_flattened_indices(removed[:1]))
+            has_axes = len(removed) > 1
+            if has_axes:
+                # axes atom 0 on the z axis: x,y constrained.
+                removed_dofs.append(
+                    atom_to_flattened_indices(removed[-2:-1])[:2])
+                # axes atom 1 on the xz plane: y constrained.
+                removed_dofs.append(
+                    atom_to_flattened_indices(removed[-1:])[1:2])
+            removed = np.concatenate(removed_dofs)
+        else:
+            removed = np.asarray(removed).reshape(-1)
+
+        removed = np.sort(removed)
+        return remove_and_shift_sorted_indices(indices, removed)

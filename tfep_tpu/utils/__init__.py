@@ -1,1 +1,1 @@
-from tfep_tpu.utils import misc, math  # noqa: F401
+from tfep_tpu.utils import misc, math, geometry  # noqa: F401
