@@ -1,0 +1,288 @@
+"""Potentials layer tests.
+
+Engine-independent coverage (the reference's approach for gromacs/mimic,
+tests/potentials/test_mimic.py:237-317): the callback bridge gradient
+contract, unit conversions through EnginePotential, g96 writing, CPMD input
+parsing/rewriting, and trajectory-file readers — all with fake hosts/files.
+Real-engine tests are availability-gated.
+"""
+
+import os
+import subprocess
+import textwrap
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tfep_tpu.potentials import EnginePotential, make_callback_potential
+from tfep_tpu.potentials.gromacs import (
+    GmxGrompp, GmxMdrun, _cell_to_box_vectors, _create_g96_file, _read_xvg,
+)
+from tfep_tpu.potentials.mimic import (
+    Cpmd, _parse_cpmd_input, _prepare_cpmd_command, _read_first_energy,
+    _read_first_force,
+)
+from tfep_tpu.units import ureg
+
+BATCH, N_DOFS = 4, 6
+
+
+# =============================================================================
+# Callback bridge
+# =============================================================================
+
+class TestCallbackBridge:
+    def _host(self, x):
+        x = np.asarray(x)
+        return 0.5 * np.sum(x ** 2, axis=-1), -x  # energies, forces
+
+    def test_forward_values(self):
+        pot = make_callback_potential(self._host)
+        x = jax.random.normal(jax.random.key(0), (BATCH, N_DOFS))
+        e = pot(x)
+        np.testing.assert_allclose(np.asarray(e),
+                                   0.5 * np.sum(np.asarray(x) ** 2, axis=-1),
+                                   rtol=1e-6)
+
+    def test_gradient_is_minus_forces(self):
+        pot = make_callback_potential(self._host)
+        x = jax.random.normal(jax.random.key(0), (BATCH, N_DOFS))
+        grad = jax.grad(lambda z: jnp.sum(pot(z)))(x)
+        # d(0.5 x^2)/dx = x = -forces.
+        np.testing.assert_allclose(np.asarray(grad), np.asarray(x),
+                                   rtol=1e-6)
+
+    def test_under_jit(self):
+        pot = make_callback_potential(self._host)
+
+        @jax.jit
+        def loss(x):
+            return jnp.mean(pot(x))
+
+        x = jax.random.normal(jax.random.key(0), (BATCH, N_DOFS))
+        val, grad = jax.value_and_grad(loss)(x)
+        assert np.isfinite(float(val))
+        np.testing.assert_allclose(np.asarray(grad),
+                                   np.asarray(x) / BATCH, rtol=1e-6)
+
+    def test_with_cell(self):
+        def host(x, cell):
+            return (np.sum(np.asarray(x), axis=-1)
+                    + np.sum(np.asarray(cell), axis=-1),
+                    np.ones_like(np.asarray(x)))
+
+        pot = make_callback_potential(host, has_cell=True)
+        x = jnp.ones((BATCH, N_DOFS))
+        cell = 2.0 * jnp.ones((BATCH, 3))
+        e = pot(x, cell)
+        np.testing.assert_allclose(np.asarray(e), N_DOFS + 6.0)
+        grad = jax.grad(lambda z: jnp.sum(pot(z, cell)))(x)
+        np.testing.assert_allclose(np.asarray(grad), -1.0)
+
+
+# =============================================================================
+# EnginePotential unit conversion + NaN policy
+# =============================================================================
+
+class HarmonicEngine(EnginePotential):
+    """Fake engine in eV/angstrom: U = 0.5 k |x|^2 with k = 1 eV/A^2."""
+
+    DEFAULT_ENERGY_UNIT = 'eV'
+    DEFAULT_POSITIONS_UNIT = 'angstrom'
+    ENGINE_ENERGY_UNIT = 'eV'
+    ENGINE_POSITIONS_UNIT = 'angstrom'
+
+    fail_samples: set = set()
+
+    def _compute_batch(self, positions, cell, compute_forces):
+        energies = 0.5 * np.sum(positions ** 2, axis=-1)
+        for i in self.fail_samples:
+            energies[i] = np.nan
+        forces = -positions if compute_forces else None
+        return energies, forces
+
+
+class TestEnginePotential:
+    def test_native_units(self):
+        pot = HarmonicEngine()
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(BATCH, N_DOFS)))
+        e = pot(x)
+        np.testing.assert_allclose(
+            np.asarray(e), 0.5 * np.sum(np.asarray(x) ** 2, axis=-1),
+            rtol=1e-6)
+
+    def test_unit_conversion(self):
+        """Positions in nm, energies in kcal/mol: both conversions apply."""
+        pot = HarmonicEngine(positions_unit=ureg.nanometer,
+                             energy_unit=ureg.kilocalorie_per_mole)
+        x_nm = jnp.full((1, 3), 0.1)          # = 1 angstrom per DOF
+        e = pot(x_nm)
+        # Engine: 0.5 * 3 * (1 A)^2 = 1.5 eV -> kcal/mol.
+        expected = 1.5 * 23.060547830619026   # eV -> kcal/mol
+        np.testing.assert_allclose(np.asarray(e)[0], expected, rtol=1e-6)
+
+        # Gradient chain rule: dE[kcal/mol]/dx[nm].
+        grad = jax.grad(lambda z: jnp.sum(pot(z)))(x_nm)
+        expected_grad = 23.060547830619026 * 10.0  # (eV/A -> kcal/mol/nm)
+        np.testing.assert_allclose(np.asarray(grad)[0], expected_grad,
+                                   rtol=1e-6)
+
+    def test_nan_policy_flows_to_loss(self):
+        from tfep_tpu.loss import boltzmann_kl_div_loss
+        pot = HarmonicEngine()
+        pot.fail_samples = {1}
+        x = jnp.ones((3, N_DOFS))
+        e = pot(x)
+        assert np.isnan(np.asarray(e)[1])
+        loss = boltzmann_kl_div_loss(e, ignore_nan=True)
+        assert np.isfinite(float(loss))
+
+
+# =============================================================================
+# GROMACS file I/O (no gmx needed)
+# =============================================================================
+
+class TestGromacsIO:
+    def test_g96_file(self, tmp_path):
+        positions = np.arange(9, dtype=float).reshape(3, 3) / 10
+        box = np.diag([4.0, 3.0, 2.0])
+        path = _create_g96_file(str(tmp_path), positions, box)
+        content = open(path).read()
+        assert 'POSITIONRED' in content and 'BOX' in content
+        box_line = content.split('BOX\n')[1].splitlines()[0].split()
+        assert [float(x) for x in box_line[:3]] == [4.0, 3.0, 2.0]
+
+    def test_cell_to_box_vectors(self):
+        np.testing.assert_allclose(
+            _cell_to_box_vectors(np.asarray([2.0, 3.0, 4.0])),
+            np.diag([2.0, 3.0, 4.0]))
+        box = _cell_to_box_vectors(np.asarray([2.0, 3, 4, 90, 90, 90]))
+        np.testing.assert_allclose(box, np.diag([2.0, 3, 4]), atol=1e-12)
+
+    def test_read_xvg(self, tmp_path):
+        xvg = tmp_path / 'f.xvg'
+        xvg.write_text('# comment\n@ legend\n0.0 1.0 2.0 3.0\n')
+        np.testing.assert_allclose(_read_xvg(str(xvg)), [0.0, 1.0, 2.0, 3.0])
+
+    def test_grompp_command(self):
+        cmd = GmxGrompp(mdp_input_file_path='sim.mdp', n_max_warnings=2)
+        assert cmd.to_subprocess() == ['gmx', 'grompp', '-f', 'sim.mdp',
+                                       '-maxwarn', '2']
+
+    def test_mdrun_command(self):
+        cmd = GmxMdrun(default_file_name='sim', n_omp_threads_per_mpi_rank=4)
+        assert cmd.to_subprocess() == ['gmx', 'mdrun', '-deffnm', 'sim',
+                                       '-ntomp', '4']
+
+
+# =============================================================================
+# MiMiC / CPMD input handling (no engines needed)
+# =============================================================================
+
+CPMD_INPUT = textwrap.dedent("""\
+    &MIMIC
+    PATHS
+    1
+    /old/path
+    BOX
+    20.0 20.0 20.0
+    OVERLAPS
+    2
+    2 1 1 1
+    2 3 1 2
+    &END
+    &ATOMS
+    *O.pbe
+     LMAX=P
+       1
+     1.0 2.0 3.0
+    *H.pbe
+     LMAX=S
+       1
+     4.0 5.0 6.0
+    &END
+    """)
+
+
+class TestCpmdInput:
+    def test_cpmd_command(self):
+        assert Cpmd('input.in', 'pseudo/').to_subprocess() == \
+            ['cpmd', 'input.in', 'pseudo/']
+
+    def test_parse(self, tmp_path):
+        path = tmp_path / 'cpmd.in'
+        path.write_text(CPMD_INPUT)
+        (lines, paths_idx, box_idx, overlaps, atom_lines) = \
+            _parse_cpmd_input(str(path))
+        assert lines[paths_idx].strip() == '/old/path'
+        assert lines[box_idx].split() == ['20.0', '20.0', '20.0']
+        # OVERLAPS: gromacs 1-based 1->cpmd 1, gromacs 3->cpmd 2.
+        assert overlaps == {0: 0, 2: 1}
+        assert lines[atom_lines[0]].split() == ['1.0', '2.0', '3.0']
+        assert lines[atom_lines[1]].split() == ['4.0', '5.0', '6.0']
+
+    def test_prepare_rewrites(self, tmp_path):
+        path = tmp_path / 'cpmd.in'
+        path.write_text(CPMD_INPUT)
+        cmd = Cpmd(str(path))
+        positions = np.arange(9, dtype=float).reshape(3, 3)
+        box = np.asarray([30.0, 30.0, 30.0])
+        new_cmd, overlaps = _prepare_cpmd_command(
+            cmd, str(tmp_path), positions, box)
+        assert new_cmd.args[0] == 'cpmd.inp'
+        rewritten = (tmp_path / 'cpmd.inp').read_text().splitlines()
+        # Working dir updated.
+        assert str(tmp_path) in '\n'.join(rewritten)
+        # Box rewritten.
+        assert any(l.split() == ['30.0', '30.0', '30.0'] for l in rewritten)
+        # QM atom coordinates rewritten: gromacs atom 0 -> cpmd atom 0,
+        # gromacs atom 2 -> cpmd atom 1.
+        assert any(l.split() == ['0.0', '1.0', '2.0'] for l in rewritten)
+        assert any(l.split() == ['6.0', '7.0', '8.0'] for l in rewritten)
+
+    def test_read_energy_and_force(self, tmp_path):
+        (tmp_path / 'ENERGIES').write_text(
+            '1  0.0  0.0  -17.1234  0.0\n2  0.0  0.0  -17.2  0.0\n')
+        assert _read_first_energy(str(tmp_path)) == -17.1234
+
+        # FTRAJECTORY: step, 3 pos, 3 vel, 3 force.
+        (tmp_path / 'FTRAJECTORY').write_text(
+            '1 0 0 0 0 0 0 0.1 0.2 0.3\n'
+            '1 0 0 0 0 0 0 0.4 0.5 0.6\n'
+            '2 0 0 0 0 0 0 9.0 9.0 9.0\n')
+        force = _read_first_force(str(tmp_path), {0: 1, 1: 0})
+        np.testing.assert_allclose(force,
+                                   [[0.4, 0.5, 0.6], [0.1, 0.2, 0.3]])
+
+
+# =============================================================================
+# Engine-gated tests (skipped when engines are absent).
+# =============================================================================
+
+from tfep_tpu.potentials.ase import ASE_INSTALLED
+from tfep_tpu.potentials.tblite import TBLITE_INSTALLED
+
+
+@pytest.mark.skipif(not ASE_INSTALLED, reason='requires ase')
+def test_ase_potential_lj():
+    from ase.calculators.lj import LennardJones
+    from tfep_tpu.potentials import ASEPotential
+
+    pot = ASEPotential(calculator=LennardJones(), symbols='Ar2')
+    x = jnp.asarray([[0.0, 0, 0, 3.4, 0, 0]])
+    e = pot(x)
+    assert np.isfinite(float(e[0]))
+    grad = jax.grad(lambda z: jnp.sum(pot(z)))(x)
+    assert np.all(np.isfinite(np.asarray(grad)))
+
+
+@pytest.mark.skipif(not TBLITE_INSTALLED, reason='requires tblite')
+def test_tblite_potential_water():
+    from tfep_tpu.potentials import TBLitePotential
+
+    pot = TBLitePotential('GFN2-xTB', numbers=[8, 1, 1])
+    x = jnp.asarray([[0.0, 0, 0, 0, 1.8, 0, 1.7, -0.5, 0]])
+    e = pot(x)
+    assert float(e[0]) < 0

@@ -5,3 +5,4 @@ from tfep_tpu.nn.module import (  # noqa: F401
     Module, static, buffer, partition, combine, filter_value_and_grad,
     apply_updates, n_parameters,
 )
+from tfep_tpu.nn import graph, ode  # noqa: F401

@@ -1,1 +1,1 @@
-"""Dynamics networks for continuous flows."""
+from tfep_tpu.nn.dynamics.egnn import EGNNDynamics  # noqa: F401

@@ -1,0 +1,204 @@
+"""E(n)-equivariant GNN velocity field for continuous normalizing flows.
+
+TPU-native redesign of the reference's sparse message passing
+(/root/reference/tfep/nn/dynamics/egnn.py:28-369): instead of flattening the
+batch into one disconnected graph and gathering over a pruned edge list
+(dynamic shapes), messages are computed densely over all atom pairs
+``(batch, n, n, feat)`` with the radial cutoff applied as a smooth
+Behler-Parrinello envelope times a hard mask. All shapes are static, the
+message/update MLPs become large batched matmuls on the MXU, and no gathers
+or segment-sums are needed. Semantics match the reference: node features
+from one-hot types + Gaussian-embedded time, per-edge message MLP with
+sigmoid attention, tanh-bounded displacement magnitudes along unit
+directions scaled by ``speed_factor``, residual feature updates, velocity =
+(final - initial positions) with the mean removed (translation-invariant,
+center-of-geometry preserving), and zero-velocity identity initialization.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tfep_tpu.nn.embeddings.radial import (
+    BehlerParrinelloRadialExpansion, GaussianBasisExpansion,
+)
+from tfep_tpu.nn.masked import MaskedLinear
+from tfep_tpu.nn.module import Module, buffer, static
+
+__all__ = ['EGNNDynamics']
+
+
+class _MLP(Module):
+    """Small dense MLP with SiLU activations (optionally on the output)."""
+
+    layers: tuple
+    final_activation: str = static(default='none')
+
+    @classmethod
+    def create(cls, key, dims, final_activation='none', bias_last=True,
+               dtype=None):
+        keys = jax.random.split(key, len(dims) - 1)
+        layers = []
+        for i, (d_in, d_out) in enumerate(zip(dims[:-1], dims[1:])):
+            bias = bias_last if i == len(dims) - 2 else True
+            layers.append(MaskedLinear.create(keys[i], d_in, d_out,
+                                              bias=bias, dtype=dtype))
+        return cls(layers=tuple(layers), final_activation=final_activation)
+
+    def __call__(self, x):
+        for layer in self.layers[:-1]:
+            x = jax.nn.silu(layer(x))
+        x = self.layers[-1](x)
+        if self.final_activation == 'silu':
+            x = jax.nn.silu(x)
+        elif self.final_activation == 'tanh':
+            x = jnp.tanh(x)
+        elif self.final_activation == 'sigmoid':
+            x = jax.nn.sigmoid(x)
+        return x
+
+
+class _EGLayer(Module):
+    """One dense equivariant message-passing layer."""
+
+    distance_embedding: BehlerParrinelloRadialExpansion
+    message_mlp: _MLP
+    attention_mlp: _MLP
+    update_x_mlp: _MLP
+    update_h_mlp: _MLP
+    r_cutoff: float = static(default=1.0)
+    speed_factor: float = static(default=1.0)
+
+    @classmethod
+    def create(cls, key, r_cutoff, node_feat_dim, distance_feat_dim,
+               speed_factor, initialize_identity=True, dtype=None):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        layer = cls(
+            distance_embedding=BehlerParrinelloRadialExpansion.from_range(
+                r_cutoff=r_cutoff, n_gaussians=distance_feat_dim,
+                max_mean=r_cutoff, trainable_stds=True),
+            message_mlp=_MLP.create(
+                k1, [2 * node_feat_dim + distance_feat_dim, node_feat_dim,
+                     node_feat_dim], final_activation='silu', dtype=dtype),
+            attention_mlp=_MLP.create(
+                k2, [node_feat_dim, 1], final_activation='sigmoid',
+                dtype=dtype),
+            update_x_mlp=_MLP.create(
+                k3, [node_feat_dim, node_feat_dim, 1],
+                final_activation='tanh', bias_last=False, dtype=dtype),
+            update_h_mlp=_MLP.create(
+                k4, [2 * node_feat_dim, node_feat_dim, node_feat_dim],
+                dtype=dtype),
+            r_cutoff=float(r_cutoff),
+            speed_factor=float(speed_factor),
+        )
+        if initialize_identity:
+            # Zero the last update_x weight -> zero displacements.
+            last = layer.update_x_mlp.layers[-1]
+            layer = layer.replace(update_x_mlp=layer.update_x_mlp.replace(
+                layers=layer.update_x_mlp.layers[:-1]
+                + (last.replace(weight=jnp.zeros_like(last.weight)),)))
+        return layer
+
+    def __call__(self, h, pos):
+        """``h``: (batch, n, feat); ``pos``: (batch, n, 3)."""
+        batch, n, feat = h.shape
+
+        # Dense pairwise geometry: receiver i, sender j.
+        diff = pos[:, :, None, :] - pos[:, None, :, :]   # (b, i, j, 3)
+        dist2 = jnp.sum(diff ** 2, axis=-1)
+        eye = jnp.eye(n, dtype=bool)[None]
+        # Keep self-distances finite and off-graph via the mask.
+        safe_dist = jnp.sqrt(jnp.where(eye, 1.0, dist2) + 1e-20)
+        directions = diff / safe_dist[..., None]
+        mask = (~eye) & (safe_dist <= self.r_cutoff)     # (b, i, j)
+        mask_f = mask.astype(h.dtype)[..., None]
+
+        # Messages: m_ij = MLP([h_i, h_j, embed(d_ij)]) * attention.
+        dist_emb = self.distance_embedding(safe_dist)    # (b, i, j, dfeat)
+        h_i = jnp.broadcast_to(h[:, :, None, :], (batch, n, n, feat))
+        h_j = jnp.broadcast_to(h[:, None, :, :], (batch, n, n, feat))
+        msg_in = jnp.concatenate([h_i, h_j, dist_emb], axis=-1)
+        messages = self.message_mlp(msg_in)
+        messages = messages * self.attention_mlp(messages) * mask_f
+
+        # Residual feature update from aggregated messages.
+        node_messages = jnp.sum(messages, axis=2)        # (b, i, feat)
+        h = h + self.update_h_mlp(
+            jnp.concatenate([h, node_messages], axis=-1))
+
+        # Equivariant position update along unit directions.
+        disp_magnitude = self.update_x_mlp(messages)     # (b, i, j, 1)
+        disp = self.speed_factor * directions * disp_magnitude * mask_f
+        pos = pos + jnp.sum(disp, axis=2)
+
+        return h, pos
+
+
+class EGNNDynamics(Module):
+    """EGNN velocity field ``v = f(t, x)`` for CNFs."""
+
+    node_types_one_hot: jnp.ndarray = buffer(default=None)
+    time_embedding: GaussianBasisExpansion = None
+    h_embedding: MaskedLinear = None
+    graph_layers: tuple = ()
+    n_nodes: int = static(default=0)
+
+    @classmethod
+    def create(cls, key, node_types: Sequence[int], r_cutoff: float,
+               time_feat_dim: int = 16, node_feat_dim: int = 64,
+               distance_feat_dim: int = 64, n_layers: int = 4,
+               speed_factor: float = 1.0, initialize_identity: bool = True,
+               dtype=None) -> 'EGNNDynamics':
+        node_types = np.asarray(node_types)
+        n_types = int(node_types.max()) + 1
+        one_hot = np.eye(n_types)[node_types]
+
+        keys = jax.random.split(key, n_layers + 1)
+        layers = tuple(
+            _EGLayer.create(keys[i], r_cutoff, node_feat_dim,
+                            distance_feat_dim, speed_factor,
+                            initialize_identity, dtype=dtype)
+            for i in range(n_layers))
+        return cls(
+            node_types_one_hot=jnp.asarray(one_hot),
+            time_embedding=GaussianBasisExpansion.from_range(
+                n_gaussians=time_feat_dim, max_mean=1.0,
+                trainable_stds=True),
+            h_embedding=MaskedLinear.create(
+                keys[-1], n_types + time_feat_dim, node_feat_dim,
+                dtype=dtype),
+            graph_layers=layers,
+            n_nodes=len(node_types),
+        )
+
+    def __call__(self, t, x):
+        """``t`` scalar; ``x``: (batch, n_nodes*3) -> velocities, same shape."""
+        batch = x.shape[0]
+        pos = x.reshape(batch, self.n_nodes, 3)
+
+        # Node features: one-hot types ++ Gaussian-embedded time.
+        # For a (1,)-shaped input the expansion yields the (time_feat_dim,)
+        # embedding directly (the trailing axis is treated as the value axis).
+        t_embedded = jnp.reshape(
+            self.time_embedding(jnp.reshape(t, (1,))), (-1,)).astype(x.dtype)
+        h = jnp.concatenate([
+            self.node_types_one_hot.astype(x.dtype),
+            jnp.broadcast_to(t_embedded[None, :],
+                             (self.n_nodes, t_embedded.shape[0])),
+        ], axis=-1)
+        h = self.h_embedding(h)                         # (n, feat)
+        h = jnp.broadcast_to(h[None], (batch, *h.shape))
+
+        for layer in self.graph_layers:
+            h, pos = layer(h, pos)
+
+        vel = pos.reshape(batch, -1) - x
+        # Remove the mean so the center of geometry is preserved.
+        vel_atoms = vel.reshape(batch, self.n_nodes, 3)
+        vel_atoms = vel_atoms - jnp.mean(vel_atoms, axis=1, keepdims=True)
+        return vel_atoms.reshape(batch, -1)

@@ -1,0 +1,115 @@
+"""Fixed-grid ODE integrators for continuous flows.
+
+TPU-first choice: fixed-step solvers rolled with ``lax.scan`` (static step
+count, reverse-differentiable by XLA, optionally rematerialized with
+``jax.checkpoint``), replacing the reference's torchdiffeq adaptive solvers
+(/root/reference/tfep/nn/flows/continuous.py:134-169). Gradients through the
+scan give exact discretize-then-optimize derivatives — no separate adjoint
+integration pass with its associated drift.
+
+Solvers: ``euler``, ``midpoint``, ``rk4``, and ``dopri5`` (the Dormand-
+Prince 5th-order tableau used on a fixed grid).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ['odeint', 'SOLVERS']
+
+# Dormand-Prince 5(4) Butcher tableau (5th-order solution weights).
+_DOPRI5_A = [
+    [],
+    [1 / 5],
+    [3 / 40, 9 / 40],
+    [44 / 45, -56 / 15, 32 / 9],
+    [19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729],
+    [9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656],
+]
+_DOPRI5_B = [35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84]
+_DOPRI5_C = [0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0]
+
+
+def _tree_axpy(a, x, y):
+    """y + a * x over pytrees."""
+    return jax.tree_util.tree_map(lambda xi, yi: yi + a * xi, x, y)
+
+
+def _tree_scale_sum(coeffs, trees, base):
+    out = base
+    for c, tree in zip(coeffs, trees):
+        if c != 0.0:
+            out = _tree_axpy(c, tree, out)
+    return out
+
+
+def _step_euler(func, t, dt, state):
+    return _tree_axpy(dt, func(t, state), state)
+
+
+def _step_midpoint(func, t, dt, state):
+    k1 = func(t, state)
+    k2 = func(t + dt / 2, _tree_axpy(dt / 2, k1, state))
+    return _tree_axpy(dt, k2, state)
+
+
+def _step_rk4(func, t, dt, state):
+    k1 = func(t, state)
+    k2 = func(t + dt / 2, _tree_axpy(dt / 2, k1, state))
+    k3 = func(t + dt / 2, _tree_axpy(dt / 2, k2, state))
+    k4 = func(t + dt, _tree_axpy(dt, k3, state))
+    zero = jax.tree_util.tree_map(jnp.zeros_like, state)
+    incr = _tree_scale_sum([1 / 6, 1 / 3, 1 / 3, 1 / 6], [k1, k2, k3, k4],
+                           zero)
+    return _tree_axpy(dt, incr, state)
+
+
+def _step_dopri5(func, t, dt, state):
+    ks = []
+    for stage in range(6):
+        zero = jax.tree_util.tree_map(jnp.zeros_like, state)
+        incr = _tree_scale_sum(_DOPRI5_A[stage], ks, zero)
+        y_stage = _tree_axpy(dt, incr, state)
+        ks.append(func(t + _DOPRI5_C[stage] * dt, y_stage))
+    zero = jax.tree_util.tree_map(jnp.zeros_like, state)
+    incr = _tree_scale_sum(_DOPRI5_B, ks, zero)
+    return _tree_axpy(dt, incr, state)
+
+
+SOLVERS = {
+    'euler': _step_euler,
+    'midpoint': _step_midpoint,
+    'rk4': _step_rk4,
+    'dopri5': _step_dopri5,
+}
+
+
+def odeint(func: Callable, state0, t0: float, t1: float, n_steps: int = 20,
+           solver: str = 'dopri5', checkpoint: bool = True):
+    """Integrate ``d state/dt = func(t, state)`` from t0 to t1.
+
+    ``state0`` may be any pytree (the CNF integrates positions, trace, and
+    regularization jointly). Returns the final state. ``checkpoint``
+    rematerializes each step under reverse-mode AD, trading FLOPs for
+    activation memory on long integrations.
+    """
+    if solver not in SOLVERS:
+        raise ValueError(
+            f"solver must be one of {sorted(SOLVERS)}, got {solver!r}")
+    step_fn = SOLVERS[solver]
+    dt = (t1 - t0) / n_steps
+
+    def body(state, i):
+        t = t0 + i * dt
+        return step_fn(func, t, dt, state), None
+
+    if checkpoint:
+        body = jax.checkpoint(body)
+
+    ts = jnp.arange(n_steps)
+    final_state, _ = jax.lax.scan(body, state0, ts)
+    return final_state

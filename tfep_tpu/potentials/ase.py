@@ -1,0 +1,78 @@
+"""ASE potential: any ``ase.calculators`` Calculator as a TFEP target.
+
+Engine units eV/angstrom; per-sample tasks deep-copy the template ``Atoms``
+so process pools are safe; 3/6-vector or 3x3 cells supported. Reference
+behaviors: /root/reference/tfep/potentials/ase.py:43-401.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Optional
+
+import numpy as np
+
+from tfep_tpu.potentials.engine import EnginePotential
+
+__all__ = ['ASEPotential']
+
+try:
+    import ase  # noqa: F401
+    ASE_INSTALLED = True
+except ImportError:
+    ASE_INSTALLED = False
+
+
+class ASEPotential(EnginePotential):
+    """Differentiable potential energy via an ASE calculator."""
+
+    DEFAULT_ENERGY_UNIT = 'eV'
+    DEFAULT_POSITIONS_UNIT = 'angstrom'
+    ENGINE_ENERGY_UNIT = 'eV'
+    ENGINE_POSITIONS_UNIT = 'angstrom'
+
+    def __init__(self, calculator, symbols=None, numbers=None, pbc=None,
+                 positions_unit=None, energy_unit=None,
+                 parallelization_strategy=None, precompute_gradient=True,
+                 **atoms_kwargs):
+        """``calculator`` is any ASE Calculator; ``symbols``/``numbers``/
+        ``pbc``/``atoms_kwargs`` initialize the template ``ase.Atoms``."""
+        if not ASE_INSTALLED:
+            raise ImportError(
+                'ASEPotential requires the ase package to be installed.')
+        from ase import Atoms
+
+        super().__init__(positions_unit=positions_unit,
+                         energy_unit=energy_unit,
+                         parallelization_strategy=parallelization_strategy,
+                         precompute_gradient=precompute_gradient)
+        self.atoms = Atoms(symbols=symbols, numbers=numbers, pbc=pbc,
+                           calculator=calculator, **atoms_kwargs)
+
+    def _compute_batch(self, positions: np.ndarray,
+                       cell: Optional[np.ndarray], compute_forces: bool):
+        n_samples = positions.shape[0]
+        task_args = []
+        for i in range(n_samples):
+            sample_cell = None if cell is None else cell[i]
+            task_args.append((self.atoms, positions[i], sample_cell,
+                              compute_forces))
+        results = self.parallelization_strategy.run(_run_ase_task, task_args)
+        energies = np.asarray([r[0] for r in results])
+        forces = (np.stack([r[1] for r in results])
+                  if compute_forces else None)
+        return energies, forces
+
+
+def _run_ase_task(template_atoms, positions, cell, compute_forces):
+    """Single-point ASE evaluation (engine units). Pool-safe via deepcopy."""
+    atoms = copy.deepcopy(template_atoms)
+    atoms.set_positions(positions.reshape(-1, 3))
+    if cell is not None:
+        # 3x3 matrix, 3-vector (orthorhombic), or 6-vector (lengths+angles).
+        atoms.set_cell(np.asarray(cell))
+    energy = atoms.get_potential_energy()
+    if compute_forces:
+        forces = atoms.get_forces().reshape(-1)
+        return energy, forces
+    return energy, None

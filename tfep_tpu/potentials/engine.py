@@ -1,0 +1,122 @@
+"""Engine potential base: host engines as differentiable device functions.
+
+Subclasses implement ``_compute_batch(positions, cell) -> (energies, forces)``
+on the host in *engine* units with numpy inputs; this base handles
+- unit conversion user<->engine (positions in ``positions_unit``, energies
+  out in ``energy_unit``, forces in ``energy_unit/positions_unit``);
+- per-sample fan-out via a ParallelizationStrategy;
+- the ``pure_callback`` + ``custom_vjp`` bridge so the potential can be
+  called inside a jitted training step (backward = ``-forces * g``);
+- ``precompute_gradient`` (compute forces in the same engine evaluation as
+  the energy) and NaN failure policies, mirroring the reference autograd
+  Functions (/root/reference/tfep/potentials/ase.py:168-320).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from tfep_tpu.parallel.strategies import (
+    ParallelizationStrategy, SerialStrategy,
+)
+from tfep_tpu.potentials.base import PotentialBase
+from tfep_tpu.potentials.bridge import make_callback_potential
+from tfep_tpu.units import Quantity, ureg
+
+__all__ = ['EnginePotential']
+
+
+class EnginePotential(PotentialBase):
+    """Base class for external-engine potentials."""
+
+    #: Engine-native units (registry attribute names), set by subclasses.
+    ENGINE_ENERGY_UNIT: str = ''
+    ENGINE_POSITIONS_UNIT: str = ''
+
+    def __init__(self, positions_unit=None, energy_unit=None,
+                 parallelization_strategy: Optional[ParallelizationStrategy] = None,
+                 precompute_gradient: bool = True):
+        super().__init__(positions_unit=positions_unit,
+                         energy_unit=energy_unit)
+        if parallelization_strategy is None:
+            parallelization_strategy = SerialStrategy()
+        self.parallelization_strategy = parallelization_strategy
+        self.precompute_gradient = precompute_gradient
+        self._callback_fns = {}
+
+        # Cache unit-conversion factors (user <-> engine).
+        engine_energy = getattr(ureg, self.ENGINE_ENERGY_UNIT)
+        engine_positions = getattr(ureg, self.ENGINE_POSITIONS_UNIT)
+        self._pos_to_engine = float(
+            Quantity(1.0, self.positions_unit).to(engine_positions).magnitude)
+        self._energy_from_engine = float(
+            Quantity(1.0, engine_energy).to(self.energy_unit).magnitude)
+        # Force conversion: (E_engine / L_engine) -> (energy_unit / positions_unit).
+        self._force_from_engine = self._energy_from_engine * self._pos_to_engine
+
+    # ------------------------------------------------------------------ #
+    # Subclass interface (engine units, numpy).
+    # ------------------------------------------------------------------ #
+    def _compute_batch(self, positions: np.ndarray,
+                       cell: Optional[np.ndarray],
+                       compute_forces: bool):
+        """Compute energies (and forces when requested) for a batch.
+
+        ``positions``: (batch, n_dofs) in ENGINE_POSITIONS_UNIT. Returns
+        ``(energies, forces_or_None)`` in engine units; forces flattened
+        ``(batch, n_dofs)``.
+        """
+        raise NotImplementedError
+
+    # ------------------------------------------------------------------ #
+    # Host entry points in user units.
+    # ------------------------------------------------------------------ #
+    def compute_energies_and_forces(self, positions, cell=None):
+        positions = np.asarray(positions, dtype=np.float64)
+        dtype = positions.dtype
+        engine_positions = positions * self._pos_to_engine
+        engine_cell = (None if cell is None
+                       else np.asarray(cell, np.float64) * self._pos_to_engine)
+        energies, forces = self._compute_batch(
+            engine_positions, engine_cell, compute_forces=True)
+        energies = np.asarray(energies, dtype) * self._energy_from_engine
+        forces = np.asarray(forces, dtype).reshape(positions.shape) \
+            * self._force_from_engine
+        return energies, forces
+
+    def compute_energies(self, positions, cell=None):
+        positions = np.asarray(positions, dtype=np.float64)
+        dtype = positions.dtype
+        engine_positions = positions * self._pos_to_engine
+        engine_cell = (None if cell is None
+                       else np.asarray(cell, np.float64) * self._pos_to_engine)
+        energies, _ = self._compute_batch(
+            engine_positions, engine_cell, compute_forces=False)
+        return np.asarray(energies, dtype) * self._energy_from_engine
+
+    # ------------------------------------------------------------------ #
+    # Device entry point.
+    # ------------------------------------------------------------------ #
+    def __call__(self, batch_positions, batch_cell=None):
+        """Differentiable per-sample energies, usable under jit."""
+        has_cell = batch_cell is not None
+        if has_cell not in self._callback_fns:
+            # Differentiated path: one engine call computing energy+forces
+            # together (the reference's precompute_gradient=True). The
+            # non-differentiated primal path uses the energy-only host call.
+            if has_cell:
+                self._callback_fns[True] = make_callback_potential(
+                    lambda p, c: self.compute_energies_and_forces(p, c),
+                    energy_fn=lambda p, c: self.compute_energies(p, c),
+                    has_cell=True)
+            else:
+                self._callback_fns[False] = make_callback_potential(
+                    lambda p: self.compute_energies_and_forces(p),
+                    energy_fn=lambda p: self.compute_energies(p),
+                    has_cell=False)
+        fn = self._callback_fns[has_cell]
+        if has_cell:
+            return fn(batch_positions, batch_cell)
+        return fn(batch_positions)

@@ -1,0 +1,88 @@
+"""TBLite potential: semi-empirical extended tight-binding (GFN-xTB).
+
+Engine units hartree/bohr; ``return_nan_on_failure`` turns unconverged SCF
+into NaN energies (zero forces), handled downstream by
+``BoltzmannKLDivLoss(ignore_nan=True)``. Note tblite returns *gradients*
+(dE/dx), i.e. negative forces. Reference behaviors:
+/root/reference/tfep/potentials/tblite.py:52-406.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from tfep_tpu.potentials.engine import EnginePotential
+
+__all__ = ['TBLitePotential']
+
+try:
+    import tblite  # noqa: F401
+    TBLITE_INSTALLED = True
+except ImportError:
+    TBLITE_INSTALLED = False
+
+
+class TBLitePotential(EnginePotential):
+    """Differentiable potential energy via tblite (e.g. 'GFN2-xTB')."""
+
+    DEFAULT_ENERGY_UNIT = 'hartree'
+    DEFAULT_POSITIONS_UNIT = 'bohr'
+    ENGINE_ENERGY_UNIT = 'hartree'
+    ENGINE_POSITIONS_UNIT = 'bohr'
+
+    def __init__(self, method: str, numbers,
+                 positions_unit=None, energy_unit=None,
+                 precompute_gradient: bool = True,
+                 parallelization_strategy=None,
+                 verbosity: int = 0,
+                 return_nan_on_failure: bool = False):
+        if not TBLITE_INSTALLED:
+            raise ImportError(
+                'TBLitePotential requires the tblite package to be installed.')
+        super().__init__(positions_unit=positions_unit,
+                         energy_unit=energy_unit,
+                         parallelization_strategy=parallelization_strategy,
+                         precompute_gradient=precompute_gradient)
+        self.method = method
+        self.numbers = np.asarray(numbers)
+        self.verbosity = verbosity
+        self.return_nan_on_failure = return_nan_on_failure
+
+    def _compute_batch(self, positions: np.ndarray,
+                       cell: Optional[np.ndarray], compute_forces: bool):
+        task_args = [
+            (self.method, self.numbers, compute_forces, self.verbosity,
+             self.return_nan_on_failure, positions[i].reshape(-1, 3))
+            for i in range(positions.shape[0])
+        ]
+        results = self.parallelization_strategy.run(
+            _run_single_point, task_args)
+        energies = np.asarray([r[0] for r in results])
+        if compute_forces:
+            # tblite returns gradients; forces = -gradient.
+            forces = -np.stack([r[1].reshape(-1) for r in results])
+            return energies, forces
+        return energies, None
+
+
+def _run_single_point(method, numbers, return_gradients, verbosity,
+                      return_nan_on_failure, positions):
+    """One tblite single point (bohr in, hartree out). Pool-safe task fn."""
+    from tblite.interface import Calculator
+
+    calc = Calculator(method, numbers, positions)
+    calc.set('verbosity', verbosity)
+    try:
+        res = calc.singlepoint()
+    except RuntimeError:
+        if return_nan_on_failure:
+            return (np.nan, np.zeros_like(positions)) if return_gradients \
+                else (np.nan, None)
+        raise
+
+    energy = res.get('energy')
+    if return_gradients:
+        return energy, res.get('gradient')
+    return energy, None
