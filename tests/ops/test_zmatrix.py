@@ -1,0 +1,94 @@
+"""Internal-coordinate transform tests: roundtrip, ranges, log-det oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tfep_tpu.ops.zmatrix import (
+    cartesian_to_internal, internal_to_cartesian,
+)
+
+BATCH = 4
+# 3 Cartesian reference atoms (0, 1, 2) + 4 IC atoms in a chain.
+Z_MATRIX = np.array([
+    [3, 0, 1, 2],
+    [4, 3, 0, 1],
+    [5, 4, 3, 0],
+    [6, 5, 4, 3],
+])
+N_ATOMS = 7
+CARTESIAN = np.array([0, 1, 2])
+
+
+def make_positions(key=0):
+    rng = np.random.default_rng(key)
+    # Start from a roughly linear chain with noise to avoid collinearity.
+    base = np.arange(N_ATOMS)[:, None] * np.array([1.2, 0.3, -0.2])
+    pos = base + 0.4 * rng.normal(size=(BATCH, N_ATOMS, 3))
+    return jnp.asarray(pos)
+
+
+@pytest.mark.parametrize('normalize', [False, True])
+def test_roundtrip(normalize):
+    x = make_positions()
+    bonds, angles, torsions, ldj = cartesian_to_internal(
+        x, Z_MATRIX, normalize_angles=normalize)
+
+    if normalize:
+        assert np.all(np.asarray(angles) >= 0) and \
+            np.all(np.asarray(angles) <= 1)
+        assert np.all(np.asarray(torsions) >= 0) and \
+            np.all(np.asarray(torsions) <= 1)
+
+    # Reconstruct from the Cartesian reference atoms only.
+    positions_init = jnp.zeros_like(x).at[:, CARTESIAN].set(x[:, CARTESIAN])
+    x_rec, ldj_inv = internal_to_cartesian(
+        bonds, angles, torsions, positions_init, Z_MATRIX,
+        normalize_angles=normalize)
+
+    np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ldj + ldj_inv), 0.0, atol=1e-9)
+
+
+def test_log_det_oracle():
+    """log-det of the full (IC DOFs <- cart DOFs) map matches jacfwd+slogdet."""
+    x = make_positions(1)
+    ic_atoms = Z_MATRIX[:, 0]
+
+    def cart_to_ic_flat(x_ic_flat):
+        """Map the IC atoms' cartesian DOFs -> (bonds, angles, torsions)."""
+        x_full = x.at[:, ic_atoms].set(
+            x_ic_flat.reshape(BATCH, len(ic_atoms), 3))
+        bonds, angles, torsions, _ = cartesian_to_internal(
+            x_full, Z_MATRIX, normalize_angles=True)
+        return jnp.concatenate([bonds, angles, torsions], axis=-1)
+
+    x_ic_flat = x[:, ic_atoms].reshape(BATCH, -1)
+
+    def single(xi):
+        x_full = x[:1].at[:, ic_atoms].set(xi.reshape(1, len(ic_atoms), 3))
+        b, a, t, _ = cartesian_to_internal(x_full, Z_MATRIX)
+        return jnp.concatenate([b, a, t], axis=-1)[0]
+
+    # One sample is enough for the Jacobian check (per-sample independence).
+    jac = jax.jacfwd(single)(x_ic_flat[0])
+    oracle_ldj = jnp.linalg.slogdet(jac)[1]
+
+    _, _, _, ldj = cartesian_to_internal(x[:1], Z_MATRIX)
+    np.testing.assert_allclose(float(ldj[0]), float(oracle_ldj), atol=1e-8)
+
+
+def test_gradients_through_reconstruction():
+    x = make_positions(2)
+    bonds, angles, torsions, _ = cartesian_to_internal(x, Z_MATRIX)
+    positions_init = jnp.zeros_like(x).at[:, CARTESIAN].set(x[:, CARTESIAN])
+
+    def loss(b):
+        pos, ldj = internal_to_cartesian(b, angles, torsions,
+                                         positions_init, Z_MATRIX)
+        return jnp.sum(pos ** 2) + jnp.sum(ldj)
+
+    g = jax.grad(loss)(bonds)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert np.any(np.asarray(g) != 0)
