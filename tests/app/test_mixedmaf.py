@@ -1,0 +1,171 @@
+"""MixedMAFMap tests: Z-matrix construction, conversion invertibility,
+end-to-end training (reference: tests/app/test_mixedmaf.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tfep_tpu.app import MixedMAFMap, Trainer
+from tfep_tpu.app.mixedmaf import check_independent, is_collinear
+from tfep_tpu.io.topology import Topology
+from tfep_tpu.io.traj import System
+from tfep_tpu.units import ureg
+from tfep_tpu.utils.math import batch_log_abs_det_J
+
+N_FRAMES = 12
+
+
+class MockPotential:
+    energy_unit = None
+
+    def __call__(self, x, cell=None):
+        return jnp.sum(x, axis=-1)
+
+
+def make_butane_like_system(n_frames=N_FRAMES, seed=0, with_water=False):
+    """A C4H4 chain (one bonded fragment), optionally plus a water."""
+    rng = np.random.default_rng(seed)
+    # C-C backbone along x with H substituents.
+    names = ['C1', 'C2', 'C3', 'C4', 'H1', 'H2', 'H3', 'H4']
+    elements = ['C', 'C', 'C', 'C', 'H', 'H', 'H', 'H']
+    bonds = [(0, 1), (1, 2), (2, 3), (0, 4), (1, 5), (2, 6), (3, 7)]
+    # A strongly bent chain so no angle/dihedral triplet is collinear.
+    base = np.array([
+        [0.0, 0.0, 0.0], [1.5, 0.0, 0.0], [2.25, 1.3, 0.0],
+        [1.5, 2.2, 1.1],
+        [-0.5, -0.7, 0.6], [1.9, -0.6, 0.8], [3.3, 1.4, 0.4],
+        [1.0, 3.0, 0.4],
+    ])
+    resnames = ['MOL'] * 8
+    resids = [1] * 8
+    if with_water:
+        names += ['OW', 'HW1', 'HW2']
+        elements += ['O', 'H', 'H']
+        bonds += [(8, 9), (8, 10)]
+        base = np.concatenate([base, np.array(
+            [[8.0, 8.0, 8.0], [8.8, 8.3, 8.0], [7.5, 8.7, 8.2]])])
+        resnames += ['SOL'] * 3
+        resids += [2] * 3
+
+    positions = base[None] + 0.05 * rng.normal(
+        size=(n_frames, len(names), 3))
+    topology = Topology(names=names, elements=elements, resnames=resnames,
+                        resids=resids, bonds=bonds)
+    return System(topology, positions)
+
+
+def make_map(tmp_path, with_water=False, **kwargs):
+    kwargs.setdefault('n_maf_layers', 2)
+    return MixedMAFMap(
+        potential_energy_func=MockPotential(),
+        temperature=300.0 * ureg.kelvin,
+        system=make_butane_like_system(with_water=with_water),
+        batch_size=6,
+        tfep_logger_dir_path=str(tmp_path / 'logs'),
+        **kwargs)
+
+
+def test_check_independent():
+    check_independent([[3, 0, 1, 2], [4, 3, 0, 1]])  # fine
+    with pytest.raises(RuntimeError, match='not independent'):
+        check_independent([[3, 0, 1, 2], [4, 0, 1, 2], [5, 0, 2, 1]])
+
+
+def test_is_collinear():
+    line = np.array([[[0, 0, 0], [1, 0, 0], [2, 0, 0.001]]], dtype=float)
+    assert is_collinear(line)
+    tri = np.array([[[0, 0, 0], [1, 0, 0], [1, 1, 0]]], dtype=float)
+    assert not is_collinear(tri)
+
+
+def test_z_matrix_construction(tmp_path):
+    tfep_map = make_map(tmp_path)
+    tfep_map.setup()
+    flow = tfep_map.flow
+    # The conversion flow sits at the top (no fixed atoms here).
+    from tfep_tpu.nn.flows import CartesianToMixedFlow
+    assert isinstance(flow, CartesianToMixedFlow)
+    # 8 atoms, one fragment: 3 Cartesian reference + 5 IC atoms.
+    assert flow.n_ic_atoms == 5
+    assert flow.n_cartesian_atoms == 3
+    # Z-matrix rows reference already-placed atoms only.
+    z = np.asarray(flow.z_matrix)
+    placed = set(np.asarray(flow.cartesian_atom_indices).tolist())
+    for row in z:
+        assert set(row[1:]).issubset(placed)
+        placed.add(row[0])
+    # Auto-selected reference atoms are heavy (carbon) atoms.
+    assert tfep_map._origin_atom_idx is not None
+
+
+def test_conversion_round_trip_and_jacobian(tmp_path):
+    tfep_map = make_map(tmp_path)
+    tfep_map.setup()
+    flow = tfep_map.flow
+
+    batch = tfep_map.dataset.get_batch(list(range(4)))
+    x = jnp.asarray(batch['positions'])
+
+    y, ldj = flow.forward(x)
+    # Identity-initialized MAF: mixed-coordinate roundtrip => y ~= x.
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ldj), 0.0, atol=1e-6)
+
+    x_back, ldj_inv = flow.inverse(y)
+    np.testing.assert_allclose(np.asarray(x_back), np.asarray(x), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ldj + ldj_inv), 0.0, atol=1e-6)
+
+
+def test_conversion_jacobian_oracle_after_training(tmp_path):
+    """After a few training steps the flow is non-trivial: check ldj."""
+    tfep_map = make_map(tmp_path)
+    trainer = Trainer(save_dir=None, max_steps=4, shuffle=True)
+    import optax
+    trainer.optimizer = optax.adamw(1e-3)
+    flow = trainer.fit(tfep_map)
+
+    x = jnp.asarray(tfep_map.dataset.get_batch([0, 1])['positions'])
+    y, ldj = flow.forward(x)
+    assert np.any(np.abs(np.asarray(y) - np.asarray(x)) > 1e-6)
+
+    oracle = batch_log_abs_det_J(lambda z: flow.forward(z)[0], x)
+    np.testing.assert_allclose(np.asarray(ldj), np.asarray(oracle),
+                               atol=1e-5)
+
+    x_back, ldj_inv = flow.inverse(y)
+    np.testing.assert_allclose(np.asarray(x_back), np.asarray(x), atol=1e-5)
+
+
+def test_mixedmaf_with_solvent_and_conditioning(tmp_path):
+    """Two fragments: MOL mapped, water conditioning (stays Cartesian)."""
+    tfep_map = make_map(tmp_path, with_water=True,
+                        mapped_atoms='resname MOL',
+                        conditioning_atoms='resname SOL')
+    tfep_map.setup()
+    flow = tfep_map.flow
+    # Water (3 atoms) is conditioning: all Cartesian. MOL: 3 ref + 5 IC.
+    assert flow.n_ic_atoms == 5
+    assert flow.n_cartesian_atoms == 6
+
+    batch = tfep_map.dataset.get_batch([0, 1, 2])
+    x = jnp.asarray(batch['positions'])
+    y, ldj = flow.forward(x)
+    x_back, _ = flow.inverse(y)
+    np.testing.assert_allclose(np.asarray(x_back), np.asarray(x), atol=1e-6)
+
+    # Conditioning atoms are propagated unchanged.
+    cond_dofs = tfep_map.get_conditioning_indices(idx_type='dof',
+                                                  remove_fixed=True)
+    np.testing.assert_allclose(np.asarray(y[:, cond_dofs]),
+                               np.asarray(x[:, cond_dofs]), atol=1e-10)
+
+
+def test_mixedmaf_trains_and_logs(tmp_path):
+    tfep_map = make_map(tmp_path)
+    trainer = Trainer(save_dir=str(tmp_path / 'ckpt'), max_epochs=1,
+                      shuffle=True)
+    trainer.fit(tfep_map)
+    assert trainer.global_step == 2  # 12 frames / batch 6
+    logged = tfep_map.tfep_logger.read_train_tensors(epoch_idx=0)
+    assert len(logged['potential']) == N_FRAMES

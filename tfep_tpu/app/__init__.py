@@ -3,3 +3,4 @@
 from tfep_tpu.app.trainer import Trainer  # noqa: F401
 from tfep_tpu.app.base import TFEPMapBase  # noqa: F401
 from tfep_tpu.app.cartesianmaf import CartesianMAFMap  # noqa: F401
+from tfep_tpu.app.mixedmaf import MixedMAFMap  # noqa: F401

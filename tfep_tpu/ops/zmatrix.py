@@ -92,7 +92,7 @@ def cartesian_to_internal(x_atoms: jnp.ndarray, z_matrix: np.ndarray,
     log_det_J : (batch,)
         log|det| of the (cart -> ic) map restricted to the IC atoms' DOFs.
     """
-    z = jnp.asarray(np.asarray(z_matrix))
+    z = jnp.asarray(z_matrix)
     p_i = x_atoms[:, z[:, 0]]
     p_j = x_atoms[:, z[:, 1]]
     p_k = x_atoms[:, z[:, 2]]
@@ -166,7 +166,7 @@ def internal_to_cartesian(bonds: jnp.ndarray, angles: jnp.ndarray,
     positions : (batch, n_atoms, 3)
     log_det_J : (batch,)
     """
-    z = jnp.asarray(np.asarray(z_matrix))
+    z = jnp.asarray(z_matrix)
     batch = bonds.shape[0]
     dtype = positions_init.dtype
 
