@@ -1,10 +1,11 @@
 """Benchmark: TFEP training throughput (trajectory frames/s/chip).
 
-Times the flagship training step (Cartesian MAF map: flow forward +
-potential + KL loss + grad + AdamW update) on the available accelerator and
-compares against an equivalent PyTorch implementation of the same model/step
-(the reference framework is pure PyTorch, SURVEY §0) run on CPU in this
-image. Prints ONE JSON line:
+Times the flagship training step — a neural-spline MAF stack (the realistic
+TFEP configuration: rational-quadratic splines are what the mixed map uses
+for every internal coordinate) with forward + potential + KL loss + grad +
+AdamW update — on the available accelerator, and compares against an
+equivalent PyTorch implementation of the same model/step on CPU (the
+reference framework is pure PyTorch, SURVEY §0). Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": R}
 """
 
@@ -18,6 +19,7 @@ import numpy as np
 N_ATOMS = 32          # 96 DOFs
 BATCH = 4096
 N_MAF_LAYERS = 6
+N_BINS = 8
 N_TIMED_STEPS = 20
 TORCH_TIMED_STEPS = 3
 
@@ -27,55 +29,66 @@ def bench_jax():
     import jax.numpy as jnp
     import optax
 
+    jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache_tfep_bench')
+    jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    import __graft_entry__ as g
+    from tfep_tpu.nn.conditioners.made import generate_degrees
+    from tfep_tpu.nn.flows import MAF, SequentialFlow
     from tfep_tpu.nn.module import (
         apply_updates, filter_value_and_grad, partition,
     )
+    from tfep_tpu.nn.transformers import NeuralSplineTransformer
 
-    tfep_map = g._build_toy_map(
-        n_atoms=N_ATOMS, n_frames=BATCH, batch_size=BATCH,
-        n_maf_layers=N_MAF_LAYERS)
-    flow = tfep_map.flow
+    dim = N_ATOMS * 3
+    keys = jax.random.split(jax.random.key(0), N_MAF_LAYERS)
+    layers = []
+    for i in range(N_MAF_LAYERS):
+        transformer = NeuralSplineTransformer.create(
+            x0=-3.0 * jnp.ones(dim, jnp.float32),
+            xf=3.0 * jnp.ones(dim, jnp.float32), n_bins=N_BINS)
+        layers.append(MAF.create(
+            keys[i], generate_degrees(
+                dim, order='ascending' if i % 2 == 0 else 'descending'),
+            transformer=transformer, dtype=jnp.float32))
+    flow = SequentialFlow.create(*layers)
+
     optimizer = optax.adamw(1e-4)
     trainable, _ = partition(flow)
     opt_state = optimizer.init(trainable)
-
-    batch = tfep_map.dataset.get_batch(list(range(BATCH)))
-    batch = {k: jnp.asarray(v, dtype=jnp.float32)
-             if np.issubdtype(v.dtype, np.floating) else jnp.asarray(v)
-             for k, v in batch.items()}
-    flow = jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.float32)
-        if hasattr(x, 'dtype') and jnp.issubdtype(x.dtype, jnp.floating)
-        else x, flow)
+    x = jax.random.normal(jax.random.key(1), (BATCH, dim), jnp.float32)
 
     @jax.jit
-    def train_step(flow, opt_state, batch):
-        (loss, aux), grads = filter_value_and_grad(
-            tfep_map.training_step_fn, has_aux=True)(flow, batch)
-        trainable, _ = partition(flow)
-        updates, new_opt_state = optimizer.update(grads, opt_state, trainable)
+    def train_step(flow, opt_state, x):
+        def loss_fn(f):
+            y, ldj = f.forward(x)
+            potential = 0.5 * jnp.sum(y ** 2, axis=-1)
+            return jnp.mean(potential - ldj)
+
+        loss, grads = filter_value_and_grad(loss_fn)(flow)
+        tr, _ = partition(flow)
+        updates, new_opt_state = optimizer.update(grads, opt_state, tr)
         return apply_updates(flow, updates), new_opt_state, loss
 
-    # Warmup/compile.
-    flow, opt_state, loss = train_step(flow, opt_state, batch)
+    flow, opt_state, loss = train_step(flow, opt_state, x)
     jax.block_until_ready(loss)
 
     t0 = time.perf_counter()
     for _ in range(N_TIMED_STEPS):
-        flow, opt_state, loss = train_step(flow, opt_state, batch)
+        flow, opt_state, loss = train_step(flow, opt_state, x)
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
     return BATCH * N_TIMED_STEPS / dt, jax.devices()[0].platform
 
 
 def bench_torch_baseline():
-    """Equivalent affine-MAF training step in PyTorch (CPU), same sizes."""
+    """Equivalent spline-MAF training step in PyTorch (CPU), same sizes."""
     import torch
 
     torch.manual_seed(0)
-    n_dofs = N_ATOMS * 3
+    dim = N_ATOMS * 3
+    n_params_per_feat = 3 * N_BINS + 1
 
     class MaskedLinear(torch.nn.Linear):
         def __init__(self, n_in, n_out, mask):
@@ -86,63 +99,78 @@ def bench_torch_baseline():
             return torch.nn.functional.linear(
                 x, self.weight * self.mask, self.bias)
 
-    class MADE(torch.nn.Module):
-        def __init__(self, degrees_in, degrees_out, width):
-            super().__init__()
-            hidden = torch.as_tensor(
-                np.resize(np.asarray(degrees_in), width))
-            d_in = torch.as_tensor(degrees_in)
-            d_out = torch.as_tensor(degrees_out)
-            self.l1 = MaskedLinear(len(d_in), width,
-                                   (hidden[:, None] >= d_in[None, :]).float())
-            self.l2 = MaskedLinear(width, width,
-                                   (hidden[:, None] >= hidden[None, :]).float())
-            self.l3 = MaskedLinear(width, len(d_out),
-                                   (d_out[:, None] > hidden[None, :]).float())
+    def made(degrees_in, degrees_out, width):
+        hidden = torch.as_tensor(np.resize(np.asarray(degrees_in), width))
+        d_in = torch.as_tensor(np.asarray(degrees_in))
+        d_out = torch.as_tensor(np.asarray(degrees_out))
+        return torch.nn.Sequential(
+            MaskedLinear(len(d_in), width,
+                         (hidden[:, None] >= d_in[None, :]).float()),
+            torch.nn.ELU(),
+            MaskedLinear(width, width,
+                         (hidden[:, None] >= hidden[None, :]).float()),
+            torch.nn.ELU(),
+            MaskedLinear(width, len(d_out),
+                         (d_out[:, None] > hidden[None, :]).float()),
+        )
 
-        def forward(self, x):
-            x = torch.nn.functional.elu(self.l1(x))
-            x = torch.nn.functional.elu(self.l2(x))
-            return self.l3(x)
+    def rq_spline(x, params, x0=-3.0, xf=3.0):
+        """Rational-quadratic spline, torch gather formulation."""
+        batch = x.shape[0]
+        p = params.reshape(batch, n_params_per_feat, dim)
+        widths = torch.softmax(p[:, :N_BINS], dim=1) * (xf - x0)
+        heights = torch.softmax(p[:, N_BINS:2 * N_BINS], dim=1) * (xf - x0)
+        slopes = torch.nn.functional.softplus(
+            p[:, 2 * N_BINS:] + np.log(np.e - 1)) + 1e-4
 
-    class MAFLayer(torch.nn.Module):
-        def __init__(self, n, ascending):
-            super().__init__()
-            d = np.arange(n) if ascending else np.arange(n)[::-1].copy()
-            self.made = MADE(d, np.tile(d, 2), n)
+        knots_x = torch.cumsum(widths, dim=1) + x0
+        knots_x = torch.cat([torch.full_like(knots_x[:, :1], x0), knots_x],
+                            dim=1)
+        knots_y = torch.cumsum(heights, dim=1) + x0
+        knots_y = torch.cat([torch.full_like(knots_y[:, :1], x0), knots_y],
+                            dim=1)
 
-        def forward(self, x):
-            p = self.made(x)
-            shift, log_scale = p.chunk(2, dim=-1)
-            y = x * torch.exp(log_scale) + shift
-            return y, log_scale.sum(dim=-1)
+        xc = x.clamp(x0 + 1e-6, xf - 1e-6)
+        idx = (torch.sum(xc.unsqueeze(1) > knots_x, dim=1) - 1).clamp(
+            0, N_BINS - 1).unsqueeze(1)
+        g = lambda a, i: torch.gather(a, 1, i).squeeze(1)
+        w = g(widths, idx)
+        h = g(heights, idx)
+        kx = g(knots_x, idx)
+        ky = g(knots_y, idx)
+        sk = g(slopes, idx)
+        sk1 = g(slopes, (idx + 1).clamp(max=N_BINS))
+        s = h / w
+        eps = (xc - kx) / w
+        e1 = eps * (1 - eps)
+        num = h * (s * eps ** 2 + sk * e1)
+        den = s + (sk1 + sk - 2 * s) * e1
+        y = ky + num / den
+        dydx = s ** 2 * (sk1 * eps ** 2 + 2 * s * e1
+                         + sk * (1 - eps) ** 2) / den ** 2
+        return y, torch.sum(torch.log(dydx), dim=1)
 
-    class Stack(torch.nn.Module):
-        def __init__(self):
-            super().__init__()
-            self.layers = torch.nn.ModuleList(
-                [MAFLayer(n_dofs, i % 2 == 0) for i in range(N_MAF_LAYERS)])
+    mades = torch.nn.ModuleList()
+    for i in range(N_MAF_LAYERS):
+        d = np.arange(dim) if i % 2 == 0 else np.arange(dim)[::-1].copy()
+        mades.append(made(d, np.tile(d, n_params_per_feat), dim))
 
-        def forward(self, x):
-            ldj = torch.zeros(x.shape[0])
-            for l in self.layers:
-                x, d = l(x)
-                ldj = ldj + d
-            return x, ldj
-
-    model = Stack()
-    opt = torch.optim.AdamW(model.parameters(), lr=1e-4)
-    x = torch.randn(BATCH, n_dofs)
+    opt = torch.optim.AdamW(mades.parameters(), lr=1e-4)
+    x = torch.randn(BATCH, dim)
 
     def step():
         opt.zero_grad()
-        y, ldj = model(x)
-        potential = 0.5 * (y ** 2).sum(dim=-1)
-        loss = (potential - ldj).mean()
+        z = x
+        ldj = torch.zeros(BATCH)
+        for m in mades:
+            params = m(z)
+            z, d = rq_spline(z, params)
+            ldj = ldj + d
+        loss = (0.5 * (z ** 2).sum(dim=1) - ldj).mean()
         loss.backward()
         opt.step()
 
-    step()  # warmup
+    step()
     t0 = time.perf_counter()
     for _ in range(TORCH_TIMED_STEPS):
         step()
@@ -156,11 +184,11 @@ def main():
         baseline = bench_torch_baseline()
         vs_baseline = value / baseline
     except Exception:
-        baseline = None
         vs_baseline = None
     print(json.dumps({
-        'metric': f'trajectory frames/s/chip (affine MAF train step, '
-                  f'{N_ATOMS} atoms, batch {BATCH}, {platform})',
+        'metric': f'trajectory frames/s/chip (neural-spline MAF train step, '
+                  f'{N_ATOMS} atoms, {N_MAF_LAYERS} layers, {N_BINS} bins, '
+                  f'batch {BATCH}, {platform})',
         'value': round(value, 1),
         'unit': 'frames/s',
         'vs_baseline': round(vs_baseline, 2) if vs_baseline else None,

@@ -25,3 +25,9 @@ jax.config.update('jax_platforms', 'cpu')
 # Double precision for tight invertibility/Jacobian tolerances (the reference
 # test suite also forces float64, cf. tests/app/test_maps.py:53-58).
 jax.config.update('jax_enable_x64', True)
+
+# Persistent compilation cache: the suite compiles many parametrized flow
+# variants; caching makes repeat runs dramatically faster.
+jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache_tfep_tests')
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)

@@ -1,0 +1,171 @@
+"""DCD binary trajectory reader (native C++ fast path + Python fallback).
+
+The native decoder (tfep_tpu/native/trajio.cpp) is compiled lazily with the
+system C++ compiler and loaded through ctypes; when no compiler is
+available, a pure-Python struct-based reader handles the same format.
+``read_dcd`` returns a :class:`tfep_tpu.io.traj.System`-compatible payload
+(positions in angstrom, optional unit cells).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import struct
+import subprocess
+import tempfile
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+__all__ = ['read_dcd_header', 'read_dcd', 'native_available']
+
+_NATIVE_LIB = None
+_NATIVE_TRIED = False
+
+
+def _native_lib():
+    """Compile (once) and load the native trajio library; None on failure."""
+    global _NATIVE_LIB, _NATIVE_TRIED
+    if _NATIVE_TRIED:
+        return _NATIVE_LIB
+    _NATIVE_TRIED = True
+
+    src = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'native', 'trajio.cpp')
+    cache_dir = os.path.join(tempfile.gettempdir(), 'tfep_tpu_native')
+    os.makedirs(cache_dir, exist_ok=True)
+    lib_path = os.path.join(cache_dir, '_trajio.so')
+
+    try:
+        if (not os.path.isfile(lib_path)
+                or os.path.getmtime(lib_path) < os.path.getmtime(src)):
+            subprocess.run(
+                ['g++', '-O3', '-shared', '-fPIC', '-o', lib_path, src],
+                check=True, capture_output=True)
+        lib = ctypes.CDLL(lib_path)
+        lib.dcd_read_header.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64)]
+        lib.dcd_read_header.restype = ctypes.c_int
+        lib.dcd_read_frames.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_double)]
+        lib.dcd_read_frames.restype = ctypes.c_int
+        _NATIVE_LIB = lib
+    except (OSError, subprocess.CalledProcessError):
+        _NATIVE_LIB = None
+    return _NATIVE_LIB
+
+
+def native_available() -> bool:
+    return _native_lib() is not None
+
+
+# =============================================================================
+# Pure-Python fallback
+# =============================================================================
+
+def _py_parse_header(f):
+    marker = struct.unpack('<i', f.read(4))[0]
+    if marker != 84:
+        raise ValueError('Not a DCD file (bad header record length).')
+    if f.read(4) != b'CORD':
+        raise ValueError('Not a DCD file (missing CORD magic).')
+    icntrl = struct.unpack('<20i', f.read(80))
+    if struct.unpack('<i', f.read(4))[0] != 84:
+        raise ValueError('Corrupt DCD header.')
+
+    has_cell = icntrl[10] != 0
+    title_len = struct.unpack('<i', f.read(4))[0]
+    f.seek(title_len, os.SEEK_CUR)
+    f.read(4)
+    if struct.unpack('<i', f.read(4))[0] != 4:
+        raise ValueError('Corrupt DCD atom record.')
+    n_atoms = struct.unpack('<i', f.read(4))[0]
+    f.read(4)
+
+    first_offset = f.tell()
+    coord_record = 8 + 4 * n_atoms
+    frame_size = 3 * coord_record + (56 if has_cell else 0)
+    f.seek(0, os.SEEK_END)
+    n_frames = (f.tell() - first_offset) // frame_size
+    if icntrl[0] > 0:
+        n_frames = min(n_frames, icntrl[0])
+    return n_frames, n_atoms, has_cell, first_offset, frame_size
+
+
+def _py_read_frames(path, frame_indices):
+    with open(path, 'rb') as f:
+        n_frames, n_atoms, has_cell, first_offset, frame_size = \
+            _py_parse_header(f)
+        positions = np.empty((len(frame_indices), n_atoms, 3),
+                             dtype=np.float32)
+        cells = (np.empty((len(frame_indices), 6)) if has_cell else None)
+        for i, frame in enumerate(frame_indices):
+            if not 0 <= frame < n_frames:
+                raise IndexError(f'Frame {frame} out of range.')
+            f.seek(first_offset + frame * frame_size)
+            if has_cell:
+                f.read(4)
+                cell = struct.unpack('<6d', f.read(48))
+                f.read(4)
+                # A, gamma, B, beta, alpha, C.
+                cells[i] = [cell[0], cell[2], cell[5],
+                            cell[4], cell[3], cell[1]]
+            for dim in range(3):
+                f.read(4)
+                positions[i, :, dim] = np.frombuffer(
+                    f.read(4 * n_atoms), dtype='<f4')
+                f.read(4)
+    return positions, cells
+
+
+# =============================================================================
+# Public API
+# =============================================================================
+
+def read_dcd_header(path: str) -> Tuple[int, int, bool]:
+    """Return (n_frames, n_atoms, has_cell)."""
+    lib = _native_lib()
+    if lib is not None:
+        out = (ctypes.c_int64 * 3)()
+        status = lib.dcd_read_header(path.encode(), out)
+        if status != 0:
+            raise ValueError(f'Failed to parse DCD header ({status}).')
+        return int(out[0]), int(out[1]), bool(out[2])
+    with open(path, 'rb') as f:
+        n_frames, n_atoms, has_cell, _, _ = _py_parse_header(f)
+    return n_frames, n_atoms, has_cell
+
+
+def read_dcd(path: str, frame_indices: Optional[Sequence[int]] = None
+             ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Read frames from a DCD file.
+
+    Returns ``(positions, cells)``: positions (n_frames, n_atoms, 3)
+    float32 angstrom; cells (n_frames, 6) [lx, ly, lz, alpha, beta, gamma]
+    or None.
+    """
+    n_frames, n_atoms, has_cell = read_dcd_header(path)
+    if frame_indices is None:
+        frame_indices = np.arange(n_frames, dtype=np.int64)
+    else:
+        frame_indices = np.asarray(frame_indices, dtype=np.int64)
+
+    lib = _native_lib()
+    if lib is None:
+        return _py_read_frames(path, frame_indices)
+
+    positions = np.empty((len(frame_indices), n_atoms, 3), dtype=np.float32)
+    cells = np.empty((len(frame_indices), 6)) if has_cell else None
+    status = lib.dcd_read_frames(
+        path.encode(),
+        frame_indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(frame_indices),
+        positions.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        (cells.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+         if cells is not None else None))
+    if status != 0:
+        raise ValueError(f'Failed to read DCD frames ({status}).')
+    return positions, cells

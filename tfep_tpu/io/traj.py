@@ -58,9 +58,22 @@ class System:
     @classmethod
     def from_file(cls, path: str, topology_path: Optional[str] = None
                   ) -> 'System':
-        """Load from a trajectory file (PDB/GRO/XYZ by extension)."""
+        """Load from a trajectory file (PDB/GRO/XYZ/DCD by extension).
+
+        DCD files carry no topology: pass ``topology_path`` (PDB/GRO) for
+        the atom attributes; the binary frames are decoded by the native
+        C++ reader (:mod:`tfep_tpu.io.dcd`).
+        """
         readers = {'.pdb': read_pdb, '.gro': read_gro, '.xyz': read_xyz}
         ext = os.path.splitext(path)[1].lower()
+        if ext == '.dcd':
+            if topology_path is None:
+                raise ValueError(
+                    'DCD trajectories require a topology_path (PDB/GRO).')
+            from tfep_tpu.io.dcd import read_dcd
+            template = cls.from_file(topology_path)
+            positions, cells = read_dcd(path)
+            return cls(template.topology, positions, cells)
         if ext not in readers:
             raise ValueError(f'Unsupported trajectory format: {ext}')
         return readers[ext](path)

@@ -224,17 +224,26 @@ def _assign_bins(x, x0, y0, widths, heights, slopes, inverse):
     knots = knots_y if inverse else knots_x
     bin_indices = jnp.sum(x[:, None, :] > knots, axis=1) - 1
     bin_indices = jnp.clip(bin_indices, 0, n_bins + 1)
-    idx = bin_indices[:, None, :]
+
+    # TPU-friendly bin select: a one-hot multiply-reduce over the small
+    # (K+2) knot axis instead of take_along_axis gathers. The select fuses
+    # into the surrounding elementwise work on the VPU and its backward is
+    # a plain multiply (no scatter), which is where the gather formulation
+    # loses two orders of magnitude on TPU.
+    n_select = n_bins + 2
+    iota = jax.lax.broadcasted_iota(bin_indices.dtype,
+                                    (1, n_select, 1), 1)
+    onehot = (bin_indices[:, None, :] == iota).astype(x.dtype)
 
     def take(arr):
-        return jnp.take_along_axis(arr, idx, axis=1)[:, 0]
+        return jnp.sum(onehot * arr[:, :n_select], axis=1)
 
     widths_b_f = take(widths)
     heights_b_f = take(heights)
     lower_knot_x_b_f = take(knots_x)
     lower_knot_y_b_f = take(knots_y)
     slopes_k_b_f = take(slopes)
-    slopes_k1_b_f = jnp.take_along_axis(slopes, idx + 1, axis=1)[:, 0]
+    slopes_k1_b_f = jnp.sum(onehot * slopes[:, 1:n_select + 1], axis=1)
     s_b_f = heights_b_f / widths_b_f
 
     return (widths_b_f, heights_b_f, lower_knot_x_b_f, lower_knot_y_b_f,
