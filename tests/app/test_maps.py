@@ -179,3 +179,22 @@ class _DummySampler:
 
     def state_dict(self):
         return {}
+
+
+def test_run_evaluation(tmp_path):
+    tfep_map = make_map(tmp_path, name='logs_eval')
+    trainer = Trainer(save_dir=None, max_steps=2, shuffle=False)
+    trainer.fit(tfep_map)
+
+    tensors = tfep_map.run_evaluation(step_idx=trainer.global_step,
+                                      batch_size=4)  # 10 % 4 != 0: pad path
+    assert len(tensors['potential']) == N_FRAMES
+    assert sorted(tensors['dataset_sample_index'].tolist()) == \
+        list(range(N_FRAMES))
+
+    # Read back through the logger's eval channel.
+    logged = tfep_map.tfep_logger.read_eval_tensors(
+        step_idx=trainer.global_step, sort_by='dataset_sample_index')
+    np.testing.assert_array_equal(logged['dataset_sample_index'],
+                                  np.arange(N_FRAMES))
+    assert np.all(np.isfinite(logged['log_det_J']))

@@ -98,6 +98,31 @@ def test_oriented_flow_round_trip_and_jacobian():
     np.testing.assert_allclose(np.asarray(x_back), np.asarray(x), atol=1e-7)
     np.testing.assert_allclose(np.asarray(ldj + ldj_inv), 0.0, atol=1e-8)
 
+    # The full R^(3N) map's log-det must match the autograd oracle even
+    # though the wrapped flow changes the radial frame DOFs — this requires
+    # the frame volume-element terms the reference omits.
+    oracle = batch_log_abs_det_J(lambda z: flow.forward(z)[0], x)
+    np.testing.assert_allclose(np.asarray(ldj), np.asarray(oracle),
+                               atol=1e-8)
+
+
+def test_centroid_oriented_composition_jacobian():
+    """Centroid(Oriented(MAF)) — the CartesianMAFMap wrapper stack."""
+    inner = make_inner(N_DOFS - 6, key=11)
+    oriented = OrientedFlow.create(inner, n_features=N_DOFS - 3,
+                                   axis_point_idx=0, plane_point_idx=1,
+                                   axis='z', plane='xz')
+    flow = CenteredCentroidFlow.create(
+        oriented, space_dimension=3, n_features=N_DOFS,
+        subset_point_indices=[2])
+    x = jax.random.normal(jax.random.key(12), (BATCH, N_DOFS), jnp.float64)
+    y, ldj = flow.forward(x)
+    oracle = batch_log_abs_det_J(lambda z: flow.forward(z)[0], x)
+    np.testing.assert_allclose(np.asarray(ldj), np.asarray(oracle),
+                               atol=1e-8)
+    x_back, _ = flow.inverse(y)
+    np.testing.assert_allclose(np.asarray(x_back), np.asarray(x), atol=1e-7)
+
 
 def test_pca_whitened_flow():
     n_features = 6

@@ -383,3 +383,50 @@ class TFEPMapBase:
                    if np.ndim(v) == 1}
         logger.save_train_tensors(tensors, epoch_idx=epoch_idx,
                                   batch_idx=batch_idx)
+
+    # ------------------------------------------------------------------ #
+    # Evaluation (reference: per-step eval tensors, app/base.py + io/log.py
+    # eval channel) — run the current flow over the dataset without
+    # training and store per-sample potentials/log_det_J for the estimator.
+    # ------------------------------------------------------------------ #
+    def run_evaluation(self, step_idx: int, batch_size: Optional[int] = None,
+                       flow=None) -> Dict[str, np.ndarray]:
+        """Evaluate the map over the full dataset and log eval tensors.
+
+        Stores (and returns) per-sample ``potential`` and ``log_det_J``
+        under ``eval/step-{step_idx}.npz`` — the work values of the flow
+        as trained for ``step_idx`` optimization steps.
+        """
+        import jax
+
+        if flow is None:
+            flow = self.flow
+        if batch_size is None:
+            batch_size = self.batch_size
+
+        eval_fn = jax.jit(
+            lambda f, batch: self.training_step_fn(f, batch)[1])
+
+        logger = self.tfep_logger
+        collected: Dict[str, list] = {}
+        n = len(self.dataset)
+        for start in range(0, n, batch_size):
+            indices = list(range(start, min(start + batch_size, n)))
+            batch = self.dataset.get_batch(indices)
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            if len(indices) < batch_size:
+                # Pad to the compiled batch shape; drop the padding after.
+                pad = batch_size - len(indices)
+                batch = {k: jnp.concatenate(
+                    [v, jnp.repeat(v[-1:], pad, axis=0)]) for k, v in
+                    batch.items()}
+            aux = eval_fn(flow, batch)
+            for key in ('potential', 'log_det_J', 'dataset_sample_index',
+                        'trajectory_sample_index'):
+                values = np.asarray(aux[key])[:len(indices)]
+                collected.setdefault(key, []).append(values)
+
+        tensors = {k: np.concatenate(v) for k, v in collected.items()}
+        if logger is not None:
+            logger.save_eval_tensors(tensors, step_idx=step_idx)
+        return tensors

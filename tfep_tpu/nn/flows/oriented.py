@@ -30,6 +30,8 @@ class OrientedFlow(PartialFlow):
     plane_normal_vec: jnp.ndarray = buffer(default=None)  # (3,)
     axis_point_idx: int = static(default=0)
     plane_point_idx: int = static(default=1)
+    axis_dim: int = static(default=0)
+    plane_axis_dim: int = static(default=1)
     round_off_imprecisions: bool = static(default=True)
     rotate_back: bool = static(default=True)
 
@@ -86,6 +88,8 @@ class OrientedFlow(PartialFlow):
             plane_normal_vec=jnp.asarray(plane_normal_vector),
             axis_point_idx=int(axis_point_idx),
             plane_point_idx=int(plane_point_idx),
+            axis_dim=int(np.argmax(np.abs(axis_vector))),
+            plane_axis_dim=int(np.argmax(np.abs(plane_axis_vector))),
             round_off_imprecisions=round_off_imprecisions,
             rotate_back=rotate_back,
         )
@@ -101,6 +105,23 @@ class OrientedFlow(PartialFlow):
                 "'rotate_back' is set to True during both the forward and "
                 'inverse transformations.')
         return self._transform(y, inverse=True)
+
+    def _frame_log_weight(self, flat):
+        """log of the frame volume element at a constrained configuration.
+
+        With the frame fixed, the axis point's 3 coordinates reduce to one
+        signed radial coordinate (its 2 angles parametrize the global
+        rotation applied to every atom: weight r^2), and the plane point's
+        to 2 in-plane coordinates (its azimuth about the axis is the third
+        rotation angle: weight = |off-axis component|). When the wrapped
+        flow changes these radial DOFs the weights do not cancel between
+        the rotate/rotate-back, and omitting them (as the reference does,
+        /root/reference/tfep/nn/flows/oriented.py:182-225) biases the
+        log-det by exactly the frame-weight ratio.
+        """
+        a = flat[:, 3 * self.axis_point_idx + self.axis_dim]
+        p = flat[:, 3 * self.plane_point_idx + self.plane_axis_dim]
+        return 2.0 * jnp.log(jnp.abs(a)) + jnp.log(jnp.abs(p))
 
     def _transform(self, x, inverse: bool):
         batch = x.shape[0]
@@ -129,6 +150,10 @@ class OrientedFlow(PartialFlow):
         y, log_det_J = out[0], out[1]
 
         if self.rotate_back:
+            # Exact frame volume element (cancels when the wrapped flow
+            # leaves the radial frame DOFs unchanged).
+            log_det_J = (log_det_J - self._frame_log_weight(x_flat)
+                         + self._frame_log_weight(y))
             y_atoms = y.reshape(batch, -1, 3)
             y_atoms = batchwise_rotate(y_atoms, rotation_matrices,
                                        inverse=True)
