@@ -286,3 +286,23 @@ def test_tblite_potential_water():
     x = jnp.asarray([[0.0, 0, 0, 0, 1.8, 0, 1.7, -0.5, 0]])
     e = pot(x)
     assert float(e[0]) < 0
+
+
+class TestForceMatching:
+    def test_forces_values_and_hessian(self):
+        """forces() is differentiable: grad gives FD vector-Hessian products."""
+        pot = HarmonicEngine()
+        x = jnp.asarray(np.random.default_rng(3).normal(size=(2, N_DOFS)))
+        f = pot.forces(x)
+        np.testing.assert_allclose(np.asarray(f), -np.asarray(x), rtol=1e-6)
+
+        # Force-matching loss: L = 0.5 |F(x) - F_target|^2.
+        f_target = jnp.zeros_like(x)
+
+        def loss(z):
+            return 0.5 * jnp.sum((pot.forces(z) - f_target) ** 2)
+
+        grad = jax.grad(loss)(x)
+        # Analytic: dL/dx = (F - F_t)^T dF/dx = (-x)^T (-I) = x.
+        np.testing.assert_allclose(np.asarray(grad), np.asarray(x),
+                                   rtol=1e-5, atol=1e-7)

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ['make_callback_potential']
+__all__ = ['make_callback_potential', 'make_callback_forces']
 
 
 def make_callback_potential(
@@ -105,3 +105,69 @@ def make_callback_potential(
 
     potential.defvjp(fwd, bwd)
     return potential
+
+
+def make_callback_forces(
+        energy_and_forces_fn: Callable,
+        has_cell: bool = False,
+        fd_step: float = 1e-4,
+        vmap_method: str = 'sequential',
+) -> Callable:
+    """Differentiable engine *forces* for force-matching losses.
+
+    Returns ``forces(batch_positions[, batch_cell]) -> (batch, n_dofs)``.
+    The backward pass computes the vector-Hessian product by central finite
+    differences of the engine forces along the (per-sample) cotangent
+    direction — two extra engine evaluations — exploiting the symmetry of
+    the Hessian (``v^T dF/dx = dF/dx v``). This is the JAX equivalent of the
+    reference's double-backpropagation Function
+    (/root/reference/tfep/potentials/psi4.py:641-766).
+    """
+
+    def _host_forces(*args):
+        return np.asarray(energy_and_forces_fn(*args)[1])
+
+    def _forces_cb(x, *rest):
+        shape = jax.ShapeDtypeStruct(x.shape, x.dtype)
+        return jax.pure_callback(_host_forces, shape, x, *rest,
+                                 vmap_method=vmap_method)
+
+    if has_cell:
+        @jax.custom_vjp
+        def forces(x, cell):
+            return _forces_cb(x, cell)
+
+        def fwd(x, cell):
+            return _forces_cb(x, cell), (x, cell)
+
+        def bwd(res, g):
+            x, cell = res
+            norm = jnp.linalg.norm(g, axis=-1, keepdims=True)
+            safe = jnp.where(norm > 0, norm, 1.0)
+            direction = g / safe
+            f_plus = _forces_cb(x + fd_step * direction, cell)
+            f_minus = _forces_cb(x - fd_step * direction, cell)
+            vhp = (f_plus - f_minus) / (2.0 * fd_step) * norm
+            return (vhp, None)
+
+        forces.defvjp(fwd, bwd)
+        return forces
+
+    @jax.custom_vjp
+    def forces(x):
+        return _forces_cb(x)
+
+    def fwd(x):
+        return _forces_cb(x), x
+
+    def bwd(x, g):
+        norm = jnp.linalg.norm(g, axis=-1, keepdims=True)
+        safe = jnp.where(norm > 0, norm, 1.0)
+        direction = g / safe
+        f_plus = _forces_cb(x + fd_step * direction)
+        f_minus = _forces_cb(x - fd_step * direction)
+        vhp = (f_plus - f_minus) / (2.0 * fd_step) * norm
+        return (vhp,)
+
+    forces.defvjp(fwd, bwd)
+    return forces

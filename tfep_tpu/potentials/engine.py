@@ -120,3 +120,32 @@ class EnginePotential(PotentialBase):
         if has_cell:
             return fn(batch_positions, batch_cell)
         return fn(batch_positions)
+
+    #: Finite-difference step for force-matching vector-Hessian products.
+    fd_step: float = 1e-4
+
+    def forces(self, batch_positions, batch_cell=None):
+        """Differentiable per-sample forces (energy_unit/positions_unit).
+
+        Differentiating through this (e.g. a force-matching loss) computes
+        vector-Hessian products by finite differences of the engine forces —
+        see :func:`tfep_tpu.potentials.bridge.make_callback_forces`.
+        """
+        from tfep_tpu.potentials.bridge import make_callback_forces
+
+        has_cell = batch_cell is not None
+        key = ('forces', has_cell)
+        if key not in self._callback_fns:
+            if has_cell:
+                self._callback_fns[key] = make_callback_forces(
+                    lambda p, c: self.compute_energies_and_forces(p, c),
+                    has_cell=True, fd_step=self.fd_step)
+            else:
+                self._callback_fns[key] = make_callback_forces(
+                    lambda p: self.compute_energies_and_forces(p),
+                    has_cell=False, fd_step=self.fd_step)
+        fn = self._callback_fns[key]
+        if has_cell:
+            return fn(batch_positions, batch_cell)
+        return fn(batch_positions)
+
