@@ -45,6 +45,7 @@ class NeuralSplineTransformer(MAFTransformer):
     learn_upper_bound: bool = static(default=False)
     min_bin_size: float = static(default=1e-4)
     min_slope: float = static(default=1e-4)
+    fused: str = static(default='auto')   # 'auto' | 'always' | 'never'
 
     @classmethod
     def create(cls, x0, xf, n_bins: int, y0=None, yf=None,
@@ -53,7 +54,8 @@ class NeuralSplineTransformer(MAFTransformer):
                learn_lower_bound: bool = False,
                learn_upper_bound: bool = False,
                min_bin_size: float = 1e-4,
-               min_slope: float = 1e-4) -> 'NeuralSplineTransformer':
+               min_slope: float = 1e-4,
+               fused: str = 'auto') -> 'NeuralSplineTransformer':
         x0 = jnp.asarray(x0)
         xf = jnp.asarray(xf)
         y0 = x0 if y0 is None else jnp.asarray(y0)
@@ -76,7 +78,7 @@ class NeuralSplineTransformer(MAFTransformer):
                    learn_lower_bound=learn_lower_bound,
                    learn_upper_bound=learn_upper_bound,
                    min_bin_size=float(min_bin_size),
-                   min_slope=float(min_slope))
+                   min_slope=float(min_slope), fused=fused)
 
     @property
     def n_parameters_per_feature(self) -> int:
@@ -90,11 +92,34 @@ class NeuralSplineTransformer(MAFTransformer):
         return n
 
     # ------------------------------------------------------------------ #
+    @property
+    def _fused_applicable(self) -> bool:
+        """Whether the Pallas fused kernel handles this configuration.
+
+        Opt-in (``fused='always'``): on current hardware the XLA one-hot +
+        remat formulation measured *faster* than the hand-fused kernel
+        (1.18 vs 1.50 ms/layer fwd+bwd at batch 4096x96), so the kernel is
+        kept as a verified alternative rather than the default.
+        """
+        return (self.fused == 'always'
+                and not self.circular
+                and not self.identity_boundary_slopes
+                and not self.learn_lower_bound
+                and not self.learn_upper_bound)
+
     def forward(self, x, parameters):
-        # Rematerialized under reverse-mode AD: the spline's (batch, K,
-        # n_features) intermediates are recomputed in the backward pass
-        # instead of saved, cutting the training step's HBM traffic (~45%
-        # step throughput on TPU at production batch sizes).
+        if self._fused_applicable:
+            # Hand-fused Pallas kernel: no (batch, K, n_features)
+            # intermediates touch HBM in either pass.
+            from tfep_tpu.ops.pallas.spline import fused_spline
+            y, dl = fused_spline(x, parameters, self.x0, self.xf,
+                                 self.y0, self.yf, self.n_bins,
+                                 self.min_bin_size, self.min_slope)
+            return y, jnp.sum(dl, axis=-1)
+        # XLA path, rematerialized under reverse-mode AD: the spline's
+        # (batch, K, n_features) intermediates are recomputed in the
+        # backward pass instead of saved, cutting HBM traffic (~45% step
+        # throughput on TPU at production batch sizes).
         return jax.checkpoint(self._forward_impl)(x, parameters)
 
     def _forward_impl(self, x, parameters):
