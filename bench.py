@@ -59,7 +59,9 @@ def bench_jax():
     opt_state = optimizer.init(trainable)
     x = jax.random.normal(jax.random.key(1), (BATCH, dim), jnp.float32)
 
-    @jax.jit
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(flow, opt_state, x):
         def loss_fn(f):
             y, ldj = f.forward(x)

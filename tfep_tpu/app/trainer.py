@@ -14,6 +14,7 @@ visits exactly the unseen batches.
 
 from __future__ import annotations
 
+import functools
 import os
 import pickle
 from typing import Any, Callable, Dict, Optional
@@ -156,7 +157,9 @@ class Trainer:
         def loss_fn(flow, batch):
             return tfep_map.training_step_fn(flow, batch)
 
-        @jax.jit
+        # Donating the parameter/optimizer buffers lets XLA update them
+        # in place instead of allocating fresh arrays every step.
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
         def step(flow, opt_state, batch):
             (loss, aux), grads = filter_value_and_grad(
                 loss_fn, has_aux=True)(flow, batch)
