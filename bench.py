@@ -52,7 +52,8 @@ def bench_jax():
             keys[i], generate_degrees(
                 dim, order='ascending' if i % 2 == 0 else 'descending'),
             transformer=transformer, dtype=jnp.float32))
-    flow = SequentialFlow.create(*layers)
+    from tfep_tpu.app.trainer import _dealias
+    flow = _dealias(SequentialFlow.create(*layers))
 
     optimizer = optax.adamw(1e-4)
     trainable, _ = partition(flow)

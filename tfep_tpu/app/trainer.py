@@ -103,7 +103,10 @@ class Trainer:
             shuffle=self.shuffle, drop_last=self.drop_last, trainer=self)
         n_batches = len(sampler)
 
-        flow = tfep_map.flow
+        # Modules may share arrays between leaves (e.g. one transformer
+        # reused across MAF layers); buffer donation requires each donated
+        # buffer to appear once, so duplicate leaves are copied here.
+        flow = _dealias(tfep_map.flow)
         trainable, _ = partition(flow)
         opt_state = self.optimizer.init(trainable)
 
@@ -111,6 +114,9 @@ class Trainer:
             flow, opt_state = self._load_checkpoint(flow, opt_state, sampler)
 
         step_fn = self._build_step_fn(tfep_map)
+
+        can_log = hasattr(tfep_map, 'log_train_tensors')
+        pending_log = None  # (aux, epoch_idx, batch_idx) of the prior step.
 
         stop = False
         while not stop:
@@ -127,10 +133,15 @@ class Trainer:
 
                 flow, opt_state, loss, aux = step_fn(flow, opt_state, batch)
 
-                # Per-sample TFEP logging (host side).
-                if hasattr(tfep_map, 'log_train_tensors'):
-                    tfep_map.log_train_tensors(
-                        aux, epoch_idx=epoch_idx, batch_idx=batch_idx)
+                # Per-sample TFEP logging, deferred by one step: the host
+                # materializes the *previous* step's aux while the device
+                # runs the current one (jax dispatch is asynchronous).
+                if can_log:
+                    if pending_log is not None:
+                        tfep_map.log_train_tensors(
+                            pending_log[0], epoch_idx=pending_log[1],
+                            batch_idx=pending_log[2])
+                    pending_log = (aux, epoch_idx, batch_idx)
 
                 self.global_step += 1
 
@@ -146,6 +157,11 @@ class Trainer:
                 self.current_epoch += 1
                 continue
             break
+
+        if can_log and pending_log is not None:
+            tfep_map.log_train_tensors(pending_log[0],
+                                       epoch_idx=pending_log[1],
+                                       batch_idx=pending_log[2])
 
         tfep_map.flow = flow
         return flow
@@ -206,3 +222,17 @@ class Trainer:
         self.current_epoch = state['current_epoch']
         sampler.load_state_dict(state['sampler_state'])
         return new_flow, new_opt_state
+
+
+def _dealias(tree):
+    """Copy duplicate array leaves so every buffer in the pytree is unique."""
+    seen = set()
+
+    def fix(leaf):
+        if isinstance(leaf, jax.Array):
+            if id(leaf) in seen:
+                return jnp.array(leaf, copy=True)
+            seen.add(id(leaf))
+        return leaf
+
+    return jax.tree_util.tree_map(fix, tree)
