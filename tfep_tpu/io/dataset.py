@@ -15,7 +15,8 @@ from typing import Dict, List, Sequence
 
 import numpy as np
 
-__all__ = ['Dataset', 'DictDataset', 'MergedDataset', 'Subset']
+__all__ = ['Dataset', 'DictDataset', 'MergedDataset', 'Subset',
+           'TrajectorySubset']
 
 
 class Dataset:
@@ -117,3 +118,7 @@ class Subset(Dataset):
 
     def get_batch(self, indices):
         return self._dataset.get_batch(self._indices[np.asarray(indices)])
+
+
+#: Reference-API alias (the reference names this TrajectorySubset).
+TrajectorySubset = Subset

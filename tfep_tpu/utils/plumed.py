@@ -24,7 +24,7 @@ from tfep_tpu.units import Quantity, ureg
 __all__ = [
     'read_table_field_names', 'read_table_n_rows', 'read_table',
     'write_table', 'add_plumed_aux_to_dataset', 'PlumedSumHills',
-    'run_plumed_sum_hills', 'check_plumed_is_installed',
+    'run_plumed_sum_hills', 'check_plumed_is_installed', 'plot_trajectory',
 ]
 
 
@@ -168,3 +168,43 @@ def run_plumed_sum_hills(hills_file_path: str, out_file_path: str,
     cmd = PlumedSumHills(hills_file_path=hills_file_path,
                          out_file_path=out_file_path, **kwargs)
     return launcher.run(cmd, check=True)
+
+
+# =============================================================================
+# Plotting (optional; requires matplotlib)
+# =============================================================================
+
+def plot_trajectory(data, col_names=None, time_unit=None, stride: int = 1,
+                    axes=None, plot_kwargs: Optional[Dict] = None):
+    """Plot PLUMED table columns against time.
+
+    ``data`` is a column dict as returned by :func:`read_table` (must
+    include a ``'time'`` column, in femtoseconds as PLUMED writes it);
+    ``time_unit`` optionally converts the time axis (e.g. ``'ps'``).
+    Reference behavior: /root/reference/tfep/utils/plumed/plot.py:24-90.
+    """
+    import matplotlib.pyplot as plt
+
+    plot_kwargs = plot_kwargs or {}
+    if axes is None:
+        _, axes = plt.subplots()
+
+    if col_names is None:
+        col_names = [k for k in data if k != 'time']
+    elif isinstance(col_names, str):
+        col_names = [col_names]
+
+    if time_unit is None or time_unit == 'fs':
+        time_unit = 'fs'
+        time = data['time']
+    else:
+        time = Quantity(np.asarray(data['time']), ureg.femtosecond).to(
+            ureg.parse_units(time_unit)).magnitude
+
+    for name in col_names:
+        axes.plot(time[::stride], data[name][::stride], label=name,
+                  **plot_kwargs)
+
+    axes.set_xlabel(f'simulation time [{time_unit}]')
+    axes.legend()
+    return axes
