@@ -96,10 +96,12 @@ class NeuralSplineTransformer(MAFTransformer):
     def _fused_applicable(self) -> bool:
         """Whether the Pallas fused kernel handles this configuration.
 
-        Opt-in (``fused='always'``): on current hardware the XLA one-hot +
-        remat formulation measured *faster* than the hand-fused kernel
-        (1.18 vs 1.50 ms/layer fwd+bwd at batch 4096x96), so the kernel is
-        kept as a verified alternative rather than the default.
+        Opt-in (``fused='always'``): after lane-aligning the parameter
+        layout and lifting Mosaic's scoped-VMEM limit the kernel ties the
+        XLA one-hot + remat formulation on current hardware (~1.1 ms/layer
+        fwd+bwd at batch 4096x96 for both, and identical full-train-step
+        throughput), so the simpler XLA path stays the default and the
+        kernel is kept as a verified alternative.
         """
         return (self.fused == 'always'
                 and not self.circular

@@ -28,7 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ['fused_spline', 'fused_spline_reference']
 
-DEFAULT_BLOCK_B = 128
+DEFAULT_BLOCK_B = 256
 
 #: Set True (e.g. in tests) to run the kernels in interpreter mode.
 INTERPRET = False
@@ -102,17 +102,20 @@ def _forward_kernel(x_ref, params_ref, x0_ref, xf_ref, y0_ref, yf_ref,
         h_k = heights[k]
         s_k = slopes[k]
         s_k1 = slopes[k + 1]
-        in_bin = (xr >= cw) & ((xr < cw + w_k) | (jnp.full_like(x, k == K - 1)
-                                                  > 0.5))
-        e = (xr - cw) / w_k
-        sb = h_k / w_k
+        in_bin = ((xr >= cw) if k == K - 1
+                  else (xr >= cw) & (xr < cw + w_k))
+        rw = 1.0 / w_k
+        e = (xr - cw) * rw
+        sb = h_k * rw
         emo = e * (1.0 - e)
         c = s_k1 + s_k - 2.0 * sb
         A = sb * e * e + s_k * emo
         D = sb + c * emo
-        y_k = y0 + ch + h_k * A / D
+        rD = 1.0 / D
+        y_k = y0 + ch + h_k * A * rD
         N = s_k1 * e * e + 2.0 * sb * emo + s_k * (1.0 - e) ** 2
-        dl_k = 2.0 * jnp.log(sb) + jnp.log(N) - 2.0 * jnp.log(D)
+        # One log per bin: 2 log sb + log N - 2 log D = log(sb^2 N / D^2).
+        dl_k = jnp.log(sb * sb * N * rD * rD)
         y = jnp.where(in_bin, y_k, y)
         dl = jnp.where(in_bin, dl_k, dl)
         cw = cw + w_k
@@ -168,54 +171,56 @@ def _backward_kernel(x_ref, params_ref, x0_ref, xf_ref, y0_ref, yf_ref,
         h_k = heights[k]
         s_k = slopes[k]
         s_k1 = slopes[k + 1]
-        is_last = jnp.full_like(x, k == K - 1) > 0.5
-        in_bin = inside & (xr >= cw) & ((xr < cw + w_k) | is_last)
+        in_bin = (inside & (xr >= cw) if k == K - 1
+                  else inside & (xr >= cw) & (xr < cw + w_k))
 
-        e = (xr - cw) / w_k
-        sb = h_k / w_k
+        rw = 1.0 / w_k
+        e = (xr - cw) * rw
+        sb = h_k * rw
         emo = e * (1.0 - e)
         one_m2e = 1.0 - 2.0 * e
         c = s_k1 + s_k - 2.0 * sb
         A = sb * e * e + s_k * emo
         D = sb + c * emo
         N = s_k1 * e * e + 2.0 * sb * emo + s_k * (1.0 - e) ** 2
+        rD = 1.0 / D
+        rN = 1.0 / N
+        hrD = h_k * rD
+        hrD2 = hrD * rD
 
         # y = y0 + ch + h A / D ; l = 2 log sb + log N - 2 log D.
         dA_de = 2.0 * sb * e + s_k * one_m2e
         dD_de = c * one_m2e
         dN_de = 2.0 * s_k1 * e + 2.0 * sb * one_m2e - 2.0 * s_k * (1.0 - e)
-        dy_de = h_k * (dA_de * D - A * dD_de) / (D * D)
-        dl_de = dN_de / N - 2.0 * dD_de / D
+        dy_de = hrD2 * (dA_de * D - A * dD_de)
+        dl_de = dN_de * rN - 2.0 * dD_de * rD
         ge = gy * dy_de + gl * dl_de
 
         # sb appears in A, D (through c), N, and the 2 log sb term.
-        dy_dsb = h_k * (e * e * D - A * (1.0 - 2.0 * emo)) / (D * D)
-        dl_dsb = 2.0 / sb + 2.0 * emo / N - 2.0 * (1.0 - 2.0 * emo) / D
+        dy_dsb = hrD2 * (e * e * D - A * (1.0 - 2.0 * emo))
+        dl_dsb = 2.0 * w_k / h_k + 2.0 * emo * rN - 2.0 * (
+            1.0 - 2.0 * emo) * rD
         gsb = gy * dy_dsb + gl * dl_dsb
 
         # s_k in A, D (via c), N.
-        dy_dsk = h_k * (emo * D - A * emo) / (D * D)
-        dl_dsk = (1.0 - e) ** 2 / N - 2.0 * emo / D
+        dy_dsk = hrD2 * (emo * D - A * emo)
+        dl_dsk = (1.0 - e) ** 2 * rN - 2.0 * emo * rD
         gs_k_bin = gy * dy_dsk + gl * dl_dsk
 
         # s_{k+1} in D (via c), N.
-        dy_dsk1 = h_k * (-A * emo) / (D * D)
-        dl_dsk1 = e * e / N - 2.0 * emo / D
+        dy_dsk1 = hrD2 * (-A * emo)
+        dl_dsk1 = e * e * rN - 2.0 * emo * rD
         gs_k1_bin = gy * dy_dsk1 + gl * dl_dsk1
 
         # h_k direct (A/D factor) + via sb; w_k via e and sb; cw via e.
-        gh_direct = gy * A / D
-        de_dw = -e / w_k
-        dsb_dw = -sb / w_k
-        dsb_dh = 1.0 / w_k
-
-        gw_k_bin = ge * de_dw + gsb * dsb_dw
-        gh_k_bin = gh_direct + gsb * dsb_dh
-        gcw_k_bin = ge * (-1.0 / w_k)
+        gh_direct = gy * A * rD
+        gw_k_bin = -rw * (ge * e + gsb * sb)
+        gh_k_bin = gh_direct + gsb * rw
+        gcw_k_bin = -ge * rw
         gch_k_bin = gy
 
         mask = in_bin.astype(x.dtype)
-        gx = gx + mask * ge / w_k
+        gx = gx + mask * ge * rw
         gw[k] = gw[k] + mask * gw_k_bin
         gh[k] = gh[k] + mask * gh_k_bin
         gs[k] = gs[k] + mask * gs_k_bin
@@ -281,6 +286,12 @@ def _run_kernel(kernel, out_shapes, block_b, B, inputs, F, P):
             in_specs.append(in_spec(arr.shape[1]))
     out_specs = [in_spec(s.shape[1]) for s in out_shapes]
 
+    # The unrolled K-bin chains keep a large scoped live set; lift Mosaic's
+    # default 16M scoped-VMEM limit (v5e has 128M physical VMEM).
+    compiler_params = None
+    if not INTERPRET:
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -288,6 +299,7 @@ def _run_kernel(kernel, out_shapes, block_b, B, inputs, F, P):
         out_specs=tuple(out_specs) if len(out_specs) > 1 else out_specs[0],
         out_shape=(tuple(out_shapes) if len(out_shapes) > 1
                    else out_shapes[0]),
+        compiler_params=compiler_params,
         interpret=INTERPRET,
     )(*inputs)
 
@@ -305,19 +317,46 @@ def fused_spline(x, params, x0, xf, y0, yf, n_bins, min_bin_size, min_slope,
     return y, dl
 
 
+def _pad_features(x, params, x0, xf, y0, yf, n_bins):
+    """Pad the feature axis to a 128-lane multiple.
+
+    Every per-bin parameter slice inside the kernels then starts on a lane
+    boundary, which removes all Mosaic relayouts (measured ~1.6x on the
+    backward pass for F=96). Padded lanes get a benign [0, 1] domain and
+    are sliced away on the way out.
+    """
+    B, F = x.shape
+    F_pad = ((F + 127) // 128) * 128
+    if F_pad == F:
+        return x, params, x0, xf, y0, yf, F
+    pad = F_pad - F
+    x = jnp.pad(x, ((0, 0), (0, pad)))
+    P = 3 * n_bins + 1
+    params = jnp.pad(params.reshape(B, P, F), ((0, 0), (0, 0), (0, pad)))
+    params = params.reshape(B, P * F_pad)
+    x0 = jnp.pad(x0, (0, pad))
+    xf = jnp.pad(xf, (0, pad), constant_values=1.0)
+    y0 = jnp.pad(y0, (0, pad))
+    yf = jnp.pad(yf, (0, pad), constant_values=1.0)
+    return x, params, x0, xf, y0, yf, F
+
+
 def _fused_spline_fwd_impl(x, params, x0, xf, y0, yf, n_bins, min_bin_size,
                            min_slope, block_b):
-    B, F = x.shape
+    B = x.shape[0]
+    x, params, x0, xf, y0, yf, F = _pad_features(
+        x, params, x0, xf, y0, yf, n_bins)
     offset = float(np.log(np.exp(1.0 - min_slope) - 1.0))
     kernel = functools.partial(_forward_kernel, K=n_bins,
                                min_bin=min_bin_size, min_slope=min_slope,
                                offset=offset)
-    out_shapes = [jax.ShapeDtypeStruct((B, F), x.dtype),
-                  jax.ShapeDtypeStruct((B, F), x.dtype)]
+    F_pad = x.shape[1]
+    out_shapes = [jax.ShapeDtypeStruct((B, F_pad), x.dtype),
+                  jax.ShapeDtypeStruct((B, F_pad), x.dtype)]
     rows = [v.reshape(1, -1).astype(x.dtype) for v in (x0, xf, y0, yf)]
     y, dl = _run_kernel(kernel, out_shapes, min(block_b, B), B,
-                        [x, params, *rows], F, params.shape[1])
-    return y, dl
+                        [x, params, *rows], F_pad, params.shape[1])
+    return y[:, :F], dl[:, :F]
 
 
 def _fused_spline_fwd(x, params, x0, xf, y0, yf, n_bins, min_bin_size,
@@ -332,16 +371,28 @@ def _fused_spline_bwd(n_bins, min_bin_size, min_slope, block_b, residuals,
     x, params, x0, xf, y0, yf = residuals
     gy, gl = cotangents
     B, F = x.shape
+    P_shape = params.shape
+    xp, params, x0p, xfp, y0p, yfp, _ = _pad_features(
+        x, params, x0, xf, y0, yf, n_bins)
+    F_pad = xp.shape[1]
+    if F_pad != F:
+        pad = ((0, 0), (0, F_pad - F))
+        gy = jnp.pad(gy, pad)
+        gl = jnp.pad(gl, pad)
     offset = float(np.log(np.exp(1.0 - min_slope) - 1.0))
     kernel = functools.partial(_backward_kernel, K=n_bins,
                                min_bin=min_bin_size, min_slope=min_slope,
                                offset=offset)
-    out_shapes = [jax.ShapeDtypeStruct((B, F), x.dtype),
+    out_shapes = [jax.ShapeDtypeStruct((B, F_pad), x.dtype),
                   jax.ShapeDtypeStruct(params.shape, params.dtype)]
-    rows = [v.reshape(1, -1).astype(x.dtype) for v in (x0, xf, y0, yf)]
+    rows = [v.reshape(1, -1).astype(x.dtype) for v in (x0p, xfp, y0p, yfp)]
     gx, gparams = _run_kernel(kernel, out_shapes, min(block_b, B), B,
-                              [x, params, *rows, gy, gl], F,
+                              [xp, params, *rows, gy, gl], F_pad,
                               params.shape[1])
+    if F_pad != F:
+        gx = gx[:, :F]
+        P = 3 * n_bins + 1
+        gparams = gparams.reshape(B, P, F_pad)[:, :, :F].reshape(P_shape)
     zeros_f = jnp.zeros_like(x0)
     return (gx, gparams, zeros_f, zeros_f, zeros_f, zeros_f)
 
