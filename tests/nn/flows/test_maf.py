@@ -192,3 +192,30 @@ def test_maf_inverse_jit():
     y, _ = jax.jit(lambda f, z: f.forward(z))(flow, x)
     x_back, _ = jax.jit(lambda f, z: f.inverse(z))(flow, y)
     np.testing.assert_allclose(np.asarray(x_back), np.asarray(x), atol=1e-8)
+
+
+def test_maf_mixed_precision_compute():
+    """compute_dtype='bfloat16' keeps the flow invertible and close to f32.
+
+    The mixed-precision policy only casts conditioner matmul operands
+    (float32 accumulation); parameters, transformer math, and outputs stay
+    in the storage dtype.
+    """
+    degrees_in = generate_degrees(N_FEATURES)
+    f32 = MAF.create(jax.random.key(0), degrees_in, dtype=jnp.float32)
+    bf16 = MAF.create(jax.random.key(0), degrees_in, dtype=jnp.float32,
+                      compute_dtype='bfloat16')
+    f32 = randomize(f32, jax.random.key(1))
+    bf16 = randomize(bf16, jax.random.key(1))
+    x = jax.random.normal(jax.random.key(2), (BATCH, N_FEATURES),
+                          jnp.float32)
+
+    y32, ldj32 = f32.forward(x)
+    y16, ldj16 = bf16.forward(x)
+    assert y16.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(y16), np.asarray(y32),
+                               atol=0.05, rtol=0.05)
+
+    x_back, ldj_inv = bf16.inverse(y16)
+    np.testing.assert_allclose(np.asarray(x_back), np.asarray(x), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ldj16 + ldj_inv), 0.0, atol=1e-5)

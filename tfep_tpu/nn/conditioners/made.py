@@ -114,7 +114,8 @@ class MADE(Conditioner):
     @classmethod
     def create(cls, key, degrees_in, degrees_out,
                hidden_layers: Union[int, Sequence] = 2,
-               weight_norm: bool = True, embedding=None, dtype=None) -> 'MADE':
+               weight_norm: bool = True, embedding=None, dtype=None,
+               compute_dtype=None) -> 'MADE':
         """Build a MADE network from input/output degrees.
 
         ``degrees_in`` refers to the *embedded* input when ``embedding`` is
@@ -138,7 +139,8 @@ class MADE(Conditioner):
             layers.append(MaskedLinear.create(
                 keys[layer_idx], in_features=len(degrees_prev),
                 out_features=len(degrees_cur), mask=mask, bias=True,
-                weight_norm=weight_norm, dtype=dtype))
+                weight_norm=weight_norm, dtype=dtype,
+                compute_dtype=compute_dtype))
             degrees_prev = degrees_cur
 
         return cls(layers=tuple(layers), embedding=embedding,

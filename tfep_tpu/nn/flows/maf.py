@@ -26,7 +26,8 @@ class MAF(AutoregressiveFlow):
     def create(cls, key, degrees_in, transformer=None,
                hidden_layers: Union[int, list] = 2,
                embedding=None, weight_norm: bool = True,
-               initialize_identity: bool = True, dtype=None) -> 'MAF':
+               initialize_identity: bool = True, dtype=None,
+               compute_dtype=None) -> 'MAF':
         """Build a MAF layer.
 
         Parameters
@@ -43,6 +44,11 @@ class MAF(AutoregressiveFlow):
             Input lift applied before the conditioner (e.g. periodic cos/sin).
         weight_norm : bool, optional
         initialize_identity : bool, optional
+        compute_dtype : str or dtype, optional
+            Mixed-precision policy for the conditioner matmuls (e.g.
+            ``'bfloat16'`` for the TPU MXU). Parameters and the transformer
+            math stay in the storage dtype; only matmul operands are cast,
+            with float32 accumulation.
         """
         if transformer is None:
             transformer = AffineTransformer()
@@ -70,7 +76,7 @@ class MAF(AutoregressiveFlow):
         conditioner = MADE.create(
             key, degrees_in=degrees_in_embedded, degrees_out=degrees_out,
             hidden_layers=hidden_layers, weight_norm=weight_norm,
-            embedding=embedding, dtype=dtype)
+            embedding=embedding, dtype=dtype, compute_dtype=compute_dtype)
 
         return super().create(
             n_features_in=len(degrees_in),

@@ -68,11 +68,13 @@ class MaskedLinear(Module):
     gain: Optional[jnp.ndarray]         # (out, 1) weight-norm g, or None
     mask: Optional[jnp.ndarray] = buffer()   # bool (out, in), or None (dense)
     use_weight_norm: bool = static(default=False)
+    compute_dtype: Optional[str] = static(default=None)  # e.g. 'bfloat16'
 
     @classmethod
     def create(cls, key, in_features: int, out_features: int,
                mask: Optional[np.ndarray] = None, bias: bool = True,
-               weight_norm: bool = False, dtype=None):
+               weight_norm: bool = False, dtype=None,
+               compute_dtype: Optional[str] = None):
         """Initialize like torch.nn.Linear (Kaiming-uniform), masked."""
         if dtype is None:
             dtype = jnp.result_type(float)
@@ -92,7 +94,7 @@ class MaskedLinear(Module):
             norms = jnp.linalg.norm(masked_w, axis=1, keepdims=True)
             gain = norms.astype(dtype)
         return cls(weight=weight, bias=bias_arr, gain=gain, mask=mask_arr,
-                   use_weight_norm=weight_norm)
+                   use_weight_norm=weight_norm, compute_dtype=compute_dtype)
 
     @property
     def in_features(self) -> int:
@@ -114,7 +116,17 @@ class MaskedLinear(Module):
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         w = self.effective_weight()
-        y = x @ w.T
+        if self.compute_dtype is not None:
+            # Mixed-precision matmul: parameters/master copies stay in the
+            # storage dtype; operands are cast down (e.g. bfloat16 for the
+            # TPU MXU) with float32 accumulation.
+            cd = jnp.dtype(self.compute_dtype)
+            y = jax.lax.dot_general(
+                x.astype(cd), w.astype(cd).T,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(x.dtype)
+        else:
+            y = x @ w.T
         if self.bias is not None:
             y = y + self.bias
         return y
