@@ -219,3 +219,36 @@ def test_maf_mixed_precision_compute():
     x_back, ldj_inv = bf16.inverse(y16)
     np.testing.assert_allclose(np.asarray(x_back), np.asarray(x), atol=1e-5)
     np.testing.assert_allclose(np.asarray(ldj16 + ldj_inv), 0.0, atol=1e-5)
+
+
+def test_sequential_flow_remat_equivalence():
+    """remat=True is numerically identical in outputs and gradients."""
+    from tfep_tpu.nn.module import filter_value_and_grad
+
+    degrees = generate_degrees(N_FEATURES)
+    def build(remat):
+        layers = [MAF.create(jax.random.key(i), degrees) for i in range(3)]
+        flow = SequentialFlow.create(*layers, remat=remat)
+        return randomize(flow, jax.random.key(9))
+
+    plain, remat = build(False), build(True)
+    x = jax.random.normal(jax.random.key(3), (BATCH, N_FEATURES),
+                          jnp.float64)
+
+    y_p, ldj_p = jax.jit(lambda f, x: f.forward(x))(plain, x)
+    y_r, ldj_r = jax.jit(lambda f, x: f.forward(x))(remat, x)
+    np.testing.assert_array_equal(np.asarray(y_r), np.asarray(y_p))
+    np.testing.assert_array_equal(np.asarray(ldj_r), np.asarray(ldj_p))
+
+    def loss(f):
+        y, ldj = f.forward(x)
+        return jnp.sum(y ** 2) - jnp.sum(ldj)
+
+    _, g_p = jax.jit(filter_value_and_grad(loss))(plain)
+    _, g_r = jax.jit(filter_value_and_grad(loss))(remat)
+    for a, b in zip(jax.tree_util.tree_leaves(g_p),
+                    jax.tree_util.tree_leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-12)
+
+    x_back, _ = remat.inverse(y_r)
+    np.testing.assert_allclose(np.asarray(x_back), np.asarray(x), atol=1e-8)

@@ -7,21 +7,31 @@ continuous flows.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from tfep_tpu.nn.flows.flow import Flow
+from tfep_tpu.nn.module import static
 
 __all__ = ['SequentialFlow']
 
 
 class SequentialFlow(Flow):
-    """A sequence of flows executed in order (reversed for the inverse)."""
+    """A sequence of flows executed in order (reversed for the inverse).
+
+    With ``remat=True`` each layer is wrapped in :func:`jax.checkpoint`, so
+    backward saves only the per-layer inputs instead of every intermediate
+    activation — on TPU the training step is HBM-bound on those residuals
+    (measured ~675 MB/step for the 6-layer spline-MAF flagship), and
+    recomputing them is cheaper than streaming them.
+    """
 
     flows: tuple
+    remat: bool = static(default=False)
 
     @classmethod
-    def create(cls, *flows) -> 'SequentialFlow':
-        return cls(flows=tuple(flows))
+    def create(cls, *flows, remat: bool = False) -> 'SequentialFlow':
+        return cls(flows=tuple(flows), remat=remat)
 
     def __getitem__(self, i):
         return self.flows[i]
@@ -44,7 +54,13 @@ class SequentialFlow(Flow):
 
         flows = reversed(self.flows) if inverse else self.flows
         for flow in flows:
-            out = flow.inverse(x) if inverse else flow.forward(x)
+            if inverse:
+                apply = lambda f, z: f.inverse(z)
+            else:
+                apply = lambda f, z: f.forward(z)
+            if self.remat:
+                apply = jax.checkpoint(apply)
+            out = apply(flow, x)
             x, log_det_J = out[0], out[1]
             cumulative_log_det_J = cumulative_log_det_J + log_det_J
             if len(out) > 2 and out[2] is not None:
