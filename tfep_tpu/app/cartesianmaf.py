@@ -29,10 +29,11 @@ class CartesianMAFMap(TFEPMapBase):
     """TFEP map built from MAF layers acting on Cartesian coordinates."""
 
     def __init__(self, *args, n_maf_layers: int = 6, flow_kwargs=None,
-                 **kwargs):
+                 remat: bool = False, **kwargs):
         super().__init__(*args, **kwargs)
         self.n_maf_layers = int(n_maf_layers)
         self.flow_kwargs = dict(flow_kwargs or {})
+        self.remat = bool(remat)
 
     # ------------------------------------------------------------------ #
     def determine_atom_indices(self):
@@ -68,7 +69,7 @@ class CartesianMAFMap(TFEPMapBase):
             )
             maf_layers.append(MAF.create(keys[layer_idx], degrees_in,
                                          **self.flow_kwargs))
-        flow = SequentialFlow.create(*maf_layers)
+        flow = SequentialFlow.create(*maf_layers, remat=self.remat)
 
         # If the removed origin atom sits before an axes atom, the axes-atom
         # index shifts down in the origin-removed frame seen by OrientedFlow.

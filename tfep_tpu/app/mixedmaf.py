@@ -83,7 +83,8 @@ class MixedMAFMap(TFEPMapBase):
                  remove_translation: bool = False,
                  remove_rotation: bool = False,
                  n_bins: int = 5,
-                 flow_kwargs: Optional[Dict] = None, **kwargs):
+                 flow_kwargs: Optional[Dict] = None,
+                 remat: bool = False, **kwargs):
         """``distance_lower_limit_displacement`` widens spline domains below
         the observed minimum distance (same positions units as the data);
         ``remove_translation``/``remove_rotation`` drop the reference atoms'
@@ -96,6 +97,7 @@ class MixedMAFMap(TFEPMapBase):
         self.remove_rotation = bool(remove_rotation)
         self.n_bins = int(n_bins)
         self.flow_kwargs = dict(flow_kwargs or {})
+        self.remat = bool(remat)
 
     # ------------------------------------------------------------------ #
     def configure_flow(self):
@@ -149,7 +151,7 @@ class MixedMAFMap(TFEPMapBase):
                     limits=[0.0, 1.0],
                     periodic_indices=maf_dof_indices['torsions']),
                 **self.flow_kwargs))
-        flow = SequentialFlow.create(*maf_layers)
+        flow = SequentialFlow.create(*maf_layers, remat=self.remat)
         return conversion.replace(flow=flow)
 
     # ------------------------------------------------------------------ #
