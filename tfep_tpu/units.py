@@ -225,6 +225,11 @@ class UnitRegistry:
         self.dalton = Unit(1e-3 / AVOGADRO, self.kilogram.dims, 'dalton')
 
         # Aliases (pint-compatible spellings used across the codebase).
+        self.kilojoule = Unit(1e3, energy_dims, 'kilojoule')
+        self.kilocalorie = Unit(1e3 * _CAL_J, energy_dims, 'kilocalorie')
+        self.kJ = self.kilojoule
+        self.kcal = self.kilocalorie
+        self.cal = self.calorie
         self.kJ_mol = self.kilojoule_per_mole
         self.kcal_mol = self.kilocalorie_per_mole
         self.nm = self.nanometer

@@ -69,3 +69,11 @@ def batch_log_abs_det_J(fn: Callable, x: jnp.ndarray) -> jnp.ndarray:
     """
     jac = batch_jacobian(fn, x)
     return jnp.linalg.slogdet(jac)[1]
+
+
+#: Reference-compatible aliases (/root/reference/tfep/utils/math.py:141-216);
+#: the "autograd" here is jacfwd + slogdet rather than torch autograd.
+batch_autograd_jacobian = batch_jacobian
+batch_autograd_log_abs_det_J = batch_log_abs_det_J
+
+__all__ += ['batch_autograd_jacobian', 'batch_autograd_log_abs_det_J']

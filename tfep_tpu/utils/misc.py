@@ -140,3 +140,28 @@ def temporary_cd(dir_path):
             yield
         finally:
             os.chdir(old)
+
+
+def ensure_tensor_sequence(x, dtype=None):
+    """Coerce a scalar/sequence/array to a 1D array (None passes through).
+
+    Reference-compatible name (the torch reference returns a tensor;
+    /root/reference/tfep/utils/misc.py:158-181); here the result is a
+    ``jax.numpy`` array with scalars lifted to shape ``(1,)``.
+    """
+    if x is None:
+        return None
+    import jax.numpy as jnp
+    arr = jnp.asarray(x, dtype=dtype)
+    if arr.ndim == 0:
+        arr = arr.reshape(1)
+    return arr
+
+
+#: Reference-compatible aliases (the reference returns torch tensors;
+#: here plain arrays — /root/reference/tfep/utils/misc.py:214-333).
+energies_array_to_tensor = energies_array_to_numpy
+forces_array_to_tensor = forces_array_to_numpy
+
+__all__ += ['ensure_tensor_sequence', 'energies_array_to_tensor',
+            'forces_array_to_tensor']
