@@ -232,6 +232,14 @@ class UnitRegistry:
         self.cal = self.calorie
         self.kJ_mol = self.kilojoule_per_mole
         self.kcal_mol = self.kilocalorie_per_mole
+        self.mol = self.mole
+        # Pint accepts plural spellings; mirror the common ones.
+        self.seconds = self.second
+        self.picoseconds = self.picosecond
+        self.femtoseconds = self.femtosecond
+        self.nanoseconds = self.nanosecond
+        self.angstroms = self.angstrom
+        self.nanometers = self.nanometer
         self.nm = self.nanometer
         self.ps = self.picosecond
         self.fs = self.femtosecond
