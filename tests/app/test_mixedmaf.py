@@ -169,3 +169,75 @@ def test_mixedmaf_trains_and_logs(tmp_path):
     assert trainer.global_step == 2  # 12 frames / batch 6
     logged = tfep_map.tfep_logger.read_train_tensors(epoch_idx=0)
     assert len(logged['potential']) == N_FRAMES
+
+
+def make_two_fragment_system(n_frames=N_FRAMES, seed=3):
+    """Two bonded C4H4 fragments, BOTH mapped — two Z-matrices.
+
+    Each connected fragment gets its own 3 Cartesian reference atoms and
+    its own internal-coordinate rows (reference behavior:
+    /root/reference/tfep/app/mixedmaf.py:359-466 iterates connected
+    components).
+    """
+    rng = np.random.default_rng(seed)
+    names, elements, bonds, resnames, resids, base = [], [], [], [], [], []
+    chain = np.array([
+        [0.0, 0.0, 0.0], [1.5, 0.0, 0.0], [2.25, 1.3, 0.0],
+        [1.5, 2.2, 1.1],
+        [-0.5, -0.7, 0.6], [1.9, -0.6, 0.8], [3.3, 1.4, 0.4],
+        [1.0, 3.0, 0.4],
+    ])
+    for frag in range(2):
+        off = len(names)
+        names += [f'{n}{frag}' for n in
+                  ['C1', 'C2', 'C3', 'C4', 'H1', 'H2', 'H3', 'H4']]
+        elements += ['C', 'C', 'C', 'C', 'H', 'H', 'H', 'H']
+        bonds += [(a + off, b + off) for a, b in
+                  [(0, 1), (1, 2), (2, 3), (0, 4), (1, 5), (2, 6), (3, 7)]]
+        resnames += ['MOL'] * 8
+        resids += [frag + 1] * 8
+        base.append(chain + np.array([8.0, 6.0, 7.0]) * frag)
+    base = np.concatenate(base)
+    positions = base[None] + 0.05 * rng.normal(
+        size=(n_frames, len(names), 3))
+    topology = Topology(names=names, elements=elements, resnames=resnames,
+                        resids=resids, bonds=bonds)
+    return System(topology, positions)
+
+
+def test_two_mapped_fragments_round_trip_and_jacobian(tmp_path):
+    """Both fragments mapped: per-fragment Z-matrices, exact Jacobian."""
+    tfep_map = MixedMAFMap(
+        potential_energy_func=MockPotential(),
+        temperature=300.0 * ureg.kelvin,
+        system=make_two_fragment_system(),
+        batch_size=6,
+        n_maf_layers=2,
+        tfep_logger_dir_path=str(tmp_path / 'logs'),
+    )
+    tfep_map.setup()
+
+    # Two fragments: each contributes 3 Cartesian reference atoms; the
+    # other 2 * 5 atoms are internal-coordinate rows.
+    flow = tfep_map.flow
+    z_matrix = np.asarray(flow.z_matrix)
+    cart_atoms = set(np.asarray(flow.cartesian_atom_indices).tolist())
+    assert len(z_matrix) == 10
+    assert len(cart_atoms) == 6
+    # Reference atoms must come from both fragments.
+    assert any(a < 8 for a in cart_atoms) and any(a >= 8 for a in cart_atoms)
+    x = jnp.asarray(tfep_map.dataset.get_batch(list(range(3)))['positions'])
+    y, ldj = flow.forward(x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
+
+    # Train a few steps, then the Jacobian must still match the oracle.
+    trainer = Trainer(save_dir=None, max_steps=3, shuffle=True)
+    import optax
+    trainer.optimizer = optax.adamw(1e-3)
+    flow = trainer.fit(tfep_map)
+    y, ldj = flow.forward(x)
+    oracle = batch_log_abs_det_J(lambda z: flow.forward(z)[0], x)
+    np.testing.assert_allclose(np.asarray(ldj), np.asarray(oracle),
+                               atol=1e-5)
+    x_back, _ = flow.inverse(y)
+    np.testing.assert_allclose(np.asarray(x_back), np.asarray(x), atol=1e-5)
