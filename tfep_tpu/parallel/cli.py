@@ -1,148 +1,176 @@
-"""Declarative CLI tool wrappers (the engine command layer).
+"""Declarative command-line builders for file-based engines.
 
-A ``CLITool`` subclass declares its options with descriptors
-(:class:`KeyValueOption`, :class:`AbsolutePathOption`, :class:`FlagOption`)
-and converts to a sanitized ``subprocess`` argv. This is how file-based
-engines (GROMACS ``gmx``, CPMD) are wrapped. Reference behavior:
-/root/reference/tfep/utils/cli/tool.py:30-290.
+External engines driven through their CLI (GROMACS ``gmx``, CPMD, PLUMED)
+are wrapped as :class:`CLITool` subclasses: each command-line option is
+declared once as a class attribute, and an instance renders itself to a
+``subprocess``-ready argv with :meth:`CLITool.to_subprocess`. Capability
+parity with the reference's CLI wrapper layer
+(/root/reference/tfep/utils/cli/tool.py), rebuilt around a two-stage
+option protocol:
+
+* ``coerce(value)`` runs at assignment time (validation, path
+  normalization) and the result is stored in a per-instance value dict;
+* ``render(value)`` runs at argv-build time and yields the argv tokens.
 
 Example
 -------
->>> class MyGrep(CLITool):
-...     EXECUTABLE_PATH = 'grep'
-...     patterns_file_path = KeyValueOption('-f')
-...     max_count = KeyValueOption('-m')
-...     print_version = FlagOption('-v')
->>> MyGrep(print_version=True).to_subprocess()
-['grep', '-v']
->>> MyGrep('input.txt', max_count=3).to_subprocess()
-['grep', '-m', '3', 'input.txt']
+>>> class Sort(CLITool):
+...     EXECUTABLE_PATH = 'sort'
+...     key = KeyValueOption('-k')
+...     numeric = FlagOption('-n')
+>>> Sort(numeric=True).to_subprocess()
+['sort', '-n']
+>>> Sort('data.txt', key=2).to_subprocess()
+['sort', '-k', '2', 'data.txt']
 """
 
 from __future__ import annotations
 
-import abc
-import inspect
 import os
 
 __all__ = ['CLITool', 'CLIOption', 'KeyValueOption', 'AbsolutePathOption',
            'FlagOption']
 
 
-class CLIOption(abc.ABC):
-    """Descriptor base class for CLI options."""
+class CLIOption:
+    """One declared command-line option of a :class:`CLITool`.
+
+    Subclasses customize two hooks:
+
+    * :meth:`coerce` — transform/validate the value when it is assigned
+      (default: pass through unchanged);
+    * :meth:`render` — turn the stored value into argv tokens (an
+      unassigned / ``None`` value renders to nothing).
+    """
 
     def __init__(self, option_name: str):
         self.option_name = option_name
+        self.public_name = None  # filled by __set_name__
 
-    def __set_name__(self, owner_type, name):
+    def __set_name__(self, owner, name):
         self.public_name = name
-        self.private_name = '_' + name
 
-    def __get__(self, owner_instance, owner_type):
-        if owner_instance is None:
+    # -- descriptor protocol backed by the instance's value dict -------- #
+    def __get__(self, tool, owner=None):
+        if tool is None:
             return self
-        return getattr(owner_instance, self.private_name, None)
+        return tool.option_values.get(self.public_name)
 
-    def __set__(self, owner_instance, value):
-        setattr(owner_instance, self.private_name, value)
+    def __set__(self, tool, value):
+        tool.option_values[self.public_name] = self.coerce(value)
 
-    @abc.abstractmethod
-    def to_subprocess(self, owner_instance):
-        """Strings to append to the argv (e.g. ``['-o', 'file.txt']``)."""
+    # -- customization hooks -------------------------------------------- #
+    def coerce(self, value):
+        """Validate/transform ``value`` at assignment time."""
+        return value
+
+    def render(self, value):
+        """Yield the argv tokens for a stored (non-``None``) value."""
+        raise NotImplementedError
 
 
 class KeyValueOption(CLIOption):
-    """``-key value`` option; the value is stringified."""
+    """An option rendered as ``<name> <value>`` (value stringified)."""
 
-    def to_subprocess(self, owner_instance):
-        value = getattr(owner_instance, self.private_name, None)
-        if value is None:
-            return []
-        return [self.option_name, str(value)]
+    def render(self, value):
+        yield self.option_name
+        yield str(value)
 
 
 class AbsolutePathOption(KeyValueOption):
-    """Path option resolved to an absolute path on assignment.
+    """A path option pinned to an absolute path when assigned.
 
-    Engines run in per-sample working directories; absolute paths keep the
-    option valid after the launcher changes cwd.
+    Engine tasks routinely ``chdir`` into per-sample scratch directories;
+    resolving at assignment keeps the option pointing at the same file
+    regardless of the working directory at launch time.
     """
 
-    def __set__(self, owner_instance, value):
-        setattr(owner_instance, self.private_name, os.path.abspath(value))
+    def coerce(self, value):
+        return os.path.abspath(value)
 
 
 class FlagOption(CLIOption):
-    """Boolean flag; optionally emits a ``no``-prefixed form when False."""
+    """A valueless boolean switch.
+
+    ``True`` renders the flag itself, ``None`` renders nothing. For
+    ``False``, nothing is rendered unless ``prepend_to_false`` is given,
+    in which case that string (typically ``'no'``) is spliced in right
+    after the leading dashes (GROMACS-style ``-fp`` / ``-nofp`` pairs).
+    """
 
     def __init__(self, option_name: str, prepend_to_false: str = None):
         super().__init__(option_name)
         self.prepend_to_false = prepend_to_false
 
-    def __set__(self, owner_instance, value):
-        if not isinstance(value, bool) and value is not None:
+    def coerce(self, value):
+        if value is not None and not isinstance(value, bool):
             raise ValueError(
-                self.public_name + ' must be either a boolean or None')
-        setattr(owner_instance, self.private_name, value)
+                f'{self.public_name} must be either a boolean or None')
+        return value
 
-    def to_subprocess(self, owner_instance):
-        value = getattr(owner_instance, self.private_name, None)
-        if value is None or (not value and self.prepend_to_false is None):
-            return []
-        if value is True:
-            return [self.option_name]
-        n_dashes = 2 if self.option_name.startswith('--') else 1
-        return [self.option_name[:n_dashes] + self.prepend_to_false
-                + self.option_name[n_dashes:]]
+    def render(self, value):
+        if value:
+            yield self.option_name
+        elif self.prepend_to_false is not None:
+            name = self.option_name
+            dashes = len(name) - len(name.lstrip('-'))
+            yield name[:dashes] + self.prepend_to_false + name[dashes:]
 
 
 class CLITool:
-    """Base class for declarative command wrappers.
+    """Base class for declarative CLI wrappers.
 
-    Set ``EXECUTABLE_PATH`` (class-level) or pass ``executable_path``;
-    ``SUBPROGRAM`` inserts a subcommand (e.g. ``gmx mdrun``). Positional
-    constructor args are appended verbatim after the options.
+    Class-level configuration: ``EXECUTABLE_PATH`` names the binary (an
+    instance may override it via the ``executable_path`` keyword) and
+    ``SUBPROGRAM`` optionally names a subcommand inserted right after it
+    (e.g. ``gmx mdrun``). Declared options render in declaration order
+    (base classes first); positional constructor arguments are appended
+    verbatim at the end of the argv.
     """
 
     EXECUTABLE_PATH = None
     SUBPROGRAM = None
 
+    # Maps public option name -> CLIOption spec, accumulated across the
+    # class hierarchy (base-class options first).
+    _cli_options: dict = {}
+
+    def __init_subclass__(cls, **kwargs):
+        super().__init_subclass__(**kwargs)
+        registry = {}
+        for klass in reversed(cls.__mro__):
+            for name, attr in vars(klass).items():
+                if isinstance(attr, CLIOption):
+                    registry[name] = attr
+        cls._cli_options = registry
+
     def __init__(self, *args, executable_path=None, **kwargs):
         self.args = args
+        self.option_values = {}
         self._executable_path = executable_path
-
-        defined = self._get_defined_options()
-        for k, v in kwargs.items():
-            if k not in defined:
-                raise AttributeError('Undefined CLI option ' + k)
-            setattr(self, k, v)
+        for name, value in kwargs.items():
+            if name not in self._cli_options:
+                raise AttributeError(f'Undefined CLI option {name}')
+            setattr(self, name, value)
 
     @property
     def executable_path(self):
-        if self._executable_path is None:
-            return self.EXECUTABLE_PATH
-        return self._executable_path
+        if self._executable_path is not None:
+            return self._executable_path
+        return self.EXECUTABLE_PATH
 
     @executable_path.setter
     def executable_path(self, value):
         self._executable_path = value
 
     def to_subprocess(self):
-        """argv list for the ``subprocess`` module."""
-        cmd = [self.executable_path]
+        """Render the full argv list for the ``subprocess`` module."""
+        argv = [self.executable_path]
         if self.SUBPROGRAM is not None:
-            cmd.append(self.SUBPROGRAM)
-        for descriptor in self._get_defined_options().values():
-            cmd.extend(descriptor.to_subprocess(self))
-        cmd.extend(str(x) for x in self.args)
-        return cmd
-
-    @classmethod
-    def _get_defined_options(cls):
-        options = {}
-        for name, descriptor in inspect.getmembers(
-                cls, inspect.isdatadescriptor):
-            if isinstance(descriptor, CLIOption):
-                options[name] = descriptor
-        return options
+            argv.append(self.SUBPROGRAM)
+        for name, spec in self._cli_options.items():
+            value = self.option_values.get(name)
+            if value is not None:
+                argv.extend(spec.render(value))
+        argv += [str(arg) for arg in self.args]
+        return argv

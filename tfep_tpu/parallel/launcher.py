@@ -1,12 +1,13 @@
-"""Subprocess launchers: concurrent local execution and SLURM ``srun``.
+"""Concurrent subprocess execution, locally or through SLURM ``srun``.
 
-``Launcher.run`` starts N commands concurrently via ``subprocess.Popen``
-with per-command stdin/stdout/stderr/cwd and ``subprocess.run``-style
-timeout/check semantics — the mechanism behind file-based engines (GROMACS)
-and the coupled CPMD+GROMACS MPMD pair (MiMiC). ``SRunLauncher`` prepends
-SLURM ``srun``, including the ``--multi-prog`` mode that runs several
-programs under one srun with contiguous task-rank ranges. Reference
-behavior: /root/reference/tfep/utils/cli/launcher.py:35-492.
+This is the process-launch layer under the file-based engine backends:
+GROMACS reruns, and the coupled CPMD+GROMACS MPMD pair used by MiMiC.
+Capability parity with the reference's launcher layer
+(/root/reference/tfep/utils/cli/launcher.py), rebuilt around a job-group
+abstraction: :class:`Launcher.run` spawns one :class:`_Job` per command,
+lets them all run concurrently, then drains the group against a shared
+wall-clock deadline. ``SRunLauncher`` plans SLURM command lines (including
+``--multi-prog`` MPMD plans) before delegating to the same job group.
 
 Example
 -------
@@ -19,8 +20,8 @@ print this
 
 from __future__ import annotations
 
-import contextlib
 import subprocess
+import time
 from typing import List, Optional, Union
 
 from tfep_tpu.parallel.cli import CLITool, KeyValueOption
@@ -29,79 +30,126 @@ from tfep_tpu.utils.misc import temporary_cd
 __all__ = ['Launcher', 'SRunTool', 'SRunLauncher']
 
 
-def _ensure_lists(n: int, values: list) -> list:
-    """Broadcast per-command options to lists of length n."""
-    out = []
-    for value in values:
-        if isinstance(value, list):
-            if len(value) != n:
-                raise ValueError(
-                    f'Expected {n} values, got {len(value)}: {value}')
-            out.append(list(value))
-        else:
-            out.append([value] * n)
-    return out
+def _as_argv(command):
+    """Accept either an argv list or a CLITool and return an argv list."""
+    if isinstance(command, CLITool):
+        return command.to_subprocess()
+    return command
+
+
+def _per_command(value, n_commands: int, what: str = 'option') -> list:
+    """Broadcast a scalar (or validate a per-command list) to length n."""
+    if not isinstance(value, list):
+        return [value] * n_commands
+    if len(value) != n_commands:
+        raise ValueError(
+            f'Per-command {what} has {len(value)} entries for '
+            f'{n_commands} commands: {value!r}')
+    return list(value)
+
+
+class _Job:
+    """A single spawned subprocess within a concurrently-running group."""
+
+    def __init__(self, argv, *, stdin, stdout, stderr, cwd, popen_kwargs):
+        self.argv = argv
+        self.process = subprocess.Popen(
+            argv, stdin=stdin, stdout=stdout, stderr=stderr, cwd=cwd,
+            **popen_kwargs)
+
+    def drain(self, deadline: Optional[float]) -> subprocess.CompletedProcess:
+        """Wait for completion (bounded by ``deadline``), collect output.
+
+        On timeout the process is killed and ``subprocess.TimeoutExpired``
+        is re-raised carrying whatever output was produced — the same
+        contract as ``subprocess.run``.
+        """
+        remaining = None
+        if deadline is not None:
+            remaining = max(0.0, deadline - time.monotonic())
+        try:
+            out, err = self.process.communicate(timeout=remaining)
+        except subprocess.TimeoutExpired as timeout_error:
+            self.cancel()
+            out, err = self.process.communicate()
+            timeout_error.stdout, timeout_error.stderr = out, err
+            raise
+        except BaseException:
+            self.cancel()
+            self.process.wait()
+            raise
+        return subprocess.CompletedProcess(
+            self.process.args, self.process.returncode, out, err)
+
+    def cancel(self):
+        self.process.kill()
 
 
 class Launcher:
-    """Run one or more commands as concurrent subprocesses."""
+    """Run one or more commands as concurrently-executing subprocesses.
+
+    Semantics mirror ``subprocess.run`` generalized to a command group:
+    ``timeout`` bounds the whole group on one shared deadline, ``check``
+    raises ``CalledProcessError`` for the first nonzero exit (after the
+    whole group has been drained, so no job is left running), and
+    ``stdin``/``stdout``/``stderr``/``cwd`` accept either one value for
+    all commands or a per-command list.
+    """
 
     def run(self, *commands, capture_output: bool = False,
             timeout: Optional[float] = None, check: bool = False,
-            stdin=None, stdout=None, stderr=None, cwd=None, **kwargs):
-        """Start all commands, wait for completion, collect results.
+            stdin=None, stdout=None, stderr=None, cwd=None, **popen_kwargs):
+        """Start every command, wait for all, return their results.
 
-        ``stdin``/``stdout``/``stderr``/``cwd`` accept either a single value
-        or one value per command. Returns a ``subprocess.CompletedProcess``
-        (or a list of them for multiple commands); raises
-        ``CalledProcessError`` with ``check`` and ``TimeoutExpired`` with
-        ``timeout``, mirroring ``subprocess.run``.
+        Returns a single ``subprocess.CompletedProcess`` when called with
+        one command, else a list of them in command order.
         """
-        stdin, stdout, stderr, cwd = _ensure_lists(
-            len(commands), [stdin, stdout, stderr, cwd])
-
+        n = len(commands)
         if capture_output:
-            stdout = [subprocess.PIPE] * len(commands)
-            stderr = [subprocess.PIPE] * len(commands)
+            stdout = stderr = subprocess.PIPE
+        streams = {
+            'stdin': _per_command(stdin, n, 'stdin'),
+            'stdout': _per_command(stdout, n, 'stdout'),
+            'stderr': _per_command(stderr, n, 'stderr'),
+            'cwd': _per_command(cwd, n, 'cwd'),
+        }
 
-        with contextlib.ExitStack() as stack:
-            processes = []
-            for idx, cmd in enumerate(commands):
-                if isinstance(cmd, CLITool):
-                    cmd = cmd.to_subprocess()
-                processes.append(stack.enter_context(subprocess.Popen(
-                    cmd, stdin=stdin[idx], stdout=stdout[idx],
-                    stderr=stderr[idx], cwd=cwd[idx], **kwargs)))
+        deadline = None
+        if timeout is not None:
+            deadline = time.monotonic() + timeout
 
-            results = []
-            for process in processes:
-                out, err, retcode = self._handle_process(process, timeout)
-                if check and retcode:
-                    raise subprocess.CalledProcessError(
-                        retcode, process.args, output=out, stderr=err)
-                results.append(subprocess.CompletedProcess(
-                    process.args, retcode, out, err))
-
-        if len(commands) == 1:
-            return results[0]
-        return results
-
-    def _handle_process(self, process, timeout):
+        jobs: List[_Job] = []
         try:
-            out, err = process.communicate(timeout=timeout)
-        except subprocess.TimeoutExpired as exception:
-            process.kill()
-            exception.stdout, exception.stderr = process.communicate()
-            raise exception
+            for idx, command in enumerate(commands):
+                jobs.append(_Job(
+                    _as_argv(command),
+                    stdin=streams['stdin'][idx],
+                    stdout=streams['stdout'][idx],
+                    stderr=streams['stderr'][idx],
+                    cwd=streams['cwd'][idx],
+                    popen_kwargs=popen_kwargs))
+            results = [job.drain(deadline) for job in jobs]
         except BaseException:
-            process.kill()
-            process.wait()
+            # A spawn failure or a timeout/interrupt in one job must not
+            # leak the rest of the group.
+            for job in jobs:
+                if job.process.poll() is None:
+                    job.cancel()
+                    job.process.wait()
             raise
-        return out, err, process.poll()
+
+        if check:
+            for result in results:
+                if result.returncode:
+                    raise subprocess.CalledProcessError(
+                        result.returncode, result.args,
+                        output=result.stdout, stderr=result.stderr)
+
+        return results[0] if n == 1 else results
 
 
 class SRunTool(CLITool):
-    """SLURM ``srun`` wrapper."""
+    """Declarative wrapper over SLURM's ``srun``."""
 
     EXECUTABLE_PATH = 'srun'
     time = KeyValueOption('--time')
@@ -115,23 +163,32 @@ class SRunTool(CLITool):
     multiprog_config_file_path = KeyValueOption('--multi-prog')
 
     def to_subprocess(self):
-        # srun requires --multi-prog to be the last option.
-        cmd = super().to_subprocess()
+        # srun rejects options placed after --multi-prog, so rotate that
+        # pair to the end of the option block.
+        argv = super().to_subprocess()
         if self.multiprog_config_file_path is not None:
-            idx = cmd.index('--multi-prog')
-            if idx != len(cmd) - 2:
-                cmd = cmd[:idx] + cmd[idx + 2:] + cmd[idx:idx + 2]
-        return cmd
+            at = argv.index('--multi-prog')
+            pair, rest = argv[at:at + 2], argv[at + 2:]
+            argv = argv[:at] + rest + pair
+        return argv
 
 
 class SRunLauncher(Launcher):
-    """Launch commands through SLURM ``srun``, optionally MPMD (--multi-prog).
+    """Launch commands on a SLURM allocation via ``srun``.
 
-    Without ``multiprog``, each command gets its own srun (options may be
-    per-command lists). With ``multiprog=True``, one srun runs all commands
-    with ``n_tasks`` (a list) defining each command's contiguous task-rank
-    range, written to a generated config file — this is how MiMiC's
-    CPMD+GROMACS pair runs on a cluster.
+    Two planning modes:
+
+    * **standard** — every command gets its own ``srun`` prefix; every
+      srun option (including ``n_tasks``) may be a per-command list;
+    * **MPMD** (``multiprog=True``, with >1 command) — a single ``srun
+      --multi-prog`` hosts all commands, with ``n_tasks`` (necessarily a
+      list) defining each command's contiguous task-rank block in a
+      generated plan file. This is how MiMiC's CPMD+GROMACS pair shares
+      one allocation.
+
+    ``GLOBAL_SRUN_OPTIONS`` is a class-level dict of fallback srun options
+    applied wherever the constructor didn't set one (handy to configure
+    site defaults once per process).
     """
 
     GLOBAL_SRUN_OPTIONS: dict = {}
@@ -139,94 +196,86 @@ class SRunLauncher(Launcher):
     def __init__(self, n_tasks: Optional[Union[int, List[int]]] = None,
                  multiprog: bool = False,
                  multiprog_config_file_path: str = 'srun-job.conf',
-                 **kwargs):
+                 **srun_options):
         super().__init__()
         self.n_tasks = n_tasks
         self.multiprog = multiprog
         self.multiprog_config_file_path = multiprog_config_file_path
-        self.srun_kwargs = kwargs
+        self.srun_kwargs = srun_options
 
+    # ------------------------------------------------------------------ #
     def run(self, *commands, **kwargs):
-        n_commands = len(commands)
+        self._check_plan(len(commands))
+        srun_commands = self._create_srun_commands(commands)
+        if self._plans_multiprog(len(commands)):
+            # srun resolves the plan-file path against the job's working
+            # directory, which the caller may redirect with cwd.
+            with temporary_cd(kwargs.get('cwd', None)):
+                self._create_multiprog_config_file(commands)
+        return super().run(*srun_commands, **kwargs)
 
-        run_with_multiprog = n_commands > 1 and self.multiprog
-        if run_with_multiprog:
+    # ------------------------------------------------------------------ #
+    def _plans_multiprog(self, n_commands: int) -> bool:
+        return self.multiprog and n_commands > 1
+
+    def _check_plan(self, n_commands: int):
+        """Validate constructor options against the command count."""
+        named = dict(self.srun_kwargs, n_tasks=self.n_tasks)
+        if self._plans_multiprog(n_commands):
             if not isinstance(self.n_tasks, list):
                 raise ValueError(
                     'With multiprog execution, "n_tasks" must be a list.')
-            for name, value in self.srun_kwargs.items():
-                if isinstance(value, list):
-                    raise ValueError(
-                        f'With multiprog execution, "{name}" cannot be a '
-                        'list.')
-
-        if isinstance(self.n_tasks, list) and \
-                len(self.n_tasks) != n_commands:
-            raise ValueError(
-                f'Passed {n_commands} commands but {len(self.n_tasks)} '
-                f'n_tasks: {self.n_tasks}')
-        for name, value in self.srun_kwargs.items():
+            bad = [k for k, v in self.srun_kwargs.items()
+                   if isinstance(v, list)]
+            if bad:
+                raise ValueError(
+                    f'With multiprog execution, "{bad[0]}" cannot be a list.')
+        for name, value in named.items():
             if isinstance(value, list) and len(value) != n_commands:
                 raise ValueError(
                     f'Passed {n_commands} commands but {len(value)} '
                     f'{name}: {value}')
 
-        srun_commands = self._create_srun_commands(commands)
+    def _srun_option_plan(self, n_commands: int) -> List[dict]:
+        """Per-command srun option dicts (constructor > global defaults)."""
+        declared = dict(self.srun_kwargs, n_tasks=self.n_tasks)
+        columns = {name: _per_command(value, n_commands, name)
+                   for name, value in declared.items()}
+        plans = []
+        for idx in range(n_commands):
+            plan = dict(self.GLOBAL_SRUN_OPTIONS)
+            for name, values in columns.items():
+                if values[idx] is not None:
+                    plan[name] = values[idx]
+            plans.append(plan)
+        return plans
 
-        if run_with_multiprog:
-            # Config file path is relative to the working directory.
-            with temporary_cd(kwargs.get('cwd', None)):
-                self._create_multiprog_config_file(commands)
-
-        return super().run(*srun_commands, **kwargs)
-
-    # ------------------------------------------------------------------ #
-    def _create_srun_commands(self, commands):
-        commands = [cmd.to_subprocess() if isinstance(cmd, CLITool) else cmd
-                    for cmd in commands]
-        if len(commands) > 1 and self.multiprog:
-            return self._create_srun_multiprog_command(commands)
-        return self._create_srun_standard_commands(commands)
-
-    def _create_srun_standard_commands(self, commands):
-        n = len(commands)
-        kwargs_lists = {name: _ensure_lists(n, [val])[0]
-                        for name, val in self.srun_kwargs.items()}
-        kwargs_lists['n_tasks'] = _ensure_lists(n, [self.n_tasks])[0]
-
-        srun_commands = []
-        for idx, cmd in enumerate(commands):
-            kw = {name: vals[idx] for name, vals in kwargs_lists.items()}
-            for k, v in self.GLOBAL_SRUN_OPTIONS.items():
-                if kw.get(k) is None:
-                    kw[k] = v
-            srun_commands.append(SRunTool(**kw).to_subprocess() + cmd)
-        return srun_commands
-
-    def _create_srun_multiprog_command(self, commands):
-        kw = {name: val for name, val in self.srun_kwargs.items()
-              if name != 'n_tasks_per_node'}
-        for k, v in self.GLOBAL_SRUN_OPTIONS.items():
-            if kw.get(k) is None:
-                kw[k] = v
-        srun = SRunTool(
-            n_tasks=sum(self.n_tasks),
-            multiprog_config_file_path=self.multiprog_config_file_path,
-            **kw)
-        return [srun.to_subprocess()]
+    def _create_srun_commands(self, commands) -> List[list]:
+        """Plan the final argv list(s): one per command, or one MPMD srun."""
+        argvs = [_as_argv(c) for c in commands]
+        if self._plans_multiprog(len(argvs)):
+            # One srun owning the union of all task ranks; per-command
+            # options are meaningless here (enforced by _check_plan) and
+            # n_tasks_per_node would fight the explicit rank plan.
+            plan = dict(self.GLOBAL_SRUN_OPTIONS)
+            plan.update((k, v) for k, v in self.srun_kwargs.items()
+                        if k != 'n_tasks_per_node' and v is not None)
+            plan['n_tasks'] = sum(self.n_tasks)
+            plan['multiprog_config_file_path'] = \
+                self.multiprog_config_file_path
+            return [SRunTool(**plan).to_subprocess()]
+        plans = self._srun_option_plan(len(argvs))
+        return [SRunTool(**plan).to_subprocess() + argv
+                for plan, argv in zip(plans, argvs)]
 
     def _create_multiprog_config_file(self, commands):
-        commands = [cmd.to_subprocess() if isinstance(cmd, CLITool) else cmd
-                    for cmd in commands]
-        task_ranks = []
-        current = 0
-        for n_tasks in self.n_tasks:
-            ranks = str(current)
-            if n_tasks > 1:
-                ranks += '-' + str(current + n_tasks - 1)
-            task_ranks.append(ranks)
-            current += n_tasks
-
-        with open(self.multiprog_config_file_path, 'w') as f:
-            for idx, cmd in enumerate(commands):
-                f.write(' '.join([task_ranks[idx], *cmd]) + '\n')
+        """Write the ``--multi-prog`` plan file (rank-range per command)."""
+        lines = []
+        next_rank = 0
+        for n_tasks, command in zip(self.n_tasks, commands):
+            block = (str(next_rank) if n_tasks == 1
+                     else f'{next_rank}-{next_rank + n_tasks - 1}')
+            lines.append(' '.join([block, *_as_argv(command)]))
+            next_rank += n_tasks
+        with open(self.multiprog_config_file_path, 'w') as plan_file:
+            plan_file.write('\n'.join(lines) + '\n')
