@@ -1,0 +1,292 @@
+"""Mock-module tests for engine backends absent from this environment.
+
+The psi4/openmm task functions normally never execute here (engines not
+installed); these tests monkeypatch fake engine modules into sys.modules to
+pin the argument plumbing (geometry updates, restart-file options, Context
+caching, convergence policies) — coverage the reference only gets on
+machines with the engines present.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import tfep_tpu.potentials.openmm as openmm_backend
+import tfep_tpu.potentials.psi4 as psi4_backend
+from tfep_tpu.potentials.openmm import (
+    ContextPool, _run_single_point_calculation,
+)
+from tfep_tpu.potentials.psi4 import _run_psi4_task
+
+
+# =============================================================================
+# Fake psi4
+# =============================================================================
+
+class FakeSCFError(Exception):
+    pass
+
+
+class FakeMolecule:
+    def __init__(self):
+        self.geometry = None
+        self.updated = False
+
+    def set_geometry(self, matrix):
+        self.geometry = np.asarray(matrix.array)
+
+    def update_geometry(self):
+        self.updated = True
+
+
+class FakeWavefunction:
+    def energy(self):
+        return -7.5
+
+
+def make_fake_psi4(record, fail=False):
+    fake = types.ModuleType('psi4')
+    fake.SCFConvergenceError = FakeSCFError
+
+    core = types.SimpleNamespace()
+    core.active = None
+
+    def set_active_molecule(mol):
+        core.active = mol
+        record['activated'] = mol
+
+    core.set_active_molecule = set_active_molecule
+    core.get_active_molecule = lambda: core.active
+
+    class Matrix:
+        def __init__(self, array):
+            self.array = array
+
+        from_array = classmethod(lambda cls, a: cls(a))
+
+        def __array__(self, dtype=None, copy=None):
+            return np.asarray(self.array, dtype=dtype)
+
+    core.Matrix = Matrix
+    fake.core = core
+
+    def energy(name, **kwargs):
+        if fail:
+            raise FakeSCFError('no convergence')
+        record['energy_call'] = dict(kwargs, name=name)
+        return -7.25
+
+    def gradient(name, return_wfn=False, **kwargs):
+        if fail:
+            raise FakeSCFError('no convergence')
+        record['gradient_call'] = dict(kwargs, name=name)
+        grad = np.full((2, 3), 0.5)
+        return (Matrix(grad), FakeWavefunction()) if return_wfn else \
+            Matrix(grad)
+
+    fake.energy = energy
+    fake.gradient = gradient
+    return fake
+
+
+@pytest.fixture
+def fake_psi4(monkeypatch):
+    record = {}
+    monkeypatch.setitem(sys.modules, 'psi4', make_fake_psi4(record))
+    monkeypatch.setattr(psi4_backend, 'PSI4_INSTALLED', True)
+    return record
+
+
+def test_psi4_task_energy_plumbing(fake_psi4):
+    mol = FakeMolecule()
+    positions = np.arange(6, dtype=float).reshape(2, 3)
+    energy, forces = _run_psi4_task(
+        'mp2', mol, positions, False, 'orbitals.npy', 'restart.npy',
+        'raise', {'basis': 'sto-3g'})
+    assert energy == -7.25
+    assert forces is None
+    # Geometry updated on the activated molecule.
+    assert fake_psi4['activated'] is mol
+    np.testing.assert_array_equal(mol.geometry, positions)
+    assert mol.updated
+    # Options forwarded to psi4.energy.
+    call = fake_psi4['energy_call']
+    assert call['name'] == 'mp2'
+    assert call['basis'] == 'sto-3g'
+    assert call['write_orbitals'] == 'orbitals.npy'
+    assert call['restart_file'] == 'restart.npy'
+
+
+def test_psi4_task_forces_sign(fake_psi4):
+    positions = np.zeros((2, 3))
+    energy, forces = _run_psi4_task(
+        'scf', FakeMolecule(), positions, True, False, None, 'raise', {})
+    assert energy == -7.5
+    # Forces are the negated gradient.
+    np.testing.assert_allclose(forces, -0.5)
+    # write_orbitals=False / restart_file=None must NOT be forwarded
+    # (psi4 crashes on restart_file=None).
+    call = fake_psi4['gradient_call']
+    assert 'write_orbitals' not in call
+    assert 'restart_file' not in call
+
+
+def test_psi4_task_unconverged_policies(monkeypatch):
+    record = {}
+    monkeypatch.setitem(sys.modules, 'psi4', make_fake_psi4(record, fail=True))
+    positions = np.zeros((2, 3))
+    with pytest.raises(FakeSCFError):
+        _run_psi4_task('scf', FakeMolecule(), positions, False, False, None,
+                       'raise', {})
+    energy, forces = _run_psi4_task(
+        'scf', FakeMolecule(), positions, True, False, None, 'nan', {})
+    assert np.isnan(energy)
+    np.testing.assert_array_equal(forces, np.zeros((2, 3)))
+
+
+def test_psi4_restart_dir_keys(fake_psi4, tmp_path, monkeypatch):
+    """restart_dir derives per-sample paths from trajectory sample keys and
+    only passes restart_file once the file exists."""
+    pot = psi4_backend.Psi4Potential(
+        'scf', molecule=FakeMolecule(), restart_dir=str(tmp_path / 'wfn'))
+    assert pot.uses_sample_keys
+
+    calls = []
+
+    def fake_run(func, args):
+        calls.extend(args)
+        return [(-1.0, None)] * len(args)
+
+    monkeypatch.setattr(pot.parallelization_strategy, 'run', fake_run)
+
+    # Keys ride with the positions through compute_energies.
+    pot.compute_energies(np.zeros((2, 6)), sample_keys=np.array([7, 3]))
+    write_orbitals = [task[4] for task in calls]
+    restart_files = [task[5] for task in calls]
+    assert write_orbitals[0].endswith('sample-7.npy')
+    assert write_orbitals[1].endswith('sample-3.npy')
+    # First visit: no file on disk yet -> no restart_file.
+    assert restart_files == [None, None]
+
+    # Once the engine wrote sample-7, frame 7 warm-starts from it.
+    (tmp_path / 'wfn' / 'sample-7.npy').write_bytes(b'')
+    calls.clear()
+    pot.compute_energies(np.zeros((2, 6)), sample_keys=np.array([7, 3]))
+    assert calls[0][5].endswith('sample-7.npy')
+    assert calls[1][5] is None
+
+
+def test_psi4_restart_dir_requires_keys(fake_psi4, tmp_path):
+    pot = psi4_backend.Psi4Potential(
+        'scf', molecule=FakeMolecule(), restart_dir=str(tmp_path / 'wfn'))
+    with pytest.raises(ValueError, match='sample_keys'):
+        pot.compute_energies(np.zeros((1, 6)))
+
+
+def test_psi4_restart_dir_exclusive(fake_psi4, tmp_path):
+    with pytest.raises(ValueError, match='mutually exclusive'):
+        psi4_backend.Psi4Potential(
+            'scf', restart_dir=str(tmp_path), restart_file='x.npy')
+
+
+# =============================================================================
+# Fake openmm
+# =============================================================================
+
+class FakeState:
+    def __init__(self, n_atoms, forces):
+        self._n = n_atoms
+        self._forces = forces
+
+    def getPotentialEnergy(self):
+        return types.SimpleNamespace(_value=-42.0)
+
+    def getForces(self, asNumpy=False):
+        return types.SimpleNamespace(_value=np.ones((self._n, 3)))
+
+
+class FakeContext:
+    def __init__(self, system, integrator, platform=None):
+        self.system = system
+        self.platform = platform
+        self.positions = None
+        self.box_vectors = None
+
+    def setPeriodicBoxVectors(self, *rows):
+        self.box_vectors = np.stack(rows)
+
+    def setPositions(self, positions):
+        self.positions = np.asarray(positions)
+
+    def getState(self, getEnergy=False, getForces=False):
+        return FakeState(len(self.positions), getForces)
+
+
+def make_fake_openmm(platform_record):
+    fake = types.ModuleType('openmm')
+    fake.Context = FakeContext
+    fake.VerletIntegrator = lambda dt: ('verlet', dt)
+
+    class Platform:
+        def __init__(self, name):
+            self.name = name
+            self.properties = {}
+
+        @staticmethod
+        def getPlatformByName(name):
+            platform = Platform(name)
+            platform_record.append(platform)
+            return platform
+
+        def setPropertyDefaultValue(self, name, value):
+            self.properties[name] = value
+
+    fake.Platform = Platform
+    return fake
+
+
+@pytest.fixture
+def fake_openmm(monkeypatch):
+    platforms = []
+    monkeypatch.setitem(sys.modules, 'openmm', make_fake_openmm(platforms))
+    monkeypatch.setattr(openmm_backend, 'global_context_cache', ContextPool())
+    return platforms
+
+
+def test_openmm_task_plumbing(fake_openmm):
+    positions = np.arange(6, dtype=float).reshape(2, 3)
+    box = np.diag([2.0, 2.0, 2.0])
+    energy, forces = _run_single_point_calculation(
+        'fake-system', 'CPU', {'Threads': '2'}, 'sysA', True, positions, box)
+    assert energy == -42.0
+    np.testing.assert_array_equal(forces, np.ones((2, 3)))
+    # Platform selected and configured.
+    assert fake_openmm[0].name == 'CPU'
+    assert fake_openmm[0].properties == {'Threads': '2'}
+    # Context retained under its system name with state applied.
+    context = openmm_backend.global_context_cache['sysA']
+    np.testing.assert_array_equal(context.positions, positions)
+    np.testing.assert_array_equal(context.box_vectors, box)
+
+
+def test_openmm_context_cache_reuse(fake_openmm):
+    positions = np.zeros((2, 3))
+    _run_single_point_calculation('sys', None, {}, 'named', False,
+                                  positions, None)
+    first = openmm_backend.global_context_cache['named']
+    # Second call with system=None must reuse the cached Context.
+    _run_single_point_calculation(None, None, {}, 'named', False,
+                                  positions, None)
+    assert openmm_backend.global_context_cache['named'] is first
+    # Unknown name without a system is an error.
+    with pytest.raises(KeyError):
+        _run_single_point_calculation(None, None, {}, 'missing', False,
+                                      positions, None)
+
+
+def test_openmm_anonymous_context_not_cached(fake_openmm):
+    _run_single_point_calculation('sys', None, {}, None, False,
+                                  np.zeros((1, 3)), None)
+    assert None not in openmm_backend.global_context_cache

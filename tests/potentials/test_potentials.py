@@ -129,6 +129,32 @@ class TestEnginePotential:
         np.testing.assert_allclose(np.asarray(grad)[0], expected_grad,
                                    rtol=1e-6)
 
+    def test_sample_keys_ride_the_callback(self):
+        """Per-sample keys passed to __call__ reach _compute_batch with the
+        positions (and survive jit + grad)."""
+        seen = []
+
+        class KeyedEngine(HarmonicEngine):
+            uses_sample_keys = True
+
+            def _compute_batch(self, positions, cell, compute_forces):
+                seen.append(np.asarray(self._current_sample_keys))
+                return super()._compute_batch(positions, cell,
+                                              compute_forces)
+
+        pot = KeyedEngine()
+        keys = jnp.asarray([5, 2, 9, 0])
+        x = jnp.ones((BATCH, N_DOFS))
+
+        @jax.jit
+        def total_energy(z, k):
+            return jnp.sum(pot(z, sample_keys=k))
+
+        grad = jax.grad(total_energy)(x, keys)
+        assert np.all(np.isfinite(np.asarray(grad)))
+        for recorded in seen:
+            np.testing.assert_array_equal(recorded, [5, 2, 9, 0])
+
     def test_nan_policy_flows_to_loss(self):
         from tfep_tpu.loss import boltzmann_kl_div_loss
         pot = HarmonicEngine()

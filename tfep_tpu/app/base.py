@@ -330,11 +330,17 @@ class TFEPMapBase:
         """Pure loss function for jit: ``(flow, batch) -> (loss, aux)``."""
         result = self._run_flow(flow, batch, inverse=False)
 
+        potential_kwargs = {}
+        if getattr(self._potential_energy_func, 'uses_sample_keys', False):
+            # Backends keying per-frame state (e.g. psi4 SCF restart files)
+            # receive the trajectory sample indices with the positions.
+            potential_kwargs['sample_keys'] = batch['trajectory_sample_index']
         if 'dimensions' in batch:
             potential = self._potential_energy_func(
-                result['positions'], batch['dimensions'])
+                result['positions'], batch['dimensions'], **potential_kwargs)
         else:
-            potential = self._potential_energy_func(result['positions'])
+            potential = self._potential_energy_func(
+                result['positions'], **potential_kwargs)
         potential = potential / self.kT
 
         if 'log_weights' in batch:

@@ -31,6 +31,7 @@ def make_callback_potential(
         energy_and_forces_fn: Callable,
         energy_fn: Optional[Callable] = None,
         has_cell: bool = False,
+        n_aux: Optional[int] = None,
         vmap_method: str = 'sequential',
 ) -> Callable:
     """Wrap host energy(+forces) functions into a differentiable device fn.
@@ -38,25 +39,32 @@ def make_callback_potential(
     Parameters
     ----------
     energy_and_forces_fn : Callable
-        ``(positions[, cell]) -> (energies, forces)`` with numpy arrays;
+        ``(positions, *aux) -> (energies, forces)`` with numpy arrays;
         positions/forces shape ``(batch, n_dofs)``, energies ``(batch,)``.
         Used on the differentiated path (one engine call per step).
     energy_fn : Callable, optional
-        ``(positions[, cell]) -> energies``. Used on the non-differentiated
+        ``(positions, *aux) -> energies``. Used on the non-differentiated
         path; defaults to calling ``energy_and_forces_fn`` and dropping
         forces (engines where forces are cheap), mirroring
         ``precompute_gradient=False`` semantics otherwise.
     has_cell : bool
-        Whether the returned function takes a ``batch_cell`` second argument.
+        Legacy alias for ``n_aux=1`` (a ``batch_cell`` second argument).
+    n_aux : int, optional
+        Number of auxiliary (non-differentiated) array arguments following
+        the positions — e.g. the box cell, or per-sample integer keys that
+        must travel with the positions through the callback (so host-side
+        state can't race ahead of asynchronous device dispatch).
     vmap_method : str
         Forwarded to ``jax.pure_callback`` for transforms that vmap over it.
 
     Returns
     -------
     potential : Callable
-        ``potential(batch_positions[, batch_cell]) -> (batch,)`` energies,
+        ``potential(batch_positions, *aux) -> (batch,)`` energies,
         differentiable w.r.t. positions (cotangent ``-forces * g``).
     """
+    if n_aux is None:
+        n_aux = 1 if has_cell else 0
 
     def _host_energy(*args):
         if energy_fn is not None:
@@ -67,41 +75,21 @@ def make_callback_potential(
         energies, forces = energy_and_forces_fn(*args)
         return np.asarray(energies), np.asarray(forces)
 
-    if has_cell:
-        @jax.custom_vjp
-        def potential(x, cell):
-            shape = jax.ShapeDtypeStruct(x.shape[:1], x.dtype)
-            return jax.pure_callback(_host_energy, shape, x, cell,
-                                     vmap_method=vmap_method)
-
-        def fwd(x, cell):
-            e_shape = jax.ShapeDtypeStruct(x.shape[:1], x.dtype)
-            f_shape = jax.ShapeDtypeStruct(x.shape, x.dtype)
-            e, f = jax.pure_callback(_host_energy_forces, (e_shape, f_shape),
-                                     x, cell, vmap_method=vmap_method)
-            return e, f
-
-        def bwd(forces, g):
-            return (-forces * g[:, None], None)
-
-        potential.defvjp(fwd, bwd)
-        return potential
-
     @jax.custom_vjp
-    def potential(x):
+    def potential(x, *aux):
         shape = jax.ShapeDtypeStruct(x.shape[:1], x.dtype)
-        return jax.pure_callback(_host_energy, shape, x,
+        return jax.pure_callback(_host_energy, shape, x, *aux,
                                  vmap_method=vmap_method)
 
-    def fwd(x):
+    def fwd(x, *aux):
         e_shape = jax.ShapeDtypeStruct(x.shape[:1], x.dtype)
         f_shape = jax.ShapeDtypeStruct(x.shape, x.dtype)
-        e, f = jax.pure_callback(_host_energy_forces, (e_shape, f_shape), x,
-                                 vmap_method=vmap_method)
+        e, f = jax.pure_callback(_host_energy_forces, (e_shape, f_shape),
+                                 x, *aux, vmap_method=vmap_method)
         return e, f
 
     def bwd(forces, g):
-        return (-forces * g[:, None],)
+        return (-forces * g[:, None],) + (None,) * n_aux
 
     potential.defvjp(fwd, bwd)
     return potential

@@ -45,6 +45,7 @@ class EnginePotential(PotentialBase):
         self.parallelization_strategy = parallelization_strategy
         self.precompute_gradient = precompute_gradient
         self._callback_fns = {}
+        self._current_sample_keys = None
 
         # Cache unit-conversion factors (user <-> engine).
         engine_energy = getattr(ureg, self.ENGINE_ENERGY_UNIT)
@@ -55,6 +56,14 @@ class EnginePotential(PotentialBase):
             Quantity(1.0, engine_energy).to(self.energy_unit).magnitude)
         # Force conversion: (E_engine / L_engine) -> (energy_unit / positions_unit).
         self._force_from_engine = self._energy_from_engine * self._pos_to_engine
+
+    def _sample_working_dir(self, sample_idx: int):
+        """Working dir for one batch sample (file-based backends declare a
+        ``working_dir_path`` attribute, optionally a per-sample list)."""
+        working_dir = getattr(self, 'working_dir_path', None)
+        if isinstance(working_dir, (list, tuple)):
+            return working_dir[sample_idx]
+        return working_dir
 
     # ------------------------------------------------------------------ #
     # Subclass interface (engine units, numpy).
@@ -73,12 +82,14 @@ class EnginePotential(PotentialBase):
     # ------------------------------------------------------------------ #
     # Host entry points in user units.
     # ------------------------------------------------------------------ #
-    def compute_energies_and_forces(self, positions, cell=None):
+    def compute_energies_and_forces(self, positions, cell=None,
+                                    sample_keys=None):
         positions = np.asarray(positions, dtype=np.float64)
         dtype = positions.dtype
         engine_positions = positions * self._pos_to_engine
         engine_cell = (None if cell is None
                        else np.asarray(cell, np.float64) * self._pos_to_engine)
+        self._stage_sample_keys(sample_keys)
         energies, forces = self._compute_batch(
             engine_positions, engine_cell, compute_forces=True)
         energies = np.asarray(energies, dtype) * self._energy_from_engine
@@ -86,40 +97,62 @@ class EnginePotential(PotentialBase):
             * self._force_from_engine
         return energies, forces
 
-    def compute_energies(self, positions, cell=None):
+    def compute_energies(self, positions, cell=None, sample_keys=None):
         positions = np.asarray(positions, dtype=np.float64)
         dtype = positions.dtype
         engine_positions = positions * self._pos_to_engine
         engine_cell = (None if cell is None
                        else np.asarray(cell, np.float64) * self._pos_to_engine)
+        self._stage_sample_keys(sample_keys)
         energies, _ = self._compute_batch(
             engine_positions, engine_cell, compute_forces=False)
         return np.asarray(energies, dtype) * self._energy_from_engine
 
     # ------------------------------------------------------------------ #
+    # Per-sample keys (e.g. trajectory sample indices).
+    # ------------------------------------------------------------------ #
+    #: Whether __call__ should be given per-sample integer keys (e.g.
+    #: ``batch['trajectory_sample_index']``). Backends that key per-frame
+    #: state (like Psi4 SCF restart files) set this True.
+    uses_sample_keys: bool = False
+
+    def _stage_sample_keys(self, sample_keys):
+        """Record this batch's per-sample keys for ``_compute_batch``.
+
+        The keys ride through the device callback together with the
+        positions, so they can never desynchronize from the batch under
+        asynchronous dispatch.
+        """
+        self._current_sample_keys = (
+            None if sample_keys is None
+            else np.asarray(sample_keys).astype(np.int64))
+
+    # ------------------------------------------------------------------ #
     # Device entry point.
     # ------------------------------------------------------------------ #
-    def __call__(self, batch_positions, batch_cell=None):
+    def __call__(self, batch_positions, batch_cell=None, sample_keys=None):
         """Differentiable per-sample energies, usable under jit."""
         has_cell = batch_cell is not None
-        if has_cell not in self._callback_fns:
+        has_keys = sample_keys is not None
+        signature = (has_cell, has_keys)
+        if signature not in self._callback_fns:
             # Differentiated path: one engine call computing energy+forces
             # together (the reference's precompute_gradient=True). The
             # non-differentiated primal path uses the energy-only host call.
-            if has_cell:
-                self._callback_fns[True] = make_callback_potential(
-                    lambda p, c: self.compute_energies_and_forces(p, c),
-                    energy_fn=lambda p, c: self.compute_energies(p, c),
-                    has_cell=True)
-            else:
-                self._callback_fns[False] = make_callback_potential(
-                    lambda p: self.compute_energies_and_forces(p),
-                    energy_fn=lambda p: self.compute_energies(p),
-                    has_cell=False)
-        fn = self._callback_fns[has_cell]
-        if has_cell:
-            return fn(batch_positions, batch_cell)
-        return fn(batch_positions)
+            def host_args(p, *aux):
+                aux = list(aux)
+                return {'cell': aux.pop(0) if has_cell else None,
+                        'sample_keys': aux.pop(0) if has_keys else None}
+
+            self._callback_fns[signature] = make_callback_potential(
+                lambda p, *aux: self.compute_energies_and_forces(
+                    p, **host_args(p, *aux)),
+                energy_fn=lambda p, *aux: self.compute_energies(
+                    p, **host_args(p, *aux)),
+                n_aux=has_cell + has_keys)
+        fn = self._callback_fns[signature]
+        aux = [a for a in (batch_cell, sample_keys) if a is not None]
+        return fn(batch_positions, *aux)
 
     #: Finite-difference step for force-matching vector-Hessian products.
     fd_step: float = 1e-4

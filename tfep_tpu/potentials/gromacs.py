@@ -11,6 +11,7 @@ energy is extracted via ``gmx energy`` instead).
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
 import subprocess
@@ -22,6 +23,7 @@ import numpy as np
 from tfep_tpu.parallel.cli import CLITool, FlagOption, KeyValueOption
 from tfep_tpu.parallel.launcher import Launcher
 from tfep_tpu.potentials.engine import EnginePotential
+from tfep_tpu.utils.misc import clear_directory
 
 __all__ = ['GROMACSPotential', 'GmxGrompp', 'GmxMdrun', 'GmxTraj',
            'GmxEnergy']
@@ -113,13 +115,8 @@ class GROMACSPotential(EnginePotential):
 
     def _compute_batch(self, positions: np.ndarray,
                        cell: Optional[np.ndarray], compute_forces: bool):
-        n_samples = positions.shape[0]
         task_args = []
-        for i in range(n_samples):
-            if isinstance(self.working_dir_path, (list, tuple)):
-                wdir = self.working_dir_path[i]
-            else:
-                wdir = self.working_dir_path
+        for i in range(positions.shape[0]):
             box_vectors = None
             if cell is not None:
                 box_vectors = _cell_to_box_vectors(cell[i])
@@ -128,7 +125,7 @@ class GROMACSPotential(EnginePotential):
                 self.cleanup_working_dir, self.launcher_kwargs,
                 self.mdrun_kwargs, self.on_mdrun_error,
                 positions[i].reshape(-1, 3), box_vectors, self.launcher,
-                wdir))
+                self._sample_working_dir(i)))
         results = self.parallelization_strategy.run(_run_gromacs_task,
                                                     task_args)
         energies = np.asarray([r[0] for r in results])
@@ -215,56 +212,60 @@ def _read_forces(traj_file_path: str, tpr_file_path: str,
     return np.atleast_2d(_read_xvg(xvg_file_path))[0, 1:].reshape(-1, 3)
 
 
+def _rerun_single_point(scratch_dir, tpr_file_path, positions_nm,
+                        box_vectors_nm, launcher, launcher_kwargs,
+                        mdrun_kwargs):
+    """Stage the frame in ``scratch_dir`` and rerun it through mdrun.
+
+    Returns ``(returncode, edr_path, trr_path)``; the caller decides how
+    to react to a failed run and which outputs to read back.
+    """
+    frame_path = _create_g96_file(scratch_dir, positions_nm, box_vectors_nm)
+    outputs = {'edr': os.path.join(scratch_dir, 'energy.edr'),
+               'trr': os.path.join(scratch_dir, 'traj.trr')}
+    mdrun = GmxMdrun(tpr_file_path=tpr_file_path,
+                     rerun_traj_file_path=frame_path,
+                     traj_file_path=outputs['trr'],
+                     edr_file_path=outputs['edr'],
+                     **(mdrun_kwargs or {}))
+    completed = (launcher or Launcher()).run(
+        mdrun, cwd=scratch_dir, **(launcher_kwargs or {}))
+    return completed.returncode, outputs['edr'], outputs['trr']
+
+
 def _run_gromacs_task(tpr_file_path, return_forces, cleanup_working_dir,
                       launcher_kwargs, mdrun_kwargs, on_mdrun_error,
                       positions_nm, box_vectors_nm, launcher,
                       working_dir_path):
-    """One ``gmx mdrun -rerun`` single point (nm in, kJ/mol out)."""
-    if launcher is None:
-        launcher = Launcher()
-    launcher_kwargs = launcher_kwargs or {}
-    mdrun_kwargs = mdrun_kwargs or {}
+    """One ``gmx mdrun -rerun`` single point (nm in, kJ/mol out).
 
-    tmp_dir = None
-    try:
+    Without a ``working_dir_path`` the frame runs in a throwaway temp
+    directory; otherwise the given directory is used (and optionally
+    emptied afterwards).
+    """
+    with contextlib.ExitStack() as scratch_stack:
         if working_dir_path is None:
-            tmp_dir = tempfile.TemporaryDirectory()
-            working_dir_path = tmp_dir.name
-        working_dir_path = os.path.realpath(working_dir_path)
+            scratch_dir = scratch_stack.enter_context(
+                tempfile.TemporaryDirectory())
+        else:
+            scratch_dir = working_dir_path
+            if cleanup_working_dir:
+                scratch_stack.callback(clear_directory, scratch_dir)
+        scratch_dir = os.path.realpath(scratch_dir)
 
-        g96_file_path = _create_g96_file(working_dir_path, positions_nm,
-                                         box_vectors_nm)
+        returncode, edr_path, trr_path = _rerun_single_point(
+            scratch_dir, tpr_file_path, positions_nm, box_vectors_nm,
+            launcher, launcher_kwargs, mdrun_kwargs)
 
-        edr_file_path = os.path.join(working_dir_path, 'energy.edr')
-        traj_file_path = os.path.join(working_dir_path, 'traj.trr')
-        mdrun_cmd = GmxMdrun(tpr_file_path=tpr_file_path,
-                             rerun_traj_file_path=g96_file_path,
-                             traj_file_path=traj_file_path,
-                             edr_file_path=edr_file_path,
-                             **mdrun_kwargs)
-        completed = launcher.run(mdrun_cmd, cwd=working_dir_path,
-                                 **launcher_kwargs)
-
-        if completed.returncode != 0:
-            if on_mdrun_error == 'raise':
-                raise RuntimeError('Single-point energy with mdrun returned '
-                                   'non-zero exit code.')
+        if returncode == 0:
+            energy = _read_energy(edr_path, scratch_dir)
+            forces = (_read_forces(trr_path, tpr_file_path, scratch_dir)
+                      if return_forces else None)
+        elif on_mdrun_error == 'raise':
+            raise RuntimeError('Single-point energy with mdrun returned '
+                               'non-zero exit code.')
+        else:
             energy = np.nan
             forces = np.zeros_like(positions_nm) if return_forces else None
-        else:
-            energy = _read_energy(edr_file_path, working_dir_path)
-            forces = (_read_forces(traj_file_path, tpr_file_path,
-                                   working_dir_path)
-                      if return_forces else None)
-    finally:
-        if tmp_dir is not None:
-            tmp_dir.cleanup()
-        elif cleanup_working_dir:
-            for name in os.listdir(working_dir_path):
-                path = os.path.join(working_dir_path, name)
-                if os.path.isfile(path) or os.path.islink(path):
-                    os.unlink(path)
-                elif os.path.isdir(path):
-                    shutil.rmtree(path)
 
     return energy, forces

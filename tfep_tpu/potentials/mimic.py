@@ -11,9 +11,11 @@ Energies come from the CPMD ``ENERGIES`` file and forces from
 retries on crash-without-error-file, ``LocalError-*.log`` detection, and
 ``DENSITY NOT CONVERGED`` stdout parsing with
 ``on_unconverged='raise'|'nan'|'success'`` and ``on_local_error`` policies.
-Engine units hartree/bohr. Reference behaviors:
-/root/reference/tfep/potentials/mimic.py:53-1488 (the grompp input file is
-written natively in .g96 format here instead of via MDAnalysis).
+Engine units hartree/bohr. Capability parity with the reference backend
+(/root/reference/tfep/potentials/mimic.py); rebuilt here around a
+:class:`_CpmdDeck` parsed-input object and a staged single-point task
+(prepare -> attempt loop -> policy resolution). The grompp input file is
+written natively in .g96 format instead of via MDAnalysis.
 """
 
 from __future__ import annotations
@@ -22,9 +24,8 @@ import copy
 import glob
 import os
 import re
-import shutil
 import subprocess
-from typing import Optional
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -35,7 +36,7 @@ from tfep_tpu.potentials.gromacs import (
     GmxGrompp, GmxMdrun, _create_g96_file,
 )
 from tfep_tpu.units import Quantity, ureg
-from tfep_tpu.utils.misc import temporary_cd
+from tfep_tpu.utils.misc import clear_directory, temporary_cd
 
 __all__ = ['MiMiCPotential', 'Cpmd']
 
@@ -101,13 +102,8 @@ class MiMiCPotential(EnginePotential):
 
     def _compute_batch(self, positions: np.ndarray,
                        cell: Optional[np.ndarray], compute_forces: bool):
-        n_samples = positions.shape[0]
         task_args = []
-        for i in range(n_samples):
-            if isinstance(self.working_dir_path, (list, tuple)):
-                wdir = self.working_dir_path[i]
-            else:
-                wdir = self.working_dir_path
+        for i in range(positions.shape[0]):
             box = None if cell is None else np.asarray(cell[i])[:3]
             task_args.append((
                 self.cpmd_cmd, self.mdrun_cmd, self.grompp_cmd,
@@ -115,7 +111,8 @@ class MiMiCPotential(EnginePotential):
                 self.cleanup_working_dir, self.launcher_kwargs,
                 self.grompp_launcher_kwargs, self.n_attempts,
                 self.on_unconverged, self.on_local_error,
-                positions[i].reshape(-1, 3), box, self.launcher, wdir))
+                positions[i].reshape(-1, 3), box, self.launcher,
+                self._sample_working_dir(i)))
         results = self.parallelization_strategy.run(_run_mimic_task,
                                                     task_args)
         energies = np.asarray([r[0] for r in results])
@@ -125,90 +122,139 @@ class MiMiCPotential(EnginePotential):
 
 
 # =============================================================================
-# CPMD input parsing (engine-independent; tested without the engine)
+# CPMD input deck (engine-independent; tested without the engine)
 # =============================================================================
 
-def _parse_cpmd_mimic_block(lines, line_idx, parsed):
-    """Parse the &MIMIC block: PATHS line, BOX line, OVERLAPS index map."""
-    parsed['paths_line_idx'] = None
-    parsed['box_vectors_line_idx'] = None
-    parsed['gromacs_to_cpmd_qm_atom_indices'] = {}
+def _split_sections(lines) -> Dict[str, List[int]]:
+    """Group file rows by the ``&SECTION`` they belong to.
 
-    while line_idx < len(lines):
-        line = lines[line_idx].strip()
-        if line.startswith('PATHS'):
-            # Line+1: number of layers; line+2: the working-directory path.
-            parsed['paths_line_idx'] = line_idx + 2
-            line_idx += 3
-        elif line.startswith('BOX'):
-            parsed['box_vectors_line_idx'] = line_idx + 1
-            line_idx += 2
-        elif line.startswith('OVERLAPS'):
-            n_atoms = int(lines[line_idx + 1])
-            line_idx += 2
-            for i in range(n_atoms):
-                fields = lines[line_idx + i].split()
-                gromacs_idx, cpmd_idx = int(fields[1]) - 1, int(fields[3]) - 1
-                if fields[0] == '1':
-                    gromacs_idx, cpmd_idx = cpmd_idx, gromacs_idx
-                parsed['gromacs_to_cpmd_qm_atom_indices'][gromacs_idx] = \
-                    cpmd_idx
-            line_idx += n_atoms
-        elif line.startswith('&END'):
-            break
-        else:
-            line_idx += 1
-    return line_idx + 1
+    Returns ``{section_name: [row, ...]}`` with rows in file order; the
+    section header and ``&END`` rows themselves are excluded.
+    """
+    sections: Dict[str, List[int]] = {}
+    current = None
+    for row, raw in enumerate(lines):
+        word = raw.strip().upper()
+        if word.startswith('&'):
+            current = None if word == '&END' else word
+            continue
+        if current is not None:
+            sections.setdefault(current, []).append(row)
+    return sections
 
 
-def _parse_cpmd_atoms_block(lines, line_idx, parsed):
-    """Parse the &ATOMS block: CPMD atom index -> coordinate line index."""
-    parsed['cpmd_atom_to_line_idx'] = {}
-    current_atom_idx = 0
-    while line_idx < len(lines):
-        line = lines[line_idx].strip()
-        if line.startswith('*'):
-            # New atom type: line+1 nonlocality, line+2 number of atoms.
-            n_atoms = int(lines[line_idx + 2])
-            line_idx += 3
-            for j in range(n_atoms):
-                parsed['cpmd_atom_to_line_idx'][current_atom_idx] = \
-                    line_idx + j
-                current_atom_idx += 1
-            line_idx += n_atoms
-        elif line.startswith('&END'):
-            break
-        else:
-            line_idx += 1
-    return line_idx + 1
+class _CpmdDeck:
+    """A CPMD input file parsed into the pieces MiMiC needs to rewrite.
 
+    Attributes
+    ----------
+    lines : list of str
+        Raw file lines (mutated in place by the ``set_*`` methods).
+    paths_row : int or None
+        Row holding the &MIMIC working-directory path (two rows below the
+        ``PATHS`` keyword: keyword, layer count, then the path itself).
+    box_row : int or None
+        Row holding the &MIMIC BOX vector.
+    overlap_map : dict
+        GROMACS atom index -> CPMD atom index (0-based), from the
+        ``OVERLAPS`` table. Each table row is ``code_a idx_a code_b idx_b``
+        with 1-based indices; code 2 marks the GROMACS side.
+    coord_rows : list of int
+        Row of the coordinate line of each CPMD atom, in CPMD order
+        (accumulated across the per-species ``*`` groups of &ATOMS).
+    """
 
-_parse_cpmd_block_dispatch = {
-    '&MIMIC': _parse_cpmd_mimic_block,
-    '&ATOMS': _parse_cpmd_atoms_block,
-}
+    def __init__(self, path: str):
+        with open(path) as f:
+            self.lines = f.readlines()
+        self.paths_row: Optional[int] = None
+        self.box_row: Optional[int] = None
+        self.overlap_map: Dict[int, int] = {}
+        self.coord_rows: List[int] = []
+
+        sections = _split_sections(self.lines)
+        if '&MIMIC' in sections:
+            self._scan_mimic(sections['&MIMIC'])
+        if '&ATOMS' in sections:
+            self._scan_atoms(sections['&ATOMS'])
+
+    def _scan_mimic(self, rows: List[int]):
+        at = 0
+        while at < len(rows):
+            keyword = self.lines[rows[at]].split()
+            keyword = keyword[0].upper() if keyword else ''
+            if keyword == 'PATHS':
+                self.paths_row = rows[at + 2]
+                at += 3
+            elif keyword == 'BOX':
+                self.box_row = rows[at + 1]
+                at += 2
+            elif keyword == 'OVERLAPS':
+                n_entries = int(self.lines[rows[at + 1]])
+                for entry_row in rows[at + 2:at + 2 + n_entries]:
+                    code_a, idx_a, _, idx_b = \
+                        self.lines[entry_row].split()[:4]
+                    pair = (int(idx_a) - 1, int(idx_b) - 1)
+                    if code_a == '1':  # CPMD side listed first
+                        cpmd_idx, gromacs_idx = pair
+                    else:
+                        gromacs_idx, cpmd_idx = pair
+                    self.overlap_map[gromacs_idx] = cpmd_idx
+                at += 2 + n_entries
+            else:
+                at += 1
+
+    def _scan_atoms(self, rows: List[int]):
+        at = 0
+        while at < len(rows):
+            if self.lines[rows[at]].lstrip().startswith('*'):
+                # Species group: pseudopotential line, nonlocality line,
+                # atom count, then one coordinate line per atom.
+                n_atoms = int(self.lines[rows[at + 2]])
+                self.coord_rows.extend(rows[at + 3:at + 3 + n_atoms])
+                at += 3 + n_atoms
+            else:
+                at += 1
+
+    # -- rewriting ------------------------------------------------------ #
+    def retarget(self, working_dir_path: str) -> bool:
+        """Point &MIMIC.PATHS at ``working_dir_path`` (no-op if already)."""
+        if self.paths_row is None:
+            return False
+        current = self.lines[self.paths_row].strip()
+        if os.path.realpath(current) == working_dir_path:
+            return False
+        self.lines[self.paths_row] = working_dir_path + '\n'
+        return True
+
+    def set_box(self, box_bohr):
+        if self.box_row is not None:
+            self.lines[self.box_row] = \
+                ' '.join(str(x) for x in box_bohr) + '\n'
+
+    def set_qm_positions(self, positions_bohr):
+        """Write the QM atoms' coordinates (GROMACS-ordered full-system
+        positions in) into the &ATOMS block via the overlap map."""
+        for gromacs_idx, cpmd_idx in self.overlap_map.items():
+            row = self.coord_rows[cpmd_idx]
+            self.lines[row] = \
+                ' '.join(str(x) for x in positions_bohr[gromacs_idx]) + '\n'
+
+    def write(self, path: str):
+        with open(path, 'w') as f:
+            f.writelines(self.lines)
 
 
 def _parse_cpmd_input(cpmd_input_file_path):
-    """Parse a CPMD input file; see the block parsers for what is extracted."""
-    with open(cpmd_input_file_path) as f:
-        lines = f.readlines()
+    """Parse a CPMD input file (compatibility tuple view of _CpmdDeck)."""
+    deck = _CpmdDeck(cpmd_input_file_path)
+    return (deck.lines, deck.paths_row, deck.box_row, deck.overlap_map,
+            deck.coord_rows)
 
-    parsed = {}
-    line_idx = 0
-    while line_idx < len(lines):
-        line = lines[line_idx].strip()
-        if line in _parse_cpmd_block_dispatch:
-            line_idx = _parse_cpmd_block_dispatch[line](
-                lines, line_idx + 1, parsed)
-        else:
-            line_idx += 1
 
-    return (lines, parsed.get('paths_line_idx'),
-            parsed.get('box_vectors_line_idx'),
-            parsed.get('gromacs_to_cpmd_qm_atom_indices', {}),
-            parsed.get('cpmd_atom_to_line_idx', {}))
-
+# =============================================================================
+# CPMD output readers
+# =============================================================================
 
 def _read_first_energy(cpmd_dir_path):
     """First-step energy (hartree) from the CPMD ENERGIES trajectory file."""
@@ -221,64 +267,57 @@ def _read_first_energy(cpmd_dir_path):
 
 
 def _read_first_force(cpmd_dir_path, gromacs_to_cpmd_atom_indices):
-    """First-step forces (hartree/bohr) from FTRAJECTORY, GROMACS-ordered."""
-    force = []
+    """First-step forces (hartree/bohr) from FTRAJECTORY, GROMACS-ordered.
+
+    FTRAJECTORY rows are ``step x y z vx vy vz fx fy fz`` in CPMD atom
+    order; the overlap map relabels rows back to GROMACS order (atoms
+    absent from the map keep their position).
+    """
+    step1 = []
     with open(os.path.join(cpmd_dir_path, 'FTRAJECTORY')) as f:
         for line in f:
             fields = line.split()
             if fields and fields[0] == '1':
-                force.append([float(x) for x in fields[7:]])
-    n_atoms = len(force)
-    force = [force[gromacs_to_cpmd_atom_indices.get(i, i)]
-             for i in range(n_atoms)]
-    return np.asarray(force)
+                step1.append(fields[7:10])
+    forces_cpmd = np.asarray(step1, dtype=float)
+    rows = np.arange(len(forces_cpmd))
+    for gromacs_idx, cpmd_idx in gromacs_to_cpmd_atom_indices.items():
+        rows[gromacs_idx] = cpmd_idx
+    return forces_cpmd[rows]
 
 
 # =============================================================================
-# Command preparation
+# Single-point task
 # =============================================================================
 
 def _prepare_cpmd_command(cpmd_cmd, working_dir_path, positions_bohr=None,
                           box_bohr=None):
-    """Point &MIMIC.PATHS at the working dir and rewrite QM coordinates/box.
+    """Stage the per-sample CPMD input inside the working directory.
 
-    ``positions_bohr``: (n_atoms, 3) full-system positions in bohr, indexed by
-    GROMACS atom order; only the QM atoms present in the OVERLAPS map are
-    written into the &ATOMS block. Returns a (possibly copied) Cpmd command
-    whose input file is ``cpmd.inp`` in the working directory.
+    Rewrites &MIMIC.PATHS to the working dir and, when positions are
+    given, the box vector and QM coordinates. Returns the (possibly
+    re-pointed) Cpmd command and the GROMACS->CPMD overlap map.
     """
-    OUTPUT_CPMD_FILE_NAME = 'cpmd.inp'
+    staged_name = 'cpmd.inp'
 
+    # The template path in the command may be relative to the working dir.
     with temporary_cd(working_dir_path):
-        cpmd_input_file_path = os.path.realpath(cpmd_cmd.args[0])
+        template_path = os.path.realpath(cpmd_cmd.args[0])
+    deck = _CpmdDeck(template_path)
 
-    (lines, paths_line_idx, box_line_idx, gromacs_to_cpmd_qm,
-     cpmd_atom_to_line_idx) = _parse_cpmd_input(cpmd_input_file_path)
-
-    modified = False
-    if paths_line_idx is not None:
-        paths_value = lines[paths_line_idx].strip()
-        if working_dir_path != os.path.realpath(paths_value):
-            lines[paths_line_idx] = working_dir_path + '\n'
-            modified = True
-
+    dirty = deck.retarget(working_dir_path)
     if positions_bohr is not None:
-        if box_bohr is not None and box_line_idx is not None:
-            lines[box_line_idx] = ' '.join(str(x) for x in box_bohr) + '\n'
-        for gromacs_idx, cpmd_idx in gromacs_to_cpmd_qm.items():
-            line_idx = cpmd_atom_to_line_idx[cpmd_idx]
-            lines[line_idx] = ' '.join(
-                str(x) for x in positions_bohr[gromacs_idx]) + '\n'
-        modified = True
+        if box_bohr is not None:
+            deck.set_box(box_bohr)
+        deck.set_qm_positions(positions_bohr)
+        dirty = True
 
-    if modified:
-        with open(os.path.join(working_dir_path,
-                               OUTPUT_CPMD_FILE_NAME), 'w') as f:
-            f.writelines(lines)
+    if dirty:
+        deck.write(os.path.join(working_dir_path, staged_name))
         cpmd_cmd = copy.deepcopy(cpmd_cmd)
-        cpmd_cmd.args = (OUTPUT_CPMD_FILE_NAME,) + tuple(cpmd_cmd.args[1:])
+        cpmd_cmd.args = (staged_name,) + tuple(cpmd_cmd.args[1:])
 
-    return cpmd_cmd, gromacs_to_cpmd_qm
+    return cpmd_cmd, deck.overlap_map
 
 
 def _prepare_mdrun_command(mdrun_cmd, grompp_cmd, working_dir_path,
@@ -288,110 +327,95 @@ def _prepare_mdrun_command(mdrun_cmd, grompp_cmd, working_dir_path,
     if positions_bohr is None:
         return mdrun_cmd
 
-    tpr_file_name = 'gromacs.tpr'
-    g96_file_name = 'configuration.g96'
-
-    if grompp_launcher is None:
-        grompp_launcher = Launcher()
-
+    conf_name, tpr_name = 'configuration.g96', 'gromacs.tpr'
     positions_nm = np.asarray(positions_bohr) * _BOHR_TO_NM
-    box_vectors_nm = (None if box_bohr is None
-                      else np.diag(np.asarray(box_bohr) * _BOHR_TO_NM))
-    _create_g96_file(working_dir_path, positions_nm, box_vectors_nm)
+    box_nm = (None if box_bohr is None
+              else np.diag(np.asarray(box_bohr) * _BOHR_TO_NM))
+    _create_g96_file(working_dir_path, positions_nm, box_nm)
+
+    grompp_cmd = copy.deepcopy(grompp_cmd)
+    grompp_cmd.trajectory_input_file_path = conf_name
+    grompp_cmd.tpr_output_file_path = tpr_name
+    (grompp_launcher or Launcher()).run(
+        grompp_cmd, cwd=working_dir_path, **kwargs)
 
     mdrun_cmd = copy.deepcopy(mdrun_cmd)
-    grompp_cmd = copy.deepcopy(grompp_cmd)
-    grompp_cmd.trajectory_input_file_path = g96_file_name
-    grompp_cmd.tpr_output_file_path = tpr_file_name
-    grompp_launcher.run(grompp_cmd, cwd=working_dir_path, **kwargs)
-
-    mdrun_cmd.tpr_file_path = tpr_file_name
+    mdrun_cmd.tpr_file_path = tpr_name
     return mdrun_cmd
 
-
-# =============================================================================
-# Task
-# =============================================================================
 
 def _run_mimic_task(cpmd_cmd, mdrun_cmd, grompp_cmd, grompp_launcher,
                     return_forces, cleanup_working_dir, launcher_kwargs,
                     grompp_launcher_kwargs, n_attempts, on_unconverged,
                     on_local_error, positions_bohr, box_bohr, launcher,
                     working_dir_path):
-    """One MiMiC single point (bohr in, hartree out) with retries."""
-    launcher_kwargs = dict(launcher_kwargs or {})
-    grompp_launcher_kwargs = grompp_launcher_kwargs or {}
+    """One MiMiC single point (bohr in, hartree out) with retries.
 
-    check_convergence = on_unconverged != 'success'
-    if check_convergence and \
+    Stages: prepare the per-sample inputs, run the CPMD+mdrun pair up to
+    ``n_attempts`` times, classify the outcome (``ok`` / ``unconverged`` /
+    ``local_error``), then apply the configured failure policy.
+    """
+    launcher_kwargs = dict(launcher_kwargs or {})
+
+    watch_convergence = on_unconverged != 'success'
+    if watch_convergence and \
             launcher_kwargs.get('stdout') != subprocess.PIPE:
         raise ValueError(
             f"If on_unconverged={on_unconverged}, then 'launcher_kwargs' "
             'must include stdout=subprocess.PIPE')
 
-    if working_dir_path is None:
-        working_dir_path = os.getcwd()
-    working_dir_path = os.path.realpath(working_dir_path)
+    working_dir_path = os.path.realpath(working_dir_path or os.getcwd())
 
-    cpmd_cmd, gromacs_to_cpmd_qm = _prepare_cpmd_command(
+    # -- prepare -------------------------------------------------------- #
+    cpmd_cmd, overlap_map = _prepare_cpmd_command(
         cpmd_cmd, working_dir_path, positions_bohr, box_bohr)
     mdrun_cmd = _prepare_mdrun_command(
         mdrun_cmd, grompp_cmd, working_dir_path, positions_bohr, box_bohr,
-        grompp_launcher, **grompp_launcher_kwargs)
+        grompp_launcher, **(grompp_launcher_kwargs or {}))
+    launcher = launcher or Launcher()
 
-    if launcher is None:
-        launcher = Launcher()
-
-    has_local_error = False
-    is_unconverged = False
-    energy = None
-    forces = None
-
+    # -- attempt loop --------------------------------------------------- #
     # MiMiC's file-based communication is fragile: a crash before the
-    # ENERGIES file is written raises FileNotFoundError -> retry.
-    for attempt_idx in range(n_attempts):
+    # ENERGIES file is written surfaces as FileNotFoundError. A crash that
+    # left a LocalError log is a real engine failure (no retry); anything
+    # else gets retried up to n_attempts times.
+    status = 'ok'
+    energy, forces = None, None
+    for attempts_left in reversed(range(n_attempts)):
         try:
-            result = launcher.run(cpmd_cmd, mdrun_cmd, cwd=working_dir_path,
-                                  **launcher_kwargs)
-            result_cpmd = result[0] if isinstance(result, list) else result
+            outputs = launcher.run(cpmd_cmd, mdrun_cmd,
+                                   cwd=working_dir_path, **launcher_kwargs)
+            cpmd_output = outputs[0] if isinstance(outputs, list) else outputs
 
-            if check_convergence:
-                is_unconverged = result_cpmd.stdout is not None and \
-                    re.search(b'DENSITY NOT CONVERGED',
-                              result_cpmd.stdout) is not None
-
-            if not is_unconverged:
+            if (watch_convergence and cpmd_output.stdout is not None
+                    and re.search(b'DENSITY NOT CONVERGED',
+                                  cpmd_output.stdout)):
+                status = 'unconverged'
+            else:
                 energy = _read_first_energy(working_dir_path)
                 if return_forces:
-                    forces = _read_first_force(working_dir_path,
-                                               gromacs_to_cpmd_qm)
+                    forces = _read_first_force(working_dir_path, overlap_map)
             break
         except FileNotFoundError:
-            local_errors = glob.glob(
-                os.path.join(working_dir_path, 'LocalError-*.log'))
-            if local_errors:
-                has_local_error = True
+            if glob.glob(os.path.join(working_dir_path, 'LocalError-*.log')):
+                status = 'local_error'
                 break
-            if attempt_idx == n_attempts - 1:
+            if attempts_left == 0:
                 raise RuntimeError('Cannot run MiMiC.')
 
-    if is_unconverged or has_local_error:
-        if ((is_unconverged and on_unconverged == 'nan')
-                or (has_local_error and on_local_error == 'nan')):
-            energy = np.nan
-            forces = np.zeros_like(positions_bohr) if return_forces else None
-        elif is_unconverged:
-            raise RuntimeError(
-                'The self consistent calculation did not converge.')
-        else:
-            raise RuntimeError('Detected LocalError-X-X-X.log file.')
+    # -- policy resolution ---------------------------------------------- #
+    policy = {'ok': None, 'unconverged': on_unconverged,
+              'local_error': on_local_error}[status]
+    if policy == 'nan':
+        energy = np.nan
+        forces = np.zeros_like(positions_bohr) if return_forces else None
+    elif policy is not None:
+        raise RuntimeError(
+            'The self consistent calculation did not converge.'
+            if status == 'unconverged'
+            else 'Detected LocalError-X-X-X.log file.')
 
     if cleanup_working_dir:
-        for name in os.listdir(working_dir_path):
-            path = os.path.join(working_dir_path, name)
-            if os.path.isfile(path) or os.path.islink(path):
-                os.unlink(path)
-            elif os.path.isdir(path):
-                shutil.rmtree(path)
+        clear_directory(working_dir_path)
 
     return energy, forces

@@ -1,10 +1,11 @@
 """OpenMM potential: classical MM energies/forces via the OpenMM Context.
 
-Engine units kJ/mol and nanometer. A module-level ``global_context_cache``
-keyed by ``system_name`` avoids re-creating Contexts (expensive) across
-batches and across pool workers; ``batch_cell`` rows are interpreted as box
-lengths/vectors. Reference behaviors:
-/root/reference/tfep/potentials/openmm.py:38-492.
+Engine units kJ/mol and nanometer. Contexts are expensive to build, so a
+process-wide :class:`ContextPool` (exposed as ``global_context_cache`` for
+reference-API parity, /root/reference/tfep/potentials/openmm.py) hands out
+one reusable Context per named system — including inside pool workers,
+where each process builds its own on first use. ``batch_cell`` rows are
+interpreted as box lengths/vectors.
 """
 
 from __future__ import annotations
@@ -23,8 +24,56 @@ try:
 except ImportError:
     OPENMM_INSTALLED = False
 
-#: Cache of Context objects, keyed by system_name.
-global_context_cache: dict = {}
+
+def _build_context(system, platform_name, platform_properties):
+    from openmm import Context, Platform, VerletIntegrator
+
+    # The integrator is never stepped (single points only).
+    integrator = VerletIntegrator(0.001)
+    if platform_name is None:
+        return Context(system, integrator)
+    platform = Platform.getPlatformByName(platform_name)
+    for prop, value in (platform_properties or {}).items():
+        platform.setPropertyDefaultValue(prop, value)
+    return Context(system, integrator, platform)
+
+
+class ContextPool(dict):
+    """Named-system Context store (a dict keyed by ``system_name``).
+
+    ``acquire`` returns the cached Context for a name, building (and, if
+    the name is not None, retaining) one from the given system otherwise.
+    """
+
+    def acquire(self, system_name, system, platform_name=None,
+                platform_properties=None):
+        if system_name in self:
+            return self[system_name]
+        if system is None:
+            raise KeyError(
+                f'No cached OpenMM Context named {system_name!r} and no '
+                'System to build one from.')
+        context = _build_context(system, platform_name, platform_properties)
+        if system_name is not None:
+            self[system_name] = context
+        return context
+
+
+#: Process-wide Context store, keyed by system_name.
+global_context_cache = ContextPool()
+
+
+def _as_box_vectors(cell_row):
+    """One batch_cell row -> (3, 3) box vectors (engine units)."""
+    cell_row = np.asarray(cell_row)
+    if cell_row.shape == (3, 3):
+        return cell_row
+    if cell_row.shape == (3,):
+        return np.diag(cell_row)
+    if cell_row.shape == (6,):
+        # Lengths + angles: only orthorhombic boxes supported here.
+        return np.diag(cell_row[:3])
+    raise ValueError(f'Unsupported cell shape {cell_row.shape}.')
 
 
 class OpenMMPotential(EnginePotential):
@@ -57,25 +106,12 @@ class OpenMMPotential(EnginePotential):
 
     def _compute_batch(self, positions: np.ndarray,
                        cell: Optional[np.ndarray], compute_forces: bool):
-        task_args = []
-        for i in range(positions.shape[0]):
-            box_vectors = None
-            if cell is not None:
-                c = np.asarray(cell[i])
-                if c.shape == (3, 3):
-                    box_vectors = c
-                elif c.shape == (3,):
-                    box_vectors = np.diag(c)
-                elif c.shape == (6,):
-                    # Lengths (already engine units) + angles: only
-                    # orthorhombic boxes supported here.
-                    box_vectors = np.diag(c[:3])
-                else:
-                    raise ValueError(f'Unsupported cell shape {c.shape}.')
-            task_args.append((self.system, self.platform_name,
-                              self.platform_properties, self.system_name,
-                              compute_forces, positions[i].reshape(-1, 3),
-                              box_vectors))
+        task_args = [
+            (self.system, self.platform_name, self.platform_properties,
+             self.system_name, compute_forces,
+             positions[i].reshape(-1, 3),
+             None if cell is None else _as_box_vectors(cell[i]))
+            for i in range(positions.shape[0])]
         results = self.parallelization_strategy.run(
             _run_single_point_calculation, task_args)
         energies = np.asarray([r[0] for r in results])
@@ -88,25 +124,8 @@ def _run_single_point_calculation(system, platform_name, platform_properties,
                                   system_name, return_forces, positions,
                                   box_vectors):
     """One OpenMM single point (nm in, kJ/mol out), Context cached."""
-    global global_context_cache
-
-    try:
-        context = global_context_cache[system_name]
-    except KeyError:
-        if system is None:
-            raise
-        from openmm import Context, Platform, VerletIntegrator
-
-        integrator = VerletIntegrator(0.001)
-        if platform_name is None:
-            context = Context(system, integrator)
-        else:
-            platform = Platform.getPlatformByName(platform_name)
-            for name, value in platform_properties.items():
-                platform.setPropertyDefaultValue(name, value)
-            context = Context(system, integrator, platform)
-        if system_name is not None:
-            global_context_cache[system_name] = context
+    context = global_context_cache.acquire(
+        system_name, system, platform_name, platform_properties)
 
     if box_vectors is not None:
         context.setPeriodicBoxVectors(*box_vectors)

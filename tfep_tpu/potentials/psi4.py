@@ -1,19 +1,24 @@
 """Psi4 potential: ab initio QM energies/forces.
 
-Engine units hartree/bohr. Supports per-sample SCF restart files
-(``write_orbitals``/``restart_file`` paths keyed by trajectory sample index)
-so each frame's wavefunction warm-starts its next evaluation, and the
+Engine units hartree/bohr. Supports per-sample SCF restart files — either
+positional per-batch lists (``write_orbitals``/``restart_file``, reference
+parity) or, beyond the reference, a ``restart_dir`` whose files are keyed
+by *trajectory sample index* so each frame's wavefunction warm-starts its
+next evaluation even across shuffled epochs — and the
 ``on_unconverged='raise'|'nan'`` failure policy. Because Psi4 molecules are
 not picklable, process pools need a pool ``initializer`` creating the
 molecule per worker (reference note:
 /root/reference/tfep/potentials/psi4.py:369-375). Reference behaviors:
-psi4.py:34-955. The reference's finite-difference double-backprop
-(psi4.py:641-766) is not yet ported; force-matching training with Psi4 is
-unsupported.
+psi4.py:34-955. Force matching (differentiating through
+:meth:`Psi4Potential.forces`) is supported via the generic
+finite-difference vector-Hessian product of
+:func:`tfep_tpu.potentials.bridge.make_callback_forces` — the JAX
+equivalent of the reference's double-backprop Function (psi4.py:641-766).
 """
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence, Union
 
 import numpy as np
@@ -86,18 +91,28 @@ class Psi4Potential(EnginePotential):
                  positions_unit=None, energy_unit=None,
                  write_orbitals: Union[bool, str, Sequence[str]] = False,
                  restart_file: Union[None, str, Sequence[str]] = None,
+                 restart_dir: Optional[str] = None,
                  parallelization_strategy=None,
                  precompute_gradient: bool = True,
                  on_unconverged: str = 'raise',
                  **psi4_kwargs):
         """``name`` is the Psi4 method; ``molecule`` the active Molecule
         (when None, the currently active one is used). ``write_orbitals`` /
-        ``restart_file`` may be per-sample path lists."""
+        ``restart_file`` may be per-sample path lists. ``restart_dir``
+        (mutually exclusive with both) keys one restart file per
+        *trajectory sample index* inside that directory, so warm starts
+        follow frames across shuffled epochs; it requires the caller to
+        pass ``sample_keys`` (the app layer does this automatically,
+        see :attr:`uses_sample_keys`)."""
         if not PSI4_INSTALLED:
             raise ImportError(
                 'Psi4Potential requires the psi4 package to be installed.')
         if on_unconverged not in ('raise', 'nan'):
             raise ValueError("on_unconverged must be 'raise' or 'nan'.")
+        if restart_dir is not None and (
+                write_orbitals is not False or restart_file is not None):
+            raise ValueError('restart_dir is mutually exclusive with '
+                             'write_orbitals/restart_file.')
         super().__init__(positions_unit=positions_unit,
                          energy_unit=energy_unit,
                          parallelization_strategy=parallelization_strategy,
@@ -106,8 +121,12 @@ class Psi4Potential(EnginePotential):
         self.molecule = molecule
         self.write_orbitals = write_orbitals
         self.restart_file = restart_file
+        self.restart_dir = restart_dir
         self.on_unconverged = on_unconverged
         self.psi4_kwargs = psi4_kwargs
+        if restart_dir is not None:
+            self.uses_sample_keys = True
+            os.makedirs(restart_dir, exist_ok=True)
 
     def _per_sample(self, option, i, n_samples):
         if isinstance(option, (list, tuple)):
@@ -117,16 +136,30 @@ class Psi4Potential(EnginePotential):
             return option[i]
         return option
 
+    def _restart_options(self, i, n_samples):
+        """Resolve (write_orbitals, restart_file) for batch sample ``i``."""
+        if self.restart_dir is None:
+            return (self._per_sample(self.write_orbitals, i, n_samples),
+                    self._per_sample(self.restart_file, i, n_samples))
+        keys = self._current_sample_keys
+        if keys is None:
+            raise ValueError(
+                'restart_dir requires per-sample keys; pass sample_keys '
+                '(e.g. trajectory sample indices) when calling the '
+                'potential.')
+        path = os.path.join(self.restart_dir, f'sample-{int(keys[i])}.npy')
+        # Read the wavefunction back only once the frame has one.
+        return path, (path if os.path.isfile(path) else None)
+
     def _compute_batch(self, positions: np.ndarray,
                        cell: Optional[np.ndarray], compute_forces: bool):
         n_samples = positions.shape[0]
         task_args = []
         for i in range(n_samples):
+            write_orbitals, restart_file = self._restart_options(i, n_samples)
             task_args.append((
                 self.name, self.molecule, positions[i].reshape(-1, 3),
-                compute_forces,
-                self._per_sample(self.write_orbitals, i, n_samples),
-                self._per_sample(self.restart_file, i, n_samples),
+                compute_forces, write_orbitals, restart_file,
                 self.on_unconverged, self.psi4_kwargs,
             ))
         results = self.parallelization_strategy.run(_run_psi4_task, task_args)

@@ -20,6 +20,7 @@ import numpy as np
 __all__ = [
     'atom_to_flattened', 'flattened_to_atom', 'atom_to_flattened_indices',
     'ensure_int_array', 'remove_and_shift_sorted_indices', 'temporary_cd',
+    'clear_directory',
     'energies_array_to_numpy', 'forces_array_to_numpy',
 ]
 
@@ -126,6 +127,20 @@ def forces_array_to_numpy(forces, distance_unit=None, energy_unit=None,
     magnitude = forces.magnitude if isinstance(forces, Quantity) else forces
     magnitude = np.asarray(magnitude, dtype=dtype)
     return magnitude.reshape(magnitude.shape[0], -1)
+
+
+def clear_directory(dir_path):
+    """Delete every entry inside ``dir_path`` (not the directory itself).
+
+    Symlinks are unlinked, never followed.
+    """
+    import shutil
+    for name in os.listdir(dir_path):
+        path = os.path.join(dir_path, name)
+        if os.path.isdir(path) and not os.path.islink(path):
+            shutil.rmtree(path)
+        else:
+            os.unlink(path)
 
 
 @contextlib.contextmanager
