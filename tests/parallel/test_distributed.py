@@ -1,0 +1,228 @@
+"""Multi-device path tests on the virtual 8-device CPU mesh.
+
+Covers what the driver's dryrun alone cannot: sharding helper placement
+semantics, a fully sharded ``Trainer.fit`` (replicated params + frame-axis
+batches) including the mid-epoch crash/resume invariant under sharding,
+per-host frame splits, the per-host-logger -> ``all_hosts_work_values``
+round trip, and a weak-scaling harness smoke run.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tfep_tpu.io.log import TFEPLogger
+from tfep_tpu.parallel.distributed import (
+    all_hosts_work_values, host_frame_indices, host_logger_dir,
+)
+from tfep_tpu.parallel.sharding import (
+    batch_sharding, make_mesh, replicate, replicated_sharding, shard_batch,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason='needs the 8-device virtual CPU mesh')
+
+
+# =============================================================================
+# Host frame splits
+# =============================================================================
+
+@pytest.mark.parametrize('n_frames,n_hosts', [
+    (16, 4),   # even split
+    (17, 4),   # remainder goes to earlier hosts
+    (3, 4),    # fewer frames than hosts: some hosts get nothing
+    (1, 1),
+])
+def test_host_frame_indices_partition(n_frames, n_hosts):
+    shards = [host_frame_indices(n_frames, h, n_hosts)
+              for h in range(n_hosts)]
+    # Disjoint cover of all frames, in order, contiguous per host.
+    all_indices = np.concatenate(shards)
+    np.testing.assert_array_equal(all_indices, np.arange(n_frames))
+    sizes = [len(s) for s in shards]
+    assert max(sizes) - min(sizes) <= 1
+    for shard in shards:
+        if len(shard):
+            np.testing.assert_array_equal(
+                shard, np.arange(shard[0], shard[0] + len(shard)))
+
+
+def test_host_frame_indices_remainder_placement():
+    # 10 frames over 4 hosts -> 3, 3, 2, 2.
+    sizes = [len(host_frame_indices(10, h, 4)) for h in range(4)]
+    assert sizes == [3, 3, 2, 2]
+
+
+# =============================================================================
+# Per-host logger round trip
+# =============================================================================
+
+def test_all_hosts_work_values_roundtrip(tmp_path):
+    base = str(tmp_path / 'logs')
+    n_frames, n_hosts = 10, 3
+    for host in range(n_hosts):
+        frames = host_frame_indices(n_frames, host, n_hosts)
+        logger = TFEPLogger(save_dir_path=host_logger_dir(base, host),
+                            batch_size=len(frames),
+                            n_samples_per_epoch=len(frames))
+        logger.save_train_tensors({
+            'dataset_sample_index': frames,
+            'potential': frames * 1.5,
+            'log_det_J': np.zeros(len(frames)),
+        }, epoch_idx=0, batch_idx=0)
+
+    # n_hosts discovered from the host-* directories.
+    merged = all_hosts_work_values(base, epoch_idx=0)
+    order = np.argsort(merged['dataset_sample_index'])
+    np.testing.assert_array_equal(
+        merged['dataset_sample_index'][order], np.arange(n_frames))
+    np.testing.assert_allclose(merged['potential'][order],
+                               np.arange(n_frames) * 1.5)
+
+
+# =============================================================================
+# Sharding helper placement semantics
+# =============================================================================
+
+def test_mesh_and_batch_placement():
+    mesh = make_mesh(8)
+    assert mesh.devices.shape == (8,)
+
+    batch = {'positions': np.zeros((16, 6)), 'index': np.arange(16)}
+    sharded = shard_batch(batch, mesh)
+    for value in sharded.values():
+        assert value.sharding == batch_sharding(mesh)
+        # Frame axis split: each device holds 16/8 = 2 rows.
+        shard_shapes = {s.data.shape[0] for s in value.addressable_shards}
+        assert shard_shapes == {2}
+
+    params = {'w': jnp.ones((3, 3)), 'b': jnp.zeros(3)}
+    replicated = replicate(params, mesh)
+    for value in jax.tree_util.tree_leaves(replicated):
+        assert value.sharding == replicated_sharding(mesh)
+        assert value.sharding.is_fully_replicated
+
+
+def test_smaller_mesh_uses_prefix_of_devices():
+    mesh = make_mesh(4)
+    assert list(mesh.devices) == jax.devices()[:4]
+
+
+# =============================================================================
+# Sharded end-to-end training
+# =============================================================================
+
+def _make_sharded_map_and_trainer(tmp_path, mesh, name='logs', max_epochs=2,
+                                  map_cls=None, **trainer_kwargs):
+    from tests.app.test_maps import MockPotential, make_system
+    from tfep_tpu.app import CartesianMAFMap, Trainer
+    from tfep_tpu.units import ureg
+
+    map_cls = map_cls or CartesianMAFMap
+    tfep_map = map_cls(
+        potential_energy_func=MockPotential(),
+        temperature=300.0 * ureg.kelvin,
+        system=make_system(n_frames=16, n_atoms=4),
+        batch_size=8,
+        tfep_logger_dir_path=str(tmp_path / name),
+        n_maf_layers=2)
+    trainer = Trainer(save_dir=str(tmp_path / f'{name}-ckpt'),
+                      max_epochs=max_epochs,
+                      shuffle=True,
+                      sharding=batch_sharding(mesh),
+                      **trainer_kwargs)
+    return tfep_map, trainer
+
+
+def test_sharded_trainer_fit(tmp_path):
+    """Full Trainer.fit with frame-sharded batches on the 8-device mesh."""
+    mesh = make_mesh(8)
+    tfep_map, trainer = _make_sharded_map_and_trainer(tmp_path, mesh)
+    flow = trainer.fit(tfep_map)
+    assert trainer.global_step == 4  # 16 frames / batch 8 * 2 epochs
+
+    # The logged epoch is complete and finite despite device sharding.
+    logged = tfep_map.tfep_logger.read_train_tensors(epoch_idx=1)
+    assert set(logged['dataset_sample_index'].tolist()) == set(range(16))
+    assert np.all(np.isfinite(logged['potential']))
+
+    # A forward pass on a sharded batch keeps the batch sharding.
+    batch = tfep_map.dataset.get_batch(list(range(8)))
+    batch = shard_batch({k: jnp.asarray(v) for k, v in batch.items()}, mesh)
+    out = tfep_map.forward(batch)
+    assert out['positions'].sharding.spec == batch_sharding(mesh).spec
+
+
+def test_sharded_crash_resume_invariant(tmp_path):
+    """Mid-epoch crash/resume under sharding: one epoch, no repeats."""
+    from tests.app.test_maps import MockPotential, make_system
+    from tfep_tpu.app import CartesianMAFMap, Trainer
+    from tfep_tpu.units import ureg
+
+    mesh = make_mesh(4)  # batch 4 must divide the device count
+    visited = []
+
+    class CrashingMap(CartesianMAFMap):
+        crash_at_step = None
+
+        def log_train_tensors(self, aux, epoch_idx, batch_idx):
+            super().log_train_tensors(aux, epoch_idx, batch_idx)
+            visited.append(
+                np.asarray(aux['dataset_sample_index']).tolist())
+
+    def build(name):
+        tfep_map = CrashingMap(
+            potential_energy_func=MockPotential(),
+            temperature=300.0 * ureg.kelvin,
+            system=make_system(n_frames=16, n_atoms=4),
+            batch_size=4,
+            tfep_logger_dir_path=str(tmp_path / name),
+            n_maf_layers=2)
+        trainer = Trainer(save_dir=str(tmp_path / 'ckpt'), max_epochs=1,
+                          shuffle=True, sharding=batch_sharding(mesh))
+        return tfep_map, trainer
+
+    # First run: stop after 2 of 4 batches (simulated crash).
+    tfep_map, trainer = build('logs-a')
+    trainer.max_steps = 2
+    trainer.fit(tfep_map)
+    assert trainer.global_step == 2
+
+    # Resume: same checkpoint dir, run to the end of the epoch.
+    tfep_map, trainer = build('logs-b')
+    trainer.fit(tfep_map, resume=True)
+    assert trainer.global_step == 4
+
+    seen = [i for batch in visited for i in batch]
+    assert len(seen) == 16, 'crash+resume must visit each sample once'
+    assert set(seen) == set(range(16))
+
+
+# =============================================================================
+# Weak-scaling harness smoke test
+# =============================================================================
+
+def test_weak_scaling_smoke():
+    repo_root = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    script = os.path.join(repo_root, 'benchmarks', 'weak_scaling.py')
+    env = dict(os.environ, PYTHONPATH=repo_root)
+    env.pop('XLA_FLAGS', None)  # script sets its own device-count flag
+    result = subprocess.run(
+        [sys.executable, script, '--force-cpu-devices', '8',
+         '--per-device-batch', '16', '--n-atoms', '4', '--n-layers', '2',
+         '--steps', '2'],
+        capture_output=True, text=True, timeout=480, env=env)
+    assert result.returncode == 0, result.stderr[-2000:]
+    records = [json.loads(line) for line in result.stdout.splitlines()
+               if line.startswith('{')]
+    assert [r['n_devices'] for r in records] == [1, 2, 4, 8]
+    for record in records:
+        assert record['frames_per_s'] > 0
+        assert record['virtual_devices'] is True
