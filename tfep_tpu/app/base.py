@@ -369,6 +369,81 @@ class TFEPMapBase:
         return loss, aux
 
     # ------------------------------------------------------------------ #
+    # Pipelined (engine-overlap) training contract: the step is split so
+    # the trainer can run the external engine concurrently with device
+    # compute (SURVEY §7 double-buffering). The engine sees y(θ_k); the
+    # update computes the exact loss gradient at θ_k via a surrogate whose
+    # potential term is dot(-forces, y) with the forces held constant —
+    # the same cotangent the callback bridge injects (bridge.py bwd).
+    # ------------------------------------------------------------------ #
+    def forward_step_fn(self, flow, batch: Dict) -> Dict:
+        """Jittable flow-forward only (no potential): the pipeline's phase A."""
+        return self._run_flow(flow, batch, inverse=False)
+
+    def host_engine_eval(self, mapped_positions, batch: Dict):
+        """Blocking host-side engine evaluation: the pipeline's phase B.
+
+        Returns ``(potentials_kT, forces_kT)`` — per-sample reduced
+        potentials and forces in 1/kT units, numpy.
+        """
+        potential = self._potential_energy_func
+        kwargs = {}
+        if getattr(potential, 'uses_sample_keys', False):
+            kwargs['sample_keys'] = np.asarray(
+                batch['trajectory_sample_index'])
+        cell = (np.asarray(batch['dimensions'])
+                if 'dimensions' in batch else None)
+        energies, forces = potential.compute_energies_and_forces(
+            np.asarray(mapped_positions), cell, **kwargs)
+        return energies / self.kT, forces / self.kT
+
+    def pipelined_update_fn(self, flow, batch: Dict, potentials_kT,
+                            forces_kT):
+        """Jittable loss for phase C, differentiable through the flow.
+
+        The value reported in ``aux['loss']`` is the true TFEP loss; the
+        returned differentiable loss is the force-linearized surrogate
+        (identical gradient at the parameters the engine evaluated).
+        """
+        import jax
+
+        result = self._run_flow(flow, batch, inverse=False)
+        surrogate = jnp.sum(
+            -jax.lax.stop_gradient(forces_kT) * result['positions'],
+            axis=-1)
+        # Engine failures (NaN energy, zero forces) must keep poisoning
+        # the sample so the NaN policy applies to the surrogate too.
+        surrogate = jnp.where(jnp.isnan(potentials_kT), jnp.nan, surrogate)
+
+        if 'log_weights' in batch:
+            log_weights = batch['log_weights']
+        elif 'bias' in batch:
+            log_weights = batch['bias'] / self.kT
+        else:
+            log_weights = None
+
+        loss = boltzmann_kl_div_loss(
+            target_potentials=surrogate, log_det_J=result['log_det_J'],
+            log_weights=log_weights, ignore_nan=self._ignore_nan)
+        true_loss = boltzmann_kl_div_loss(
+            target_potentials=potentials_kT,
+            log_det_J=result['log_det_J'], log_weights=log_weights,
+            ignore_nan=self._ignore_nan)
+        if 'regularization' in result:
+            reg = jnp.mean(result['regularization'])
+            loss = loss + reg
+            true_loss = true_loss + reg
+
+        aux = {
+            'potential': potentials_kT,
+            'log_det_J': result['log_det_J'],
+            'dataset_sample_index': batch['dataset_sample_index'],
+            'trajectory_sample_index': batch['trajectory_sample_index'],
+            'loss': true_loss,
+        }
+        return loss, aux
+
+    # ------------------------------------------------------------------ #
     # Host-side logging.
     # ------------------------------------------------------------------ #
     @property
@@ -395,6 +470,14 @@ class TFEPMapBase:
     # eval channel) — run the current flow over the dataset without
     # training and store per-sample potentials/log_det_J for the estimator.
     # ------------------------------------------------------------------ #
+    def _eval_fn(self):
+        """The jitted eval step, compiled once and cached across calls."""
+        if getattr(self, '_cached_eval_fn', None) is None:
+            import jax
+            self._cached_eval_fn = jax.jit(
+                lambda f, batch: self.training_step_fn(f, batch)[1])
+        return self._cached_eval_fn
+
     def run_evaluation(self, step_idx: int, batch_size: Optional[int] = None,
                        flow=None) -> Dict[str, np.ndarray]:
         """Evaluate the map over the full dataset and log eval tensors.
@@ -403,15 +486,11 @@ class TFEPMapBase:
         under ``eval/step-{step_idx}.npz`` — the work values of the flow
         as trained for ``step_idx`` optimization steps.
         """
-        import jax
-
         if flow is None:
             flow = self.flow
         if batch_size is None:
             batch_size = self.batch_size
-
-        eval_fn = jax.jit(
-            lambda f, batch: self.training_step_fn(f, batch)[1])
+        eval_fn = self._eval_fn()
 
         logger = self.tfep_logger
         collected: Dict[str, list] = {}

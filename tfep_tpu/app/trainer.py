@@ -52,6 +52,20 @@ class Trainer:
     sharding : optional
         A ``jax.sharding.Sharding`` for the batch (data parallelism over the
         frames axis). Parameters are replicated.
+    log_every_n_steps : int, optional
+        Print ``epoch/step/loss`` (plus any extra scalar the step returns)
+        every N optimization steps; 0 disables console output. The loss of
+        every step is recorded in :attr:`loss_history` regardless — the
+        reference's Lightning ``self.log`` channel (app/base.py:832-838).
+    engine_overlap : bool, optional
+        Pipeline the target-potential engine against device compute
+        (SURVEY §7 double-buffering): the flow forward of batch k+1 runs
+        while the host engine evaluates batch k, and each update applies
+        the exact loss gradient at the parameters the engine saw (one-step
+        delayed, standard pipelined SGD). Step time approaches
+        max(device, engine) instead of their sum. Requires the map to
+        implement the ``forward_step_fn`` / ``host_engine_eval`` /
+        ``pipelined_update_fn`` contract (TFEPMapBase does).
     """
 
     CHECKPOINT_NAME = 'last.ckpt'
@@ -63,7 +77,9 @@ class Trainer:
                  checkpoint_every_n_steps: int = 1,
                  shuffle: bool = True,
                  drop_last: bool = False,
-                 sharding=None):
+                 sharding=None,
+                 log_every_n_steps: int = 0,
+                 engine_overlap: bool = False):
         if max_epochs is None and max_steps is None:
             raise ValueError('Set at least one of max_epochs/max_steps.')
         self.save_dir = save_dir
@@ -74,9 +90,12 @@ class Trainer:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.sharding = sharding
+        self.log_every_n_steps = log_every_n_steps
+        self.engine_overlap = engine_overlap
 
         self.global_step = 0
         self.current_epoch = 0
+        self.loss_history: list = []
         self._sampler_state_to_restore = None
 
     # ------------------------------------------------------------------ #
@@ -113,9 +132,13 @@ class Trainer:
         if resume:
             flow, opt_state = self._load_checkpoint(flow, opt_state, sampler)
 
-        step_fn = self._build_step_fn(tfep_map)
+        if self.engine_overlap:
+            flow = self._fit_pipelined(tfep_map, sampler, flow, opt_state,
+                                       n_batches)
+            tfep_map.flow = flow
+            return flow
 
-        can_log = hasattr(tfep_map, 'log_train_tensors')
+        step_fn = self._build_step_fn(tfep_map)
         pending_log = None  # (aux, epoch_idx, batch_idx) of the prior step.
 
         stop = False
@@ -126,22 +149,17 @@ class Trainer:
             epoch_idx = self.current_epoch
             for batch_indices in sampler:
                 batch_idx = self.global_step % n_batches
-                batch = tfep_map.dataset.get_batch(batch_indices)
-                batch = {k: jnp.asarray(v) for k, v in batch.items()}
-                if self.sharding is not None:
-                    batch = jax.device_put(batch, self.sharding)
+                batch = self._device_batch(tfep_map, batch_indices)
 
                 flow, opt_state, loss, aux = step_fn(flow, opt_state, batch)
 
-                # Per-sample TFEP logging, deferred by one step: the host
-                # materializes the *previous* step's aux while the device
-                # runs the current one (jax dispatch is asynchronous).
-                if can_log:
-                    if pending_log is not None:
-                        tfep_map.log_train_tensors(
-                            pending_log[0], epoch_idx=pending_log[1],
-                            batch_idx=pending_log[2])
-                    pending_log = (aux, epoch_idx, batch_idx)
+                # Per-sample TFEP logging + scalar channel, deferred by one
+                # step: the host materializes the *previous* step's aux
+                # while the device runs the current one (jax dispatch is
+                # asynchronous).
+                if pending_log is not None:
+                    self._consume_aux(tfep_map, *pending_log)
+                pending_log = (aux, epoch_idx, batch_idx)
 
                 self.global_step += 1
 
@@ -158,12 +176,132 @@ class Trainer:
                 continue
             break
 
-        if can_log and pending_log is not None:
-            tfep_map.log_train_tensors(pending_log[0],
-                                       epoch_idx=pending_log[1],
-                                       batch_idx=pending_log[2])
+        if pending_log is not None:
+            self._consume_aux(tfep_map, *pending_log)
 
         tfep_map.flow = flow
+        return flow
+
+    # ------------------------------------------------------------------ #
+    def _device_batch(self, tfep_map, batch_indices):
+        batch = tfep_map.dataset.get_batch(batch_indices)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if self.sharding is not None:
+            batch = jax.device_put(batch, self.sharding)
+        return batch
+
+    def _consume_aux(self, tfep_map, aux, epoch_idx, batch_idx):
+        """Materialize a finished step's aux: TFEP logging + loss channel."""
+        if hasattr(tfep_map, 'log_train_tensors'):
+            tfep_map.log_train_tensors(aux, epoch_idx=epoch_idx,
+                                       batch_idx=batch_idx)
+        scalars = {name: float(value) for name, value in aux.items()
+                   if np.ndim(value) == 0}
+        loss = scalars.get('loss')
+        if loss is not None:
+            self.loss_history.append(loss)
+        if self.log_every_n_steps and \
+                len(self.loss_history) % self.log_every_n_steps == 0:
+            extras = ' '.join(f'{k}={v:.6g}' for k, v in scalars.items()
+                              if k != 'loss')
+            print(f'[tfep] epoch {epoch_idx} step '
+                  f'{len(self.loss_history)} loss={loss:.6g}'
+                  + (f' {extras}' if extras else ''), flush=True)
+
+    # ------------------------------------------------------------------ #
+    def _fit_pipelined(self, tfep_map, sampler, flow, opt_state, n_batches):
+        """Engine-overlap loop: device fwd of batch k+1 runs while the host
+        engine evaluates batch k; each update applies the exact gradient at
+        the parameters the engine saw (one-step-delayed SGD).
+
+        Parameter buffers are not donated here — the snapshot the gradient
+        differentiates is the previous step's flow, whose buffers must
+        stay alive across the update.
+        """
+        import concurrent.futures
+
+        optimizer = self.optimizer
+
+        fwd_fn = jax.jit(
+            lambda f, batch: tfep_map.forward_step_fn(f, batch))
+
+        @jax.jit
+        def update_fn(flow_cur, opt_state, flow_snap, batch, potentials,
+                      forces):
+            def loss_fn(f):
+                return tfep_map.pipelined_update_fn(f, batch, potentials,
+                                                    forces)
+
+            (loss, aux), grads = filter_value_and_grad(
+                loss_fn, has_aux=True)(flow_snap)
+            trainable, _ = partition(flow_cur)
+            updates, new_opt_state = optimizer.update(grads, opt_state,
+                                                      trainable)
+            return apply_updates(flow_cur, updates), new_opt_state, aux
+
+        executor = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        # In-flight work: (future, flow_snapshot, batch, epoch, batch_idx).
+        pending = None
+        stop = False
+
+        def apply_pending(flow, opt_state):
+            future, flow_snap, batch, epoch_idx, batch_idx = pending
+            potentials, forces = future.result()
+            flow, opt_state, aux = update_fn(
+                flow, opt_state, flow_snap, batch,
+                jnp.asarray(potentials), jnp.asarray(forces))
+            self._consume_aux(tfep_map, aux, epoch_idx, batch_idx)
+            self.global_step += 1
+            if (self.checkpoint_path is not None and
+                    self.global_step % self.checkpoint_every_n_steps == 0):
+                self._save_checkpoint(flow, opt_state, sampler)
+            return flow, opt_state
+
+        # Forward passes run one batch ahead of applied updates.
+        fwd_count = self.global_step
+        try:
+            while not stop:
+                if self.max_epochs is not None and \
+                        self.current_epoch >= self.max_epochs:
+                    break
+                epoch_idx = self.current_epoch
+                for batch_indices in sampler:
+                    batch_idx = fwd_count % n_batches
+                    fwd_count += 1
+                    batch = self._device_batch(tfep_map, batch_indices)
+
+                    # Phase A (device): flow forward, dispatched async.
+                    result = fwd_fn(flow, batch)
+                    # Phase B (host thread): engine on the mapped frames.
+                    future = executor.submit(
+                        tfep_map.host_engine_eval,
+                        np.asarray(result['positions']), batch)
+                    # Phase C: finish the *previous* batch while the
+                    # engine chews on this one.
+                    if pending is not None:
+                        flow, opt_state = apply_pending(flow, opt_state)
+                    pending = (future, flow, batch, epoch_idx, batch_idx)
+
+                    if self.max_steps is not None and \
+                            self.global_step + 1 >= self.max_steps:
+                        stop = True
+                        break
+                else:
+                    # Drain before the sampler restarts: its resume
+                    # arithmetic derives the epoch position from
+                    # global_step, which must not lag at the boundary.
+                    if pending is not None:
+                        flow, opt_state = apply_pending(flow, opt_state)
+                        pending = None
+                    self.current_epoch += 1
+                    continue
+                break
+
+            if pending is not None:
+                flow, opt_state = apply_pending(flow, opt_state)
+                pending = None
+        finally:
+            executor.shutdown(wait=False, cancel_futures=True)
         return flow
 
     # ------------------------------------------------------------------ #

@@ -6,3 +6,7 @@ from tfep_tpu.io.dataset import (  # noqa: F401
 from tfep_tpu.io.sampler import StatefulBatchSampler  # noqa: F401
 from tfep_tpu.io.log import TFEPLogger  # noqa: F401
 from tfep_tpu.io.traj import System, TrajectoryDataset  # noqa: F401
+from tfep_tpu.io.topfiles import (  # noqa: F401
+    guess_bonds, read_gromacs_top, read_prmtop,
+)
+from tfep_tpu.io.frames import open_frame_store  # noqa: F401

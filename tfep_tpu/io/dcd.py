@@ -1,8 +1,8 @@
 """DCD binary trajectory reader (native C++ fast path + Python fallback).
 
-The native decoder (tfep_tpu/native/trajio.cpp) is compiled lazily with the
-system C++ compiler and loaded through ctypes; when no compiler is
-available, a pure-Python struct-based reader handles the same format.
+The native decoder (tfep_tpu/native/trajio.cpp, loaded via
+:mod:`tfep_tpu.io.native`) is the production path; a pure-Python
+struct-based reader handles the same format when no compiler is available.
 ``read_dcd`` returns a :class:`tfep_tpu.io.traj.System`-compatible payload
 (positions in angstrom, optional unit cells).
 """
@@ -12,54 +12,13 @@ from __future__ import annotations
 import ctypes
 import os
 import struct
-import subprocess
-import tempfile
 from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
+from tfep_tpu.io.native import native_available, native_lib as _native_lib
+
 __all__ = ['read_dcd_header', 'read_dcd', 'native_available']
-
-_NATIVE_LIB = None
-_NATIVE_TRIED = False
-
-
-def _native_lib():
-    """Compile (once) and load the native trajio library; None on failure."""
-    global _NATIVE_LIB, _NATIVE_TRIED
-    if _NATIVE_TRIED:
-        return _NATIVE_LIB
-    _NATIVE_TRIED = True
-
-    src = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), 'native', 'trajio.cpp')
-    cache_dir = os.path.join(tempfile.gettempdir(), 'tfep_tpu_native')
-    os.makedirs(cache_dir, exist_ok=True)
-    lib_path = os.path.join(cache_dir, '_trajio.so')
-
-    try:
-        if (not os.path.isfile(lib_path)
-                or os.path.getmtime(lib_path) < os.path.getmtime(src)):
-            subprocess.run(
-                ['g++', '-O3', '-shared', '-fPIC', '-o', lib_path, src],
-                check=True, capture_output=True)
-        lib = ctypes.CDLL(lib_path)
-        lib.dcd_read_header.argtypes = [
-            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64)]
-        lib.dcd_read_header.restype = ctypes.c_int
-        lib.dcd_read_frames.argtypes = [
-            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
-            ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
-            ctypes.POINTER(ctypes.c_double)]
-        lib.dcd_read_frames.restype = ctypes.c_int
-        _NATIVE_LIB = lib
-    except (OSError, subprocess.CalledProcessError):
-        _NATIVE_LIB = None
-    return _NATIVE_LIB
-
-
-def native_available() -> bool:
-    return _native_lib() is not None
 
 
 # =============================================================================

@@ -1,0 +1,257 @@
+"""Lazy frame stores: random-access trajectory coordinates without
+loading the file into memory.
+
+A frame store quacks like the ``(n_frames, n_atoms, 3)`` position array a
+:class:`tfep_tpu.io.traj.System` holds — ``.shape``, ``len()``, and
+``store[frame] -> (n_atoms, 3)`` — but decodes frames on demand (native
+C++ decoders when available) behind a small LRU cache. Box dimensions and
+times are read eagerly at open (they live in plain frame headers; no
+decompression needed), so dataset construction stays cheap while
+multi-gigabyte coordinate payloads stream per batch.
+
+This is the streaming data layer the reference gets from MDAnalysis
+iterators (/root/reference/tfep/io/dataset/traj.py:274).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import struct
+from collections import OrderedDict
+from typing import Optional, Tuple
+
+import numpy as np
+
+from tfep_tpu.io.native import native_lib
+
+__all__ = ['FrameStore', 'XtcFrameStore', 'TrrFrameStore', 'DcdFrameStore',
+           'open_frame_store']
+
+_NM_TO_ANGSTROM = 10.0
+
+
+class FrameStore:
+    """Base: lazy ``(n_frames, n_atoms, 3)`` coordinate access (angstrom)."""
+
+    #: Decoded frames kept in memory (LRU). Batches revisit frames within
+    #: an epoch only under shuffling, so a modest cache suffices.
+    CACHE_FRAMES = 256
+
+    def __init__(self, path: str, n_frames: int, n_atoms: int):
+        self.path = path
+        self._shape = (n_frames, n_atoms, 3)
+        self._cache: OrderedDict = OrderedDict()
+
+    # -- array-like surface -------------------------------------------- #
+    @property
+    def shape(self) -> Tuple[int, int, int]:
+        return self._shape
+
+    @property
+    def ndim(self) -> int:
+        return 3
+
+    def __len__(self) -> int:
+        return self._shape[0]
+
+    def __getitem__(self, frame_idx):
+        if isinstance(frame_idx, (int, np.integer)):
+            frame_idx = int(frame_idx)
+            if frame_idx < 0:
+                frame_idx += len(self)
+            if frame_idx in self._cache:
+                self._cache.move_to_end(frame_idx)
+                return self._cache[frame_idx]
+            frame = self._load_frames([frame_idx])[0]
+            self._cache[frame_idx] = frame
+            if len(self._cache) > self.CACHE_FRAMES:
+                self._cache.popitem(last=False)
+            return frame
+        # Fancy/slice indexing decodes without touching the cache.
+        indices = np.arange(len(self))[frame_idx]
+        return self._load_frames(list(np.atleast_1d(indices)))
+
+    def __array__(self, dtype=None, copy=None):
+        full = self._load_frames(list(range(len(self))))
+        return full if dtype is None else full.astype(dtype)
+
+    # -- subclass interface --------------------------------------------- #
+    def _load_frames(self, frame_indices) -> np.ndarray:
+        """Decode frames -> (len(frame_indices), n_atoms, 3) angstrom."""
+        raise NotImplementedError
+
+
+class _XdrFrameStore(FrameStore):
+    """Shared machinery for the native-decoded XTC/TRR stores."""
+
+    _SCAN = ''          # native scan symbol
+    _READ = ''          # native read symbol
+    _MAGIC = 0
+
+    def __init__(self, path: str):
+        offsets, n_atoms, boxes_nm, times = self._scan(path)
+        super().__init__(path, len(offsets), n_atoms)
+        self._offsets = offsets
+        self.dimensions = self._boxes_to_dimensions(boxes_nm)
+        self.times = times
+
+    # -- header pass ---------------------------------------------------- #
+    def _scan(self, path):
+        lib = native_lib()
+        if lib is not None:
+            info = (ctypes.c_int64 * 2)()
+            status = getattr(lib, self._SCAN)(path.encode(), None, 0, info)
+            if status != 0:
+                raise ValueError(f'Failed to scan {path} ({status}).')
+            n_frames = int(info[0])
+            offsets = np.zeros(n_frames, dtype=np.int64)
+            getattr(lib, self._SCAN)(
+                path.encode(),
+                offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                n_frames, info)
+            n_atoms = int(info[1])
+        else:
+            offsets, n_atoms = self._py_scan(path)
+        boxes, times = self._read_headers(path, offsets)
+        return offsets, n_atoms, boxes, times
+
+    @staticmethod
+    def _boxes_to_dimensions(boxes_nm: Optional[np.ndarray]):
+        if boxes_nm is None or not len(boxes_nm) \
+                or not np.abs(boxes_nm).max() > 0:
+            return None
+        from tfep_tpu.io.traj import box_vectors_to_dimensions
+        return box_vectors_to_dimensions(boxes_nm * _NM_TO_ANGSTROM)
+
+    # -- decode --------------------------------------------------------- #
+    def _load_frames(self, frame_indices) -> np.ndarray:
+        n = len(frame_indices)
+        n_atoms = self.shape[1]
+        offsets = self._offsets[np.asarray(frame_indices, dtype=np.int64)]
+        offsets = np.ascontiguousarray(offsets)
+        lib = native_lib()
+        if lib is None:
+            return self._py_load(offsets)
+        positions = np.empty((n, n_atoms, 3), dtype=np.float32)
+        status = getattr(lib, self._READ)(
+            self.path.encode(),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n, n_atoms,
+            positions.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            None, None)
+        if status != 0:
+            raise ValueError(f'Failed to decode {self.path} ({status}).')
+        return positions * np.float32(_NM_TO_ANGSTROM)
+
+    # -- pure-Python fallbacks ------------------------------------------ #
+    def _py_scan(self, path):
+        raise NotImplementedError
+
+    def _py_load(self, offsets):
+        raise NotImplementedError
+
+    def _read_headers(self, path, offsets):
+        raise NotImplementedError
+
+
+class XtcFrameStore(_XdrFrameStore):
+    """Lazy XTC coordinates; boxes/times read from plain headers."""
+
+    _SCAN = 'xtc_scan'
+    _READ = 'xtc_read_frames'
+
+    def _py_scan(self, path):
+        from tfep_tpu.io.xdr import scan_xtc_offsets
+        return scan_xtc_offsets(path)
+
+    def _py_load(self, offsets):
+        from tfep_tpu.io.xdr import _decompress_coords
+        with open(self.path, 'rb') as f:
+            data = f.read()
+        frames = [
+            _decompress_coords(data, int(off) + 56, self.shape[1])[0]
+            for off in offsets]
+        return np.asarray(frames, dtype=np.float32) * _NM_TO_ANGSTROM
+
+    def _read_headers(self, path, offsets):
+        boxes = np.empty((len(offsets), 3, 3))
+        times = np.empty(len(offsets))
+        with open(path, 'rb') as f:
+            for i, off in enumerate(offsets):
+                f.seek(int(off) + 12)
+                raw = f.read(40)
+                times[i] = struct.unpack('>f', raw[:4])[0]
+                boxes[i] = np.asarray(
+                    struct.unpack('>9f', raw[4:])).reshape(3, 3)
+        return boxes, times
+
+
+class TrrFrameStore(_XdrFrameStore):
+    """Lazy TRR coordinates; boxes/times read from plain headers."""
+
+    _SCAN = 'trr_scan'
+    _READ = 'trr_read_frames'
+
+    def _py_scan(self, path):
+        from tfep_tpu.io.xdr import scan_trr_offsets
+        return scan_trr_offsets(path)
+
+    def _py_load(self, offsets):
+        from tfep_tpu.io.xdr import _read_trr_frame
+        with open(self.path, 'rb') as f:
+            data = f.read()
+        frames = [_read_trr_frame(data, int(off))[0] for off in offsets]
+        return np.asarray(frames, dtype=np.float32) * _NM_TO_ANGSTROM
+
+    def _read_headers(self, path, offsets):
+        from tfep_tpu.io.xdr import _read_trr_frame
+        with open(path, 'rb') as f:
+            data = f.read()
+        boxes, times = [], []
+        for off in offsets:
+            _, _, _, box, time, _, _ = _read_trr_frame(data, int(off))
+            boxes.append(box)
+            times.append(time)
+        if any(b is None for b in boxes):
+            return None, np.asarray(times)
+        return np.asarray(boxes), np.asarray(times)
+
+
+class DcdFrameStore(FrameStore):
+    """Lazy DCD coordinates (already angstrom); cells read at open."""
+
+    def __init__(self, path: str):
+        from tfep_tpu.io.dcd import read_dcd_header
+        n_frames, n_atoms, has_cell = read_dcd_header(path)
+        super().__init__(path, n_frames, n_atoms)
+        self.times = np.arange(n_frames, dtype=np.float64)
+        self.dimensions = None
+        if has_cell:
+            # Cells sit in fixed-size records at the head of each frame;
+            # seek-read them without decoding any coordinates.
+            from tfep_tpu.io.dcd import _py_parse_header
+            cells = np.empty((n_frames, 6))
+            with open(path, 'rb') as f:
+                _, _, _, first_offset, frame_size = _py_parse_header(f)
+                for i in range(n_frames):
+                    f.seek(first_offset + i * frame_size + 4)
+                    a, gamma, b, beta, alpha, c = struct.unpack(
+                        '<6d', f.read(48))
+                    cells[i] = [a, b, c, alpha, beta, gamma]
+            self.dimensions = cells
+
+    def _load_frames(self, frame_indices) -> np.ndarray:
+        from tfep_tpu.io.dcd import read_dcd
+        positions, _ = read_dcd(self.path, frame_indices)
+        return positions
+
+
+def open_frame_store(path: str) -> FrameStore:
+    """Open a binary trajectory as a lazy frame store (by extension)."""
+    import os
+    ext = os.path.splitext(path)[1].lower()
+    stores = {'.xtc': XtcFrameStore, '.trr': TrrFrameStore,
+              '.dcd': DcdFrameStore}
+    if ext not in stores:
+        raise ValueError(f'No lazy reader for {ext} files.')
+    return stores[ext](path)

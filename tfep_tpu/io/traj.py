@@ -23,22 +23,69 @@ from tfep_tpu.io.topology import Topology
 from tfep_tpu.units import Quantity, ureg
 
 __all__ = ['System', 'TrajectoryDataset', 'read_pdb', 'read_gro', 'read_xyz',
-           'get_subsampled_indices']
+           'get_subsampled_indices', 'box_vectors_to_dimensions',
+           'dimensions_to_box_vectors']
+
+#: Binary trajectory formats decodable frame-by-frame (lazy stores).
+_BINARY_FORMATS = {'.dcd', '.xtc', '.trr'}
+
+
+def box_vectors_to_dimensions(box_vectors: np.ndarray) -> np.ndarray:
+    """(..., 3, 3) triclinic box vectors -> (..., 6) lengths + angles (deg)."""
+    v = np.asarray(box_vectors, dtype=np.float64)
+    lengths = np.linalg.norm(v, axis=-1)
+
+    def angle(a, b):
+        den = np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1)
+        cos = np.where(den > 0, (a * b).sum(-1) / np.where(den > 0, den, 1.0),
+                       0.0)
+        return np.degrees(np.arccos(np.clip(cos, -1.0, 1.0)))
+
+    alpha = np.asarray(angle(v[..., 1, :], v[..., 2, :]))
+    beta = np.asarray(angle(v[..., 0, :], v[..., 2, :]))
+    gamma = np.asarray(angle(v[..., 0, :], v[..., 1, :]))
+    # Degenerate (zero) vectors: report rectangular angles.
+    for a in (alpha, beta, gamma):
+        np.copyto(a, 90.0, where=(a == 0))
+    return np.concatenate(
+        [lengths, np.stack([alpha, beta, gamma], axis=-1)], axis=-1)
+
+
+def dimensions_to_box_vectors(dimensions: np.ndarray) -> np.ndarray:
+    """(..., 6) lengths + angles (deg) -> (..., 3, 3) box vectors
+    (first vector on x, second in the xy-plane)."""
+    dims = np.asarray(dimensions, dtype=np.float64)
+    a, b, c = dims[..., 0], dims[..., 1], dims[..., 2]
+    alpha = np.radians(dims[..., 3])
+    beta = np.radians(dims[..., 4])
+    gamma = np.radians(dims[..., 5])
+    zeros = np.zeros_like(a)
+    v1 = np.stack([a, zeros, zeros], axis=-1)
+    v2 = np.stack([b * np.cos(gamma), b * np.sin(gamma), zeros], axis=-1)
+    cx = c * np.cos(beta)
+    cy = c * (np.cos(alpha) - np.cos(beta) * np.cos(gamma)) / np.sin(gamma)
+    cz = np.sqrt(np.maximum(c ** 2 - cx ** 2 - cy ** 2, 0.0))
+    v3 = np.stack([cx, cy, cz], axis=-1)
+    return np.stack([v1, v2, v3], axis=-2)
 
 
 class System:
     """Topology + trajectory frames (the framework's 'Universe')."""
 
-    def __init__(self, topology: Topology, positions: np.ndarray,
+    def __init__(self, topology: Topology, positions,
                  dimensions: Optional[np.ndarray] = None,
                  times: Optional[np.ndarray] = None):
-        """``positions``: (n_frames, n_atoms, 3) angstrom. ``dimensions``:
+        """``positions``: (n_frames, n_atoms, 3) angstrom — an array or a
+        lazy :class:`tfep_tpu.io.frames.FrameStore`. ``dimensions``:
         (n_frames, 6) box [lx, ly, lz, alpha, beta, gamma] or None.
         ``times``: (n_frames,) ps or None (defaults to frame index)."""
         self.topology = topology
-        self.positions = np.asarray(positions, dtype=np.float32)
-        if self.positions.ndim == 2:
-            self.positions = self.positions[None]
+        if hasattr(positions, '_load_frames'):  # lazy frame store
+            self.positions = positions
+        else:
+            self.positions = np.asarray(positions, dtype=np.float32)
+            if self.positions.ndim == 2:
+                self.positions = self.positions[None]
         self.dimensions = (None if dimensions is None
                            else np.asarray(dimensions, dtype=np.float32))
         self.times = (np.arange(self.n_frames, dtype=np.float64)
@@ -56,27 +103,54 @@ class System:
         return self.topology.select_atoms(selection)
 
     @classmethod
-    def from_file(cls, path: str, topology_path: Optional[str] = None
-                  ) -> 'System':
-        """Load from a trajectory file (PDB/GRO/XYZ/DCD by extension).
+    def from_file(cls, path: str, topology_path: Optional[str] = None,
+                  lazy: bool = False) -> 'System':
+        """Load from a trajectory file (PDB/GRO/XYZ/DCD/XTC/TRR by extension).
 
-        DCD files carry no topology: pass ``topology_path`` (PDB/GRO) for
-        the atom attributes; the binary frames are decoded by the native
-        C++ reader (:mod:`tfep_tpu.io.dcd`).
+        Binary formats (DCD/XTC/TRR) carry no topology: pass
+        ``topology_path`` — a structure file (PDB/GRO) or a topology file
+        (AMBER ``.prmtop``, GROMACS ``.top``) — for the atom attributes.
+        With ``lazy=True`` (binary formats only) coordinates stream from
+        disk per batch through a :class:`~tfep_tpu.io.frames.FrameStore`
+        instead of loading the whole trajectory into memory.
         """
         readers = {'.pdb': read_pdb, '.gro': read_gro, '.xyz': read_xyz}
         ext = os.path.splitext(path)[1].lower()
-        if ext == '.dcd':
+        if ext in _BINARY_FORMATS:
             if topology_path is None:
                 raise ValueError(
-                    'DCD trajectories require a topology_path (PDB/GRO).')
-            from tfep_tpu.io.dcd import read_dcd
-            template = cls.from_file(topology_path)
-            positions, cells = read_dcd(path)
-            return cls(template.topology, positions, cells)
+                    f'{ext} trajectories require a topology_path '
+                    '(PDB/GRO/prmtop/top).')
+            topology = load_topology(topology_path)
+            from tfep_tpu.io.frames import open_frame_store
+            store = open_frame_store(path)
+            if store.shape[1] != topology.n_atoms:
+                raise ValueError(
+                    f'Trajectory has {store.shape[1]} atoms but the '
+                    f'topology has {topology.n_atoms}.')
+            if lazy:
+                return cls(topology, store,
+                           dimensions=store.dimensions, times=store.times)
+            return cls(topology, np.asarray(store),
+                       dimensions=store.dimensions, times=store.times)
         if ext not in readers:
             raise ValueError(f'Unsupported trajectory format: {ext}')
+        if lazy:
+            raise ValueError(f'lazy=True requires a binary format '
+                             f'({sorted(_BINARY_FORMATS)}), not {ext}.')
         return readers[ext](path)
+
+
+def load_topology(path: str) -> Topology:
+    """Load atom attributes from a structure or topology file."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext in ('.prmtop', '.parm7'):
+        from tfep_tpu.io.topfiles import read_prmtop
+        return read_prmtop(path)
+    if ext == '.top':
+        from tfep_tpu.io.topfiles import read_gromacs_top
+        return read_gromacs_top(path)
+    return System.from_file(path).topology
 
 
 # =============================================================================
@@ -167,11 +241,18 @@ def read_gro(path: str) -> System:
             frame.append((float(line[20:28]) * 10.0,
                           float(line[28:36]) * 10.0,
                           float(line[36:44]) * 10.0))
-        box_fields = lines[i + 2 + n_atoms].split()
-        lx, ly, lz = (float(box_fields[0]) * 10.0,
-                      float(box_fields[1]) * 10.0,
-                      float(box_fields[2]) * 10.0)
-        boxes.append([lx, ly, lz, 90.0, 90.0, 90.0])
+        box_fields = [float(x) * 10.0
+                      for x in lines[i + 2 + n_atoms].split()]
+        if len(box_fields) >= 9:
+            # Triclinic: v1x v2y v3z v1y v1z v2x v2z v3x v3y (nm).
+            f0 = box_fields
+            vectors = np.asarray([[f0[0], f0[3], f0[4]],
+                                  [f0[5], f0[1], f0[6]],
+                                  [f0[7], f0[8], f0[2]]])
+            boxes.append(box_vectors_to_dimensions(vectors))
+        else:
+            boxes.append([box_fields[0], box_fields[1], box_fields[2],
+                          90.0, 90.0, 90.0])
         frames.append(frame)
         first = False
         i += 3 + n_atoms
