@@ -1,0 +1,189 @@
+"""Analysis tests: bootstrap vs scipy.stats.bootstrap and fep_estimator
+analytic cases (the reference validates its bootstrap against scipy,
+tests/analysis/test_bootstrap.py:74).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.stats
+
+from tfep_tpu.analysis import bootstrap, fep_estimator
+
+rng = np.random.default_rng(42)
+
+
+def mean_statistic(data, weights=None, vectorized=False):
+    if weights is not None:
+        return jnp.sum(data * weights, axis=-1)
+    if vectorized:
+        return jnp.mean(data, axis=-1)
+    return jnp.mean(data)
+
+
+# =============================================================================
+# bootstrap vs scipy
+# =============================================================================
+
+@pytest.mark.parametrize('method', ['percentile', 'basic'])
+def test_bootstrap_matches_scipy(method):
+    data = rng.normal(2.0, 1.5, size=400)
+    n_resamples = 4000
+
+    ours = bootstrap(data, mean_statistic, n_resamples=n_resamples,
+                     method=method, seed=1)
+    ref = scipy.stats.bootstrap(
+        (data,), np.mean, n_resamples=n_resamples, method=method,
+        confidence_level=0.95, random_state=np.random.default_rng(1),
+        vectorized=False)
+
+    # Both are Monte Carlo estimates of the same CI: they must agree to a
+    # few standard errors of the quantile estimator.
+    se = data.std() / np.sqrt(len(data))
+    tol = 0.25 * se * 3
+    assert abs(float(ours['confidence_interval']['low'])
+               - ref.confidence_interval.low) < tol
+    assert abs(float(ours['confidence_interval']['high'])
+               - ref.confidence_interval.high) < tol
+    np.testing.assert_allclose(float(ours['standard_deviation']),
+                               ref.standard_error, rtol=0.15)
+
+
+def test_bootstrap_distribution_parameters():
+    """Bootstrap std of the mean ~ sigma/sqrt(n); mean/median ~ sample mean."""
+    sigma, n = 2.0, 1000
+    data = rng.normal(5.0, sigma, size=n)
+    result = bootstrap(data, mean_statistic, n_resamples=3000, seed=2)
+    np.testing.assert_allclose(float(result['standard_deviation']),
+                               sigma / np.sqrt(n), rtol=0.2)
+    np.testing.assert_allclose(float(result['mean']), data.mean(), atol=0.05)
+    np.testing.assert_allclose(float(result['median']), data.mean(),
+                               atol=0.05)
+
+
+def test_bootstrap_batching_equivalent():
+    """Chunked resampling draws the same keys sequence -> similar results."""
+    data = rng.normal(0.0, 1.0, size=200)
+    full = bootstrap(data, mean_statistic, n_resamples=2000, seed=3)
+    chunked = bootstrap(data, mean_statistic, n_resamples=2000, batch=128,
+                        seed=3)
+    np.testing.assert_allclose(float(full['mean']), float(chunked['mean']),
+                               atol=0.02)
+
+
+def test_bootstrap_sample_sizes_and_take_first():
+    """CI width shrinks as the bootstrap sample size grows."""
+    data = rng.normal(0.0, 1.0, size=1000)
+    results = bootstrap(data, mean_statistic, n_resamples=1500,
+                        bootstrap_sample_size=[10, 1000],
+                        take_first_only=True, seed=4)
+    assert isinstance(results, list) and len(results) == 2
+    widths = [float(r['confidence_interval']['high'])
+              - float(r['confidence_interval']['low']) for r in results]
+    assert widths[0] > 3 * widths[1]
+
+
+def test_bayesian_bootstrap():
+    data = rng.normal(3.0, 1.0, size=500)
+    result = bootstrap(data, mean_statistic, n_resamples=2000,
+                       bayesian=True, seed=5)
+    np.testing.assert_allclose(float(result['mean']), data.mean(), atol=0.05)
+    np.testing.assert_allclose(float(result['standard_deviation']),
+                               1.0 / np.sqrt(500), rtol=0.25)
+
+
+def test_bayesian_with_sample_size_requires_take_first():
+    data = rng.normal(size=100)
+    with pytest.raises(ValueError, match='take_first_only'):
+        bootstrap(data, mean_statistic, bayesian=True,
+                  bootstrap_sample_size=[10, 50], n_resamples=10)
+
+
+def test_bad_method_raises():
+    with pytest.raises(ValueError, match='percentile'):
+        bootstrap(rng.normal(size=50), mean_statistic, n_resamples=10,
+                  method='bca')
+
+
+# =============================================================================
+# fep_estimator
+# =============================================================================
+
+def test_fep_estimator_gaussian_work():
+    """For w ~ N(mu, sigma^2) in kT: -log<exp(-w)> = mu - sigma^2/2."""
+    mu, sigma = 2.0, 0.5
+    work = rng.normal(mu, sigma, size=200_000)
+    df = float(fep_estimator(work))
+    np.testing.assert_allclose(df, mu - sigma ** 2 / 2, atol=0.02)
+
+
+def test_fep_estimator_kT_scaling():
+    """Work in physical units with kT equals kT * estimate(work/kT)."""
+    work_kT = rng.normal(1.0, 0.3, size=5000)
+    kT = 0.596
+    df_physical = float(fep_estimator(work_kT * kT, kT=kT))
+    df_reduced = float(fep_estimator(work_kT))
+    np.testing.assert_allclose(df_physical, kT * df_reduced, rtol=1e-6)
+
+
+def test_fep_estimator_constant_bias_is_unbiased():
+    """A constant bias gives uniform weights == the unbiased estimate."""
+    work = rng.normal(0.5, 0.2, size=1000)
+    bias = np.full_like(work, 3.21)
+    df_biased = float(fep_estimator(np.stack([work, bias])))
+    df_plain = float(fep_estimator(work))
+    np.testing.assert_allclose(df_biased, df_plain, rtol=1e-6)
+
+
+def test_fep_estimator_bias_reweights():
+    """Bias favoring low-work samples must move the estimate accordingly:
+    manual log-softmax reweighting reproduces the implementation."""
+    work = rng.normal(0.0, 1.0, size=2000)
+    bias = -work  # favor high-work frames
+    df = float(fep_estimator(np.stack([work, bias])))
+    log_w = bias - np.log(np.sum(np.exp(bias - bias.max()))) - bias.max()
+    expected = -np.log(np.sum(np.exp(-work + log_w)))
+    np.testing.assert_allclose(df, expected, rtol=1e-5)
+
+
+def test_fep_estimator_vectorized_matches_loop():
+    work = rng.normal(1.0, 0.4, size=(8, 300))
+    vec = np.asarray(fep_estimator(work, vectorized=True))
+    loop = np.asarray([float(fep_estimator(w)) for w in work])
+    np.testing.assert_allclose(vec, loop, rtol=1e-6)
+
+    # Vectorized with bias: trailing (work, bias) pairs.
+    bias = rng.normal(size=(8, 300))
+    data = np.stack([work, bias], axis=-1)
+    vec = np.asarray(fep_estimator(data, vectorized=True))
+    loop = np.asarray([float(fep_estimator(np.stack([w, b])))
+                       for w, b in zip(work, bias)])
+    np.testing.assert_allclose(vec, loop, rtol=1e-6)
+
+
+def test_fep_estimator_uniform_weights_match_unweighted():
+    work = rng.normal(size=(4, 100))
+    weights = np.full((4, 100), 1.0 / 100)
+    with_w = np.asarray(fep_estimator(work, weights=weights,
+                                      vectorized=True))
+    without = np.asarray(fep_estimator(work, vectorized=True))
+    np.testing.assert_allclose(with_w, without, rtol=1e-6)
+
+
+def test_fep_estimator_weights_with_bias_unsupported():
+    with pytest.raises(NotImplementedError):
+        fep_estimator(np.zeros((2, 10)), weights=np.ones(10) / 10)
+
+
+def test_bootstrapped_fep_estimate_brackets_analytic():
+    """The composed workflow: bootstrap CI of the FEP estimate brackets the
+    analytic free energy for Gaussian work."""
+    mu, sigma = 1.0, 0.4
+    work = rng.normal(mu, sigma, size=4000)
+    result = bootstrap(
+        work, lambda d, weights=None, vectorized=False:
+            fep_estimator(d, weights=weights, vectorized=vectorized),
+        n_resamples=1000, seed=6)
+    analytic = mu - sigma ** 2 / 2
+    assert float(result['confidence_interval']['low']) < analytic \
+        < float(result['confidence_interval']['high'])

@@ -1,0 +1,91 @@
+"""StatefulBatchSampler unit tests (the reference tests these directly,
+tests/io/test_sampler.py; round 1 covered them only via app-level resume).
+"""
+
+import numpy as np
+import pytest
+
+from tfep_tpu.io.sampler import StatefulBatchSampler
+
+
+class MockTrainer:
+    def __init__(self, global_step=0):
+        self.global_step = global_step
+
+
+def collect(sampler):
+    return [batch.tolist() for batch in sampler]
+
+
+def test_requires_trainer():
+    sampler = StatefulBatchSampler(list(range(4)), batch_size=2)
+    with pytest.raises(RuntimeError, match='trainer'):
+        next(iter(sampler))
+
+
+def test_len_and_drop_last():
+    data = list(range(10))
+    assert len(StatefulBatchSampler(data, batch_size=3)) == 4
+    assert len(StatefulBatchSampler(data, batch_size=3, drop_last=True)) == 3
+    assert len(StatefulBatchSampler(data, batch_size=5)) == 2
+
+
+def test_sequential_batches_without_shuffle():
+    sampler = StatefulBatchSampler(list(range(7)), batch_size=3,
+                                   trainer=MockTrainer())
+    assert collect(sampler) == [[0, 1, 2], [3, 4, 5], [6]]
+
+
+def test_shuffle_permutation_covers_epoch():
+    sampler = StatefulBatchSampler(list(range(12)), batch_size=4,
+                                   shuffle=True, trainer=MockTrainer())
+    batches = collect(sampler)
+    flat = [i for b in batches for i in b]
+    assert sorted(flat) == list(range(12))
+
+
+def test_mid_epoch_resume_replays_same_permutation():
+    """A resumed sampler with the stored seed yields exactly the batches the
+    crashed run did not visit."""
+    n, batch_size = 12, 4
+    trainer = MockTrainer()
+    sampler = StatefulBatchSampler(list(range(n)), batch_size=batch_size,
+                                   shuffle=True, trainer=trainer)
+    # Crash after 1 of 3 batches.
+    it = iter(sampler)
+    first = next(it).tolist()
+    trainer.global_step = 1
+    state = sampler.state_dict()
+
+    resumed = StatefulBatchSampler(list(range(n)), batch_size=batch_size,
+                                   shuffle=True,
+                                   trainer=MockTrainer(global_step=1))
+    resumed.load_state_dict(state)
+    rest = collect(resumed)
+    flat = first + [i for b in rest for i in b]
+    assert len(rest) == 2
+    assert sorted(flat) == list(range(n))
+    assert len(set(flat)) == n  # no repeats across the crash
+
+
+def test_new_epoch_draws_new_seed():
+    trainer = MockTrainer()
+    sampler = StatefulBatchSampler(list(range(64)), batch_size=8,
+                                   shuffle=True, trainer=trainer)
+    first_epoch = collect(sampler)
+    seed1 = sampler.state_dict()['current_epoch_seed']
+    # Next epoch (global_step back to a multiple of n_batches).
+    trainer.global_step = len(sampler)
+    second_epoch = collect(sampler)
+    seed2 = sampler.state_dict()['current_epoch_seed']
+    assert seed1 != seed2
+    assert first_epoch != second_epoch  # same would be astronomically unlikely
+
+
+def test_resume_at_epoch_boundary_starts_fresh():
+    trainer = MockTrainer(global_step=3)  # exactly one epoch of 3 batches
+    sampler = StatefulBatchSampler(list(range(9)), batch_size=3,
+                                   shuffle=True, trainer=trainer)
+    sampler.load_state_dict({'current_epoch_seed': 1234})
+    batches = collect(sampler)
+    assert len(batches) == 3  # full new epoch, stored seed replaced

@@ -105,6 +105,65 @@ def test_neural_spline(identity_boundary_slopes, learn_bounds):
     identity_check(t, x, atol=1e-6)
 
 
+def test_neural_spline_different_output_domain():
+    """y0/yf != x0/xf: the spline maps [x0, xf] onto [y0, yf]."""
+    x0 = -1.0 * jnp.ones(N_FEATURES)
+    xf = 1.0 * jnp.ones(N_FEATURES)
+    y0 = 2.0 * jnp.ones(N_FEATURES)
+    yf = 6.0 * jnp.ones(N_FEATURES)
+    t = NeuralSplineTransformer.create(x0, xf, n_bins=4, y0=y0, yf=yf)
+
+    n_params = t.n_parameters_per_feature * N_FEATURES
+    x = jax.random.uniform(jax.random.key(2), (BATCH, N_FEATURES),
+                           minval=-1.0, maxval=1.0)
+    params = 0.4 * jax.random.normal(jax.random.key(3), (BATCH, n_params))
+    y, ldj = oracle_check(t, x, params)
+    assert np.all(np.asarray(y) >= 2.0 - 1e-9)
+    assert np.all(np.asarray(y) <= 6.0 + 1e-9)
+    roundtrip_check(t, x, params, atol=1e-7)
+    # Domain edges map to codomain edges.
+    y_edges, _ = t.forward(jnp.stack([x0, xf]), params[:2])
+    np.testing.assert_allclose(np.asarray(y_edges[0]), 2.0, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(y_edges[1]), 6.0, atol=1e-9)
+
+
+def test_neural_spline_floors_keep_monotonicity():
+    """Extreme conditioner outputs hit the min bin/slope floors and the
+    spline stays strictly monotonic and invertible."""
+    x0 = -2.0 * jnp.ones(N_FEATURES)
+    xf = 2.0 * jnp.ones(N_FEATURES)
+    t = NeuralSplineTransformer.create(x0, xf, n_bins=5,
+                                       min_bin_size=1e-3, min_slope=1e-3)
+    n_params = t.n_parameters_per_feature * N_FEATURES
+    # Saturating parameters: widths/heights collapse to the floors.
+    params = 40.0 * jax.random.normal(jax.random.key(4), (BATCH, n_params))
+    x = jnp.linspace(-1.9, 1.9, BATCH * N_FEATURES).reshape(
+        BATCH, N_FEATURES)
+    y, ldj = t.forward(x, params)
+    assert np.all(np.isfinite(np.asarray(y)))
+    assert np.all(np.isfinite(np.asarray(ldj)))
+    # Strict monotonicity per feature along increasing inputs.
+    same_params = jnp.broadcast_to(params[0], params.shape)
+    y_mono, _ = t.forward(x, same_params)
+    assert np.all(np.diff(np.asarray(y_mono), axis=0) > 0)
+    roundtrip_check(t, x, params, atol=1e-6)
+
+
+def test_neural_spline_option_validation():
+    ones = jnp.ones(N_FEATURES)
+    with pytest.raises(ValueError, match='circular'):
+        NeuralSplineTransformer.create(-ones, ones, n_bins=4, circular=True,
+                                       learn_lower_bound=True)
+    with pytest.raises(ValueError, match='periodic'):
+        NeuralSplineTransformer.create(-ones, ones, n_bins=4, circular=True,
+                                       y0=2 * ones, yf=3 * ones)
+    with pytest.raises(ValueError):
+        NeuralSplineTransformer.create(-ones, ones, n_bins=4,
+                                       min_bin_size=0.0)
+    with pytest.raises(ValueError):
+        NeuralSplineTransformer.create(-ones, ones, n_bins=4, min_slope=1.5)
+
+
 def test_neural_spline_circular():
     period = 2 * np.pi
     x0 = jnp.zeros(N_FEATURES)
