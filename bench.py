@@ -89,6 +89,89 @@ def bench_jax():
     return BATCH * N_TIMED_STEPS / best_dt, jax.devices()[0].platform
 
 
+def bench_mixed_jax():
+    """Flagship MixedMAFMap training step: Z-matrix build + dataset pass
+    host-side, then the jitted step including the scanned NeRF
+    Cartesian<->internal conversion (ops/zmatrix.py) — the genuinely novel
+    TPU code whose throughput must be tracked round-over-round."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tfep_tpu.app import MixedMAFMap
+    from tfep_tpu.app.trainer import _dealias
+    from tfep_tpu.io.topology import Topology
+    from tfep_tpu.io.traj import System
+    from tfep_tpu.nn.module import (
+        apply_updates, filter_value_and_grad, partition,
+    )
+    from tfep_tpu.units import ureg
+
+    # Synthetic 32-atom polymer chain on a helix (no collinear triplets).
+    rng = np.random.default_rng(0)
+    # Strongly bent helix: consecutive-bond angles ~63 deg, far from the
+    # collinearity guard even under per-frame noise.
+    turns = np.arange(N_ATOMS) * 1.2
+    base = np.stack([1.5 * np.cos(turns), 1.5 * np.sin(turns),
+                     0.3 * np.arange(N_ATOMS)], axis=1)
+    positions = base[None] + 0.05 * rng.normal(
+        size=(BATCH, N_ATOMS, 3))
+    topology = Topology(
+        names=[f'C{i}' for i in range(N_ATOMS)],
+        elements=['C'] * N_ATOMS,
+        bonds=[(i, i + 1) for i in range(N_ATOMS - 1)])
+    system = System(topology, positions.astype(np.float32))
+
+    class SumPotential:
+        energy_unit = None
+
+        def __call__(self, x, cell=None):
+            return jnp.sum(x, axis=-1)
+
+    tfep_map = MixedMAFMap(
+        potential_energy_func=SumPotential(),
+        temperature=300.0 * ureg.kelvin,
+        system=system, batch_size=BATCH,
+        tfep_logger_dir_path=None,
+        n_maf_layers=N_MAF_LAYERS, n_bins=N_BINS)
+    tfep_map.setup()
+
+    flow = _dealias(tfep_map.flow)
+    optimizer = optax.adamw(1e-4)
+    trainable, _ = partition(flow)
+    opt_state = optimizer.init(trainable)
+    batch = {k: jnp.asarray(v)
+             for k, v in tfep_map.dataset.get_batch(
+                 list(range(BATCH))).items()}
+
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(flow, opt_state, batch):
+        (loss, _), grads = filter_value_and_grad(
+            lambda f: tfep_map.training_step_fn(f, batch),
+            has_aux=True)(flow)
+        tr, _ = partition(flow)
+        updates, new_opt_state = optimizer.update(grads, opt_state, tr)
+        return apply_updates(flow, updates), new_opt_state, loss
+
+    flow, opt_state, loss = train_step(flow, opt_state, batch)
+    jax.block_until_ready(loss)
+
+    # Fewer timed steps than the Cartesian bench: the scanned conversion
+    # makes each step heavier and the number only needs ~10% fidelity.
+    n_steps = max(5, N_TIMED_STEPS // 3)
+    best_dt = float('inf')
+    for _ in range(max(2, N_ROUNDS // 2)):
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            flow, opt_state, loss = train_step(flow, opt_state, batch)
+        jax.block_until_ready(loss)
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    return BATCH * n_steps / best_dt
+
+
 def bench_torch_baseline():
     """Equivalent spline-MAF training step in PyTorch (CPU), same sizes."""
     import torch
@@ -190,18 +273,27 @@ def bench_torch_baseline():
 def main():
     value, platform = bench_jax()
     try:
+        mixed_value = bench_mixed_jax()
+    except Exception:
+        mixed_value = None
+    try:
         baseline = bench_torch_baseline()
         vs_baseline = value / baseline
     except Exception:
         vs_baseline = None
-    print(json.dumps({
+    record = {
         'metric': f'trajectory frames/s/chip (neural-spline MAF train step, '
                   f'{N_ATOMS} atoms, {N_MAF_LAYERS} layers, {N_BINS} bins, '
                   f'batch {BATCH}, {platform})',
         'value': round(value, 1),
         'unit': 'frames/s',
         'vs_baseline': round(vs_baseline, 2) if vs_baseline else None,
-    }))
+    }
+    if mixed_value is not None:
+        # Flagship secondary metric: MixedMAFMap step incl. the scanned
+        # NeRF Cartesian<->internal conversion.
+        record['mixed_map_frames_per_s'] = round(mixed_value, 1)
+    print(json.dumps(record))
 
 
 if __name__ == '__main__':

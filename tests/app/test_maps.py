@@ -115,6 +115,40 @@ def test_cartesian_maf_map_trains(tmp_path, selections):
     assert set(logged['dataset_sample_index'].tolist()) == set(range(N_FRAMES))
 
 
+def test_pca_whitening_trains(tmp_path):
+    """CartesianMAFMap(pca_whitening=True) fits the whitening on the
+    MAF-level coordinates and trains end-to-end with exact log-dets."""
+    tfep_map = CartesianMAFMap(
+        potential_energy_func=MockPotential(),
+        temperature=300.0 * ureg.kelvin,
+        system=make_system(n_frames=64),
+        batch_size=16,
+        tfep_logger_dir_path=str(tmp_path / 'logs'),
+        n_maf_layers=2,
+        pca_whitening=True,
+        mapped_atoms=[1, 2, 3, 4, 5], conditioning_atoms=[0],
+        origin_atom=0, axes_atoms=[1, 2])
+    trainer = Trainer(save_dir=None, max_epochs=1, shuffle=False)
+    trainer.fit(tfep_map)
+    assert np.all(np.isfinite(trainer.loss_history))
+
+    # The composed flow's log-det stays exact (oracle check).
+    from tfep_tpu.utils.math import batch_autograd_log_abs_det_J
+    batch = {k: jnp.asarray(v)
+             for k, v in tfep_map.dataset.get_batch([0, 1, 2]).items()}
+    out = tfep_map.forward(batch)
+    oracle = batch_autograd_log_abs_det_J(
+        lambda x: tfep_map.flow.forward(x)[0], batch['positions'])
+    np.testing.assert_allclose(np.asarray(out['log_det_J']),
+                               np.asarray(oracle), atol=1e-7)
+
+
+def test_pca_whitening_needs_enough_frames(tmp_path):
+    tfep_map = make_map(tmp_path, pca_whitening=True)  # 10 frames, 18 dofs
+    with pytest.raises(ValueError, match='more frames'):
+        tfep_map.setup()
+
+
 def test_crash_resume_invariant(tmp_path):
     """Union of visited samples across a crash = one epoch, no repeats."""
     visited = []

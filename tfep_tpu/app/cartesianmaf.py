@@ -29,11 +29,18 @@ class CartesianMAFMap(TFEPMapBase):
     """TFEP map built from MAF layers acting on Cartesian coordinates."""
 
     def __init__(self, *args, n_maf_layers: int = 6, flow_kwargs=None,
-                 remat: bool = False, **kwargs):
+                 remat: bool = False, pca_whitening: bool = False,
+                 pca_n_frames: int = 5120, **kwargs):
+        """``pca_whitening`` runs the MAF stack in PCA-whitened coordinates
+        (a :class:`~tfep_tpu.nn.flows.PCAWhitenedFlow` fitted during setup
+        on up to ``pca_n_frames`` dataset frames as seen by the MAF, i.e.
+        after fixed-DOF removal and reference-frame alignment)."""
         super().__init__(*args, **kwargs)
         self.n_maf_layers = int(n_maf_layers)
         self.flow_kwargs = dict(flow_kwargs or {})
         self.remat = bool(remat)
+        self.pca_whitening = bool(pca_whitening)
+        self.pca_n_frames = int(pca_n_frames)
 
     # ------------------------------------------------------------------ #
     def determine_atom_indices(self):
@@ -71,6 +78,19 @@ class CartesianMAFMap(TFEPMapBase):
                                          **self.flow_kwargs))
         flow = SequentialFlow.create(*maf_layers, remat=self.remat)
 
+        if self.pca_whitening:
+            from tfep_tpu.nn.flows import PCAWhitenedFlow
+            flow = PCAWhitenedFlow.create(
+                flow, self._collect_maf_inputs(origin_atom_idx,
+                                               axes_atoms_indices))
+
+        return self._wrap_reference_frame(flow, origin_atom_idx,
+                                          axes_atoms_indices,
+                                          n_total_features)
+
+    def _wrap_reference_frame(self, flow, origin_atom_idx,
+                              axes_atoms_indices, n_total_features):
+        """Wrap ``flow`` in the Oriented/CenteredCentroid reference stack."""
         # If the removed origin atom sits before an axes atom, the axes-atom
         # index shifts down in the origin-removed frame seen by OrientedFlow.
         if origin_atom_idx is not None and axes_atoms_indices is not None:
@@ -94,6 +114,50 @@ class CartesianMAFMap(TFEPMapBase):
                 subset_point_indices=[int(origin_atom_idx)])
 
         return flow
+
+    def _collect_maf_inputs(self, origin_atom_idx, axes_atoms_indices
+                            ) -> np.ndarray:
+        """One dataset pass collecting the coordinates the MAF stack sees
+        (after fixed-DOF removal + reference-frame alignment), for the PCA
+        whitening estimate. Host-side, pre-jit."""
+        import jax.numpy as jnp
+
+        captured = []
+
+        class _Capture:
+            def forward(self, x):
+                captured.append(np.asarray(x))
+                return x, jnp.zeros(x.shape[0], dtype=x.dtype)
+
+            __call__ = forward
+
+            def inverse(self, y):
+                return y, jnp.zeros(y.shape[0], dtype=y.dtype)
+
+            def n_parameters(self):
+                return 0
+
+        probe = self._wrap_reference_frame(
+            _Capture(), origin_atom_idx, axes_atoms_indices,
+            3 * self.n_nonfixed_atoms)
+        probe = self.create_partial_flow(probe)
+
+        n = len(self.dataset)
+        take = min(n, self.pca_n_frames)
+        sample_indices = np.unique(
+            np.linspace(0, n - 1, take).round().astype(np.int64))
+        for start in range(0, len(sample_indices), 1024):
+            batch = self.dataset.get_batch(
+                sample_indices[start:start + 1024])
+            probe.forward(jnp.asarray(batch['positions']))
+
+        samples = np.concatenate(captured)
+        if samples.shape[0] <= samples.shape[1]:
+            raise ValueError(
+                f'PCA whitening needs more frames ({samples.shape[0]}) than '
+                f'flow features ({samples.shape[1]}); pass a longer '
+                'trajectory or disable pca_whitening.')
+        return samples
 
     # ------------------------------------------------------------------ #
     def get_mapped_indices(self, idx_type: str = 'atom',
