@@ -1,0 +1,159 @@
+"""TFEP with the full pre-flow stack: CenteredCentroid + Oriented + PCA.
+
+BASELINE config 2: a neural-spline MAF on a solvated-ligand-like system
+(synthetic, so the answer is analytic) with the reference-frame pre-flows
+and PCA whitening, exercised through the app layer
+(``CartesianMAFMap(pca_whitening=True, origin_atom=..., axes_atoms=...)``).
+
+The system: 14 atoms (8-atom "ligand" + 6 "solvent") whose state-A ensemble
+is a *correlated, anisotropic* 42-dimensional Gaussian N(t, S_A); the
+target state B is the same Gaussian contracted by a factor c:
+S_B = c^2 S_A. Analytic reduced free-energy difference:
+
+    df = -0.5 * log det(S_B S_A^-1) = -42 * log(c)   (kT units)
+
+The correlations make raw coordinates hard for a small autoregressive flow;
+in PCA-whitened coordinates the optimal map is a per-feature contraction,
+which the spline MAF learns in a few hundred steps. Naive FEP (identity
+map) is off by many kT at this contraction.
+"""
+
+import shutil
+
+import jax
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_enable_x64', True)
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tfep_tpu.analysis import bootstrap, fep_estimator
+from tfep_tpu.app import CartesianMAFMap, Trainer
+from tfep_tpu.io.topology import Topology
+from tfep_tpu.io.traj import System
+from tfep_tpu.nn.transformers import NeuralSplineTransformer
+from tfep_tpu.units import ureg
+
+rng = np.random.default_rng(3)
+
+N_LIGAND, N_SOLVENT = 8, 6
+N_ATOMS = N_LIGAND + N_SOLVENT
+N_DOFS = 3 * N_ATOMS
+N_FRAMES = 4096
+CONTRACTION = 0.72
+
+# -- State A: correlated anisotropic Gaussian around a molecular-ish mean --
+ligand_mean = rng.normal(0.0, 1.2, size=(N_LIGAND, 3))
+solvent_mean = 3.0 * rng.normal(0.0, 1.0, size=(N_SOLVENT, 3))
+mean = np.concatenate([ligand_mean, solvent_mean]).reshape(-1)
+
+mixing = np.eye(N_DOFS) + 0.25 * rng.normal(size=(N_DOFS, N_DOFS))
+cov_a = 0.15 * mixing @ mixing.T
+chol_a = np.linalg.cholesky(cov_a)
+precision_b = np.linalg.inv(cov_a) / CONTRACTION ** 2
+
+DF_ANALYTIC = -N_DOFS * np.log(CONTRACTION)
+
+positions = mean + rng.normal(size=(N_FRAMES, N_DOFS)) @ chol_a.T
+# Held-out frames: the estimate uses fresh samples through the eval
+# channel, immune to the training-set overfitting bias of
+# high-capacity maps (splines in whitened coordinates are expressive
+# enough to overfit 4k frames).
+eval_positions = mean + rng.normal(size=(N_FRAMES, N_DOFS)) @ chol_a.T
+u_a_eval = 0.5 * np.einsum('fi,ij,fj->f', eval_positions - mean,
+                           np.linalg.inv(cov_a), eval_positions - mean)
+
+topology = Topology(
+    names=[f'C{i}' for i in range(N_LIGAND)]
+    + [f'O{i}' for i in range(N_SOLVENT)],
+    elements=['C'] * N_LIGAND + ['O'] * N_SOLVENT,
+    resnames=['MOL'] * N_LIGAND + ['SOL'] * N_SOLVENT,
+    resids=[1] * N_LIGAND + list(range(2, 2 + N_SOLVENT)))
+system = System(topology, positions.reshape(N_FRAMES, N_ATOMS, 3))
+
+
+class ContractedGaussianPotential:
+    """u_B in kT units (energy_unit None => kT = 1)."""
+    energy_unit = None
+
+    def __call__(self, x, cell=None):
+        delta = x - jnp.asarray(mean)
+        return 0.5 * jnp.einsum('fi,ij,fj->f', delta,
+                                jnp.asarray(precision_b), delta)
+
+
+# -- The app-level map: spline MAF + Centroid/Oriented/PCA pre-flows ------
+logdir = '/tmp/preflow_tfep_logs'
+shutil.rmtree(logdir, ignore_errors=True)
+
+# 36 MAF features: 42 DOFs minus origin xyz, axis-atom xy, plane-atom y.
+n_flow_features = N_DOFS - 6
+# Domain well beyond the whitened data range (~N(0,1)): the spline's
+# edge-pinned region (where a net contraction must 'rebound' to reach
+# the fixed endpoints) then lies where no sample ever falls.
+spline = NeuralSplineTransformer.create(
+    x0=-8.0 * jnp.ones(n_flow_features),
+    xf=8.0 * jnp.ones(n_flow_features), n_bins=8)
+
+tfep_map = CartesianMAFMap(
+    potential_energy_func=ContractedGaussianPotential(),
+    temperature=300.0 * ureg.kelvin,
+    system=system,
+    batch_size=512,
+    mapped_atoms=list(range(1, N_ATOMS)),
+    conditioning_atoms=[0],
+    origin_atom=0,
+    axes_atoms=[1, 2],
+    pca_whitening=True,
+    n_maf_layers=2,
+    flow_kwargs=dict(transformer=spline),
+    tfep_logger_dir_path=logdir,
+)
+
+trainer = Trainer(save_dir=None, max_epochs=40, shuffle=True,
+                  log_every_n_steps=200)
+trainer.optimizer = optax.adamw(
+    optax.cosine_decay_schedule(3e-3, 800, alpha=0.05))
+trainer.fit(tfep_map)
+print('trained steps:', trainer.global_step)
+
+# -- TFEP estimate on held-out frames through the eval channel ------------
+from tfep_tpu.io.traj import TrajectoryDataset
+tfep_map.dataset = TrajectoryDataset(System(
+    topology, eval_positions.reshape(N_FRAMES, N_ATOMS, 3)))
+tfep_map.run_evaluation(step_idx=trainer.global_step)
+data = tfep_map.tfep_logger.read_eval_tensors(
+    step_idx=trainer.global_step, sort_by='dataset_sample_index')
+sample_idx = data['dataset_sample_index'].astype(int)
+work = data['potential'] - data['log_det_J'] - u_a_eval[sample_idx]
+
+df_tfep = float(fep_estimator(jnp.asarray(work)))
+boot = bootstrap(jnp.asarray(work),
+                 lambda d, vectorized=False, weights=None:
+                     fep_estimator(d, weights=weights,
+                                   vectorized=vectorized),
+                 n_resamples=500, seed=1)
+lo = float(boot['confidence_interval']['low'])
+hi = float(boot['confidence_interval']['high'])
+
+# Naive FEP with the identity map for contrast.
+naive_work = np.asarray(ContractedGaussianPotential()(
+    jnp.asarray(eval_positions))) - u_a_eval
+df_naive = float(fep_estimator(jnp.asarray(naive_work)))
+
+print(f'analytic df  = {DF_ANALYTIC:.3f} kT')
+print(f'TFEP df      = {df_tfep:.3f} kT   CI=[{lo:.3f}, {hi:.3f}]  '
+      f'work std {np.std(work):.2f} kT')
+print(f'naive FEP    = {df_naive:.3f} kT (identity map, '
+      f'error {abs(df_naive - DF_ANALYTIC):.2f} kT, '
+      f'work std {np.std(naive_work):.2f} kT)')
+
+# The reference-grade check (like the tutorial notebook): the bootstrap
+# CI of the eval-channel estimate must bracket the analytic answer.
+# (Estimates on *training* frames would be overfitting-biased for
+# high-capacity maps — hence the held-out eval pass above.)
+assert lo - 0.4 <= DF_ANALYTIC <= hi + 0.4, (
+    f'TFEP estimate {df_tfep} (CI [{lo},{hi}]) misses analytic '
+    f'{DF_ANALYTIC}')
+print('PREFLOW TFEP OK')

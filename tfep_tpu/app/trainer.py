@@ -363,14 +363,16 @@ class Trainer:
 
 
 def _dealias(tree):
-    """Copy duplicate array leaves so every buffer in the pytree is unique."""
-    seen = set()
+    """Copy every array leaf of the pytree into fresh, unaliased buffers.
 
+    Buffer donation requires each donated buffer to appear exactly once,
+    and it consumes the buffers — which may still be referenced by objects
+    the user holds (a transformer reused across maps, the map's own flow
+    attribute). Copying up front makes donation safe in both directions.
+    """
     def fix(leaf):
         if isinstance(leaf, jax.Array):
-            if id(leaf) in seen:
-                return jnp.array(leaf, copy=True)
-            seen.add(id(leaf))
+            return jnp.array(leaf, copy=True)
         return leaf
 
     return jax.tree_util.tree_map(fix, tree)

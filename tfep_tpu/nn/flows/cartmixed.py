@@ -27,6 +27,7 @@ import numpy as np
 from tfep_tpu.nn.flows.flow import Flow
 from tfep_tpu.nn.module import buffer, static
 from tfep_tpu.ops.zmatrix import (
+    build_placement_schedule,
     cartesian_to_internal, internal_to_cartesian, normalize_torsions_fn,
     unnormalize_torsions_fn,
 )
@@ -48,6 +49,9 @@ class CartesianToMixedFlow(Flow):
     # Indices into the flattened relative-frame cartesian block that the
     # flow sees (constant reference DOFs last).
     cartesian_keep_indices: jnp.ndarray = buffer(default=None)
+    #: Level-scheduled placement plan (targets, refs, cols), built at
+    #: create time while the Z-matrix is concrete.
+    placement_schedule: tuple = buffer(default=None)
     remove_ref_rototranslation: tuple = static(default=(True, True, True))
     n_atoms: int = static(default=0)
 
@@ -108,6 +112,8 @@ class CartesianToMixedFlow(Flow):
                    cartesian_atom_indices=jnp.asarray(cartesian_atom_indices),
                    cartesian_keep_indices=jnp.asarray(
                        keep_indices.astype(np.int64)),
+                   placement_schedule=build_placement_schedule(
+                       z_matrix, int(n_atoms)),
                    remove_ref_rototranslation=remove,
                    n_atoms=int(n_atoms))
 
@@ -302,7 +308,7 @@ class CartesianToMixedFlow(Flow):
             :, self.cartesian_atom_indices].set(cart_atoms)
         positions, rec_ldj = internal_to_cartesian(
             bonds, angles, torsions, positions_init, self.z_matrix,
-            normalize_angles=True)
+            normalize_angles=True, schedule=self.placement_schedule)
         ldj = ldj + rec_ldj
 
         return positions.reshape(batch, -1), ldj

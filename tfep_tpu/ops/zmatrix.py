@@ -9,9 +9,13 @@ atoms.
 
 TPU mapping: the measurement direction (Cartesian -> IC) is fully
 vectorized gathers + trigonometry; the reconstruction direction is a
-NeRF-style placement rolled as a ``lax.scan`` over Z-matrix rows (each atom
-may depend on previously placed ones), with per-row indices fed as scan
-inputs so the compiled program is O(1) in molecule size.
+NeRF-style placement scheduled by *dependency level*: rows whose reference
+atoms are all already placed are grouped host-side and placed together,
+so the ``lax.scan`` runs over levels (the depth of the placement DAG), not
+over rows. A solvated system with thousands of independent solvent
+molecules reconstructs in ~3 sequential steps instead of ~3N; a linear
+chain grown outward from its center halves its sequential depth. The
+compiled program stays O(1) in molecule size (indices are scan inputs).
 
 The per-row volume element is ``r^2 sin(theta)``, so
 ``log|det d(ic)/d(cart)| = sum_rows [-2 log r - log sin(theta)]`` plus the
@@ -144,11 +148,36 @@ def _place_atom(p_j, p_k, p_l, r, theta, phi):
     return p_j + d
 
 
+def build_placement_schedule(z_matrix: np.ndarray, n_atoms: int):
+    """Precompute the level-scheduled placement plan (host side).
+
+    Returns ``(targets, refs, cols)``: for each dependency level, the atom
+    index each slot writes (``n_atoms`` for padded slots, dropped by the
+    scatter), the three reference-atom indices, and the Z-matrix column the
+    slot's (bond, angle, torsion) live in. Must be built while the
+    Z-matrix is concrete (flow construction) — under jit the Z-matrix
+    buffer is traced and the row grouping cannot be derived.
+    """
+    z = np.asarray(z_matrix)
+    schedule = _level_schedule(z)
+    padded = schedule < 0
+    safe_rows = np.where(padded, 0, schedule)
+    # Padded slots write out of bounds (dropped); distinct OOB indices keep
+    # every level's target list duplicate-free so the scatter can assert
+    # unique_indices.
+    oob = n_atoms + np.cumsum(padded, axis=1) - 1
+    targets = np.where(padded, np.maximum(oob, n_atoms), z[safe_rows][..., 0])
+    refs = z[safe_rows][..., 1:]
+    return (jnp.asarray(targets), jnp.asarray(refs),
+            jnp.asarray(safe_rows))
+
+
 def internal_to_cartesian(bonds: jnp.ndarray, angles: jnp.ndarray,
                           torsions: jnp.ndarray,
                           positions_init: jnp.ndarray,
                           z_matrix: np.ndarray,
-                          normalize_angles: bool = True):
+                          normalize_angles: bool = True,
+                          schedule=None):
     """Reconstruct IC atom positions given the Cartesian reference atoms.
 
     Parameters
@@ -166,7 +195,6 @@ def internal_to_cartesian(bonds: jnp.ndarray, angles: jnp.ndarray,
     positions : (batch, n_atoms, 3)
     log_det_J : (batch,)
     """
-    z = jnp.asarray(z_matrix)
     batch = bonds.shape[0]
     dtype = positions_init.dtype
 
@@ -180,20 +208,48 @@ def internal_to_cartesian(bonds: jnp.ndarray, angles: jnp.ndarray,
     log_det_J = log_det_J + jnp.sum(
         2.0 * jnp.log(bonds) + jnp.log(jnp.sin(angles)), axis=-1)
 
-    def body(positions, row):
-        idx_i, idx_j, idx_k, idx_l, r, theta, phi = row
-        idx_i = idx_i.astype(jnp.int32)
-        p_j = positions[:, idx_j.astype(jnp.int32)]
-        p_k = positions[:, idx_k.astype(jnp.int32)]
-        p_l = positions[:, idx_l.astype(jnp.int32)]
-        p_i = _place_atom(p_j, p_k, p_l, r, theta, phi)
-        positions = positions.at[:, idx_i].set(p_i)
+    # Level schedule: all rows of one level place concurrently. Padded
+    # slots write out of bounds and are dropped by the scatter.
+    if schedule is None:
+        schedule = build_placement_schedule(np.asarray(z_matrix),
+                                            positions_init.shape[1])
+    level_targets, level_refs, level_cols = schedule
+
+    def body(positions, xs):
+        targets, refs, cols = xs
+        p_j = positions[:, refs[:, 0]]                       # (batch, W, 3)
+        p_k = positions[:, refs[:, 1]]
+        p_l = positions[:, refs[:, 2]]
+        p_i = _place_atom(p_j, p_k, p_l, bonds[:, cols], angles[:, cols],
+                          torsions[:, cols])
+        positions = positions.at[:, targets].set(
+            p_i, mode='drop', unique_indices=True)
         return positions, None
 
-    rows = (z[:, 0].astype(dtype), z[:, 1].astype(dtype),
-            z[:, 2].astype(dtype), z[:, 3].astype(dtype),
-            bonds.T, angles.T, torsions.T)
-
     positions, _ = jax.lax.scan(
-        lambda pos, xs: body(pos, xs), positions_init, rows)
+        body, positions_init, (level_targets, level_refs, level_cols))
     return positions, log_det_J
+
+
+def _level_schedule(z_matrix: np.ndarray) -> np.ndarray:
+    """Group Z-matrix rows by placement-dependency level (host side).
+
+    A row's level is one more than the deepest of its reference atoms
+    (Cartesian references have level 0). Returns an (n_levels, width)
+    array of row indices, padded with -1.
+    """
+    atom_level: dict = {}
+    row_level = np.zeros(len(z_matrix), dtype=np.int64)
+    for row_idx, (i, j, k, l) in enumerate(np.asarray(z_matrix)):
+        level = 1 + max(atom_level.get(int(j), 0), atom_level.get(int(k), 0),
+                        atom_level.get(int(l), 0))
+        atom_level[int(i)] = level
+        row_level[row_idx] = level
+
+    groups = [np.nonzero(row_level == level)[0]
+              for level in range(1, int(row_level.max()) + 1)]
+    width = max(len(g) for g in groups)
+    schedule = np.full((len(groups), width), -1, dtype=np.int64)
+    for level_idx, group in enumerate(groups):
+        schedule[level_idx, :len(group)] = group
+    return schedule
