@@ -53,16 +53,20 @@ class TFEPMapBase:
                  axes_atoms=None,
                  tfep_logger_dir_path: Optional[str] = 'tfep_logs',
                  ignore_nan: bool = False,
+                 lazy_trajectory: bool = False,
                  seed: int = 0):
         """Either pass an in-memory ``system`` or file path(s); selections
         accept index sequences or selection strings (see
-        :mod:`tfep_tpu.io.topology`)."""
+        :mod:`tfep_tpu.io.topology`). ``lazy_trajectory`` streams binary
+        trajectories (DCD/XTC/TRR) from disk per batch instead of loading
+        them into memory."""
         if system is None:
             if coordinates_file_path is None:
                 raise ValueError(
                     'Pass either system or coordinates_file_path.')
             system = System.from_file(coordinates_file_path,
-                                      topology_path=topology_file_path)
+                                      topology_path=topology_file_path,
+                                      lazy=lazy_trajectory)
         self._system = system
         self._potential_energy_func = potential_energy_func
         self.batch_size = int(batch_size)
