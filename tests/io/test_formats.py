@@ -12,6 +12,7 @@ from tfep_tpu.io.frames import (
 )
 from tfep_tpu.io.native import native_available
 from tfep_tpu.io.topfiles import guess_bonds, read_gromacs_top, read_prmtop
+from tfep_tpu.io.topology import Topology
 from tfep_tpu.io.traj import (
     System, box_vectors_to_dimensions, dimensions_to_box_vectors, read_gro,
 )
@@ -135,6 +136,38 @@ SOL 2
     np.testing.assert_allclose(
         sample['positions'].reshape(-1, 3), pos_nm[2] * 10.0, atol=0.006)
     assert sample['dimensions'].shape == (6,)
+
+
+def test_get_batch_matches_itemwise(tmp_path):
+    """The vectorized batch fetch equals stacked per-sample access, for
+    both eager arrays and lazy stores."""
+    from tfep_tpu.io.traj import TrajectoryDataset
+
+    pos_nm = clustered_traj(n_frames=6, n_mol=2)
+    xtc = str(tmp_path / 't.xtc')
+    write_xtc(xtc, pos_nm, np.tile(np.eye(3) * 4.0, (6, 1, 1)))
+    top = Topology(names=['C'] * 6)
+
+    eager = System(top, np.asarray(open_frame_store(xtc)),
+                   dimensions=np.tile([40.0, 40, 40, 90, 90, 90], (6, 1)))
+    store = open_frame_store(xtc)
+    lazy = System(top, store, dimensions=store.dimensions)
+
+    for system in (eager, lazy):
+        dataset = TrajectoryDataset(system)
+        dataset.add_aux('logw', np.arange(6.0))
+        batch = dataset.get_batch([4, 1, 3])
+        stacked = {k: np.stack([dataset[i][k] for i in (4, 1, 3)])
+                   for k in dataset[0]}
+        assert set(batch) == set(stacked)
+        for key in stacked:
+            np.testing.assert_allclose(batch[key], stacked[key], atol=1e-6)
+
+    # Atom selection applies in the batched path too.
+    dataset = TrajectoryDataset(lazy)
+    dataset.select_atoms([0, 2])
+    batch = dataset.get_batch([0])
+    assert batch['positions'].shape == (1, 6)
 
 
 def test_atom_count_mismatch_raises(tmp_path):

@@ -398,6 +398,30 @@ class TrajectoryDataset(Dataset):
     def __len__(self):
         return len(self._frame_indices)
 
+    def get_batch(self, indices):
+        """Vectorized batch fetch: one coordinate read for all frames.
+
+        With a lazy frame store this turns into a single native decode of
+        the requested frames instead of one file access per sample.
+        """
+        indices = np.asarray(indices, dtype=np.int64)
+        frames = self._frame_indices[indices]
+        positions = self.system.positions[frames]
+        if self._atom_indices is not None:
+            positions = positions[:, self._atom_indices]
+        batch = {
+            'positions': np.asarray(positions).reshape(
+                len(indices), -1).astype(np.float64),
+            'dataset_sample_index': indices,
+            'trajectory_sample_index': frames,
+        }
+        if self._return_dimensions and self.system.dimensions is not None:
+            batch['dimensions'] = self.system.dimensions[frames].astype(
+                np.float64)
+        for name, values in self._aux.items():
+            batch[name] = np.asarray(values)[frames]
+        return batch
+
     def __getitem__(self, index):
         frame = int(self._frame_indices[index])
         pos = self.system.positions[frame]

@@ -398,20 +398,6 @@ int64_t xtc_decompress(const unsigned char* body, int64_t n_atoms,
     return 36 + n_bytes + ((4 - n_bytes % 4) % 4);
 }
 
-bool read_all(const char* path, unsigned char** data, int64_t* size) {
-    std::FILE* f = std::fopen(path, "rb");
-    if (!f) return false;
-    std::fseek(f, 0, SEEK_END);
-    *size = std::ftell(f);
-    std::fseek(f, 0, SEEK_SET);
-    *data = static_cast<unsigned char*>(std::malloc(*size));
-    bool ok = *data
-        && std::fread(*data, 1, *size, f) == static_cast<size_t>(*size);
-    std::fclose(f);
-    if (!ok && *data) { std::free(*data); *data = nullptr; }
-    return ok;
-}
-
 }  // namespace
 
 extern "C" {
@@ -464,12 +450,21 @@ int xtc_scan(const char* path, int64_t* offsets, int64_t max_frames,
 int xtc_read_frames(const char* path, const int64_t* frame_offsets,
                     int64_t n_indices, int64_t n_atoms, float* positions,
                     float* boxes, float* times) {
-    unsigned char* data;
-    int64_t size;
-    if (!read_all(path, &data, &size)) return -1;
+    // Seek-and-read per frame: random access into multi-gigabyte files
+    // without loading them (the streaming data layer depends on this).
+    std::FILE* f = std::fopen(path, "rb");
+    if (!f) return -1;
+    int64_t capacity = 92 + 12 * n_atoms + 1024;
+    unsigned char* frame = static_cast<unsigned char*>(std::malloc(capacity));
+    if (!frame) { std::fclose(f); return -1; }
     int status = 0;
     for (int64_t i = 0; i < n_indices; ++i) {
-        const unsigned char* frame = data + frame_offsets[i];
+        std::fseek(f, frame_offsets[i], SEEK_SET);
+        size_t header_len = n_atoms <= 9 ? 56 + 12 * n_atoms : 92;
+        if (std::fread(frame, 1, header_len, f) != header_len) {
+            status = -2;
+            break;
+        }
         if (be32i(frame) != 1995 || be32i(frame + 4) != n_atoms) {
             status = -3;
             break;
@@ -478,30 +473,56 @@ int xtc_read_frames(const char* path, const int64_t* frame_offsets,
         if (boxes)
             for (int k = 0; k < 9; ++k)
                 boxes[9 * i + k] = be32f(frame + 16 + 4 * k);
+        if (n_atoms > 9) {
+            int64_t n_bytes = be32i(frame + 88);
+            int64_t payload = n_bytes + ((4 - n_bytes % 4) % 4);
+            if (92 + payload > capacity) {
+                capacity = 92 + payload + 1024;
+                frame = static_cast<unsigned char*>(
+                    std::realloc(frame, capacity));
+                if (!frame) { std::fclose(f); return -1; }
+            }
+            if (std::fread(frame + 92, 1, payload, f)
+                    != static_cast<size_t>(payload)) {
+                status = -2;
+                break;
+            }
+        }
         if (xtc_decompress(frame + 56, n_atoms,
                            positions + i * n_atoms * 3) < 0) {
             status = -5;
             break;
         }
     }
-    std::free(data);
+    std::free(frame);
+    std::fclose(f);
     return status;
 }
 
 // TRR: scan coordinate-bearing frames. out_info = [n_frames, n_atoms].
 int trr_scan(const char* path, int64_t* offsets, int64_t max_frames,
              int64_t* out_info) {
-    unsigned char* data;
-    int64_t size;
-    if (!read_all(path, &data, &size)) return -1;
+    std::FILE* f = std::fopen(path, "rb");
+    if (!f) return -1;
+    std::fseek(f, 0, SEEK_END);
+    int64_t size = std::ftell(f);
     int64_t offset = 0;
     int64_t n_frames = 0;
     int64_t n_atoms_first = 0;
+    unsigned char p[160];  // header-only reads; titles are short
     while (offset < size) {
-        const unsigned char* p = data + offset;
-        if (be32i(p) != 1993) { std::free(data); return -3; }
+        std::fseek(f, offset, SEEK_SET);
+        if (std::fread(p, 1, sizeof(p), f) < 64) {
+            std::fclose(f);
+            return -2;
+        }
+        if (be32i(p) != 1993) { std::fclose(f); return -3; }
         int64_t title_len = be32i(p + 8);
         int64_t header = 12 + title_len + ((4 - title_len % 4) % 4);
+        if (header + 52 > static_cast<int64_t>(sizeof(p))) {
+            std::fclose(f);
+            return -6;  // pathological title length
+        }
         const unsigned char* h = p + header;
         int32_t ir_size = be32i(h), e_size = be32i(h + 4);
         int32_t box_size = be32i(h + 8), vir_size = be32i(h + 12);
@@ -516,7 +537,7 @@ int trr_scan(const char* path, int64_t* offsets, int64_t max_frames,
             + x_size + v_size + f_size;
         if (x_size) {
             if (offsets) {
-                if (n_frames >= max_frames) { std::free(data); return -4; }
+                if (n_frames >= max_frames) { std::fclose(f); return -4; }
                 offsets[n_frames] = offset;
             }
             ++n_frames;
@@ -524,7 +545,7 @@ int trr_scan(const char* path, int64_t* offsets, int64_t max_frames,
         }
         offset += frame_size;
     }
-    std::free(data);
+    std::fclose(f);
     out_info[0] = n_frames;
     out_info[1] = n_atoms_first;
     return 0;
@@ -535,12 +556,19 @@ int trr_scan(const char* path, int64_t* offsets, int64_t max_frames,
 int trr_read_frames(const char* path, const int64_t* frame_offsets,
                     int64_t n_indices, int64_t n_atoms, float* positions,
                     float* boxes, float* times) {
-    unsigned char* data;
-    int64_t size;
-    if (!read_all(path, &data, &size)) return -1;
+    // Seek-and-read per frame (see xtc_read_frames).
+    std::FILE* f = std::fopen(path, "rb");
+    if (!f) return -1;
+    // Generous fixed bound: header + 6 blocks of n_atoms double triples.
+    int64_t capacity = 256 + 6 * (9 + 3 * n_atoms) * 8;
+    unsigned char* data = static_cast<unsigned char*>(std::malloc(capacity));
+    if (!data) { std::fclose(f); return -1; }
     int status = 0;
     for (int64_t i = 0; i < n_indices; ++i) {
-        const unsigned char* p = data + frame_offsets[i];
+        std::fseek(f, frame_offsets[i], SEEK_SET);
+        int64_t got = std::fread(data, 1, capacity, f);
+        if (got < 64) { status = -2; break; }
+        const unsigned char* p = data;
         if (be32i(p) != 1993) { status = -3; break; }
         int64_t title_len = be32i(p + 8);
         const unsigned char* h = p + 12 + title_len
@@ -571,6 +599,7 @@ int trr_read_frames(const char* path, const int64_t* frame_offsets,
                                     : be32f(x + 4 * k);
     }
     std::free(data);
+    std::fclose(f);
     return status;
 }
 
