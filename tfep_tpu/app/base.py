@@ -464,7 +464,7 @@ class TFEPMapBase:
         logger = self.tfep_logger
         if logger is None:
             return
-        tensors = {k: np.asarray(v) for k, v in aux.items()
+        tensors = {k: _host_local_rows(v) for k, v in aux.items()
                    if np.ndim(v) == 1}
         logger.save_train_tensors(tensors, epoch_idx=epoch_idx,
                                   batch_idx=batch_idx)
@@ -519,3 +519,20 @@ class TFEPMapBase:
         if logger is not None:
             logger.save_eval_tensors(tensors, step_idx=step_idx)
         return tensors
+
+
+def _host_local_rows(value) -> np.ndarray:
+    """This host's rows of a (possibly multi-host sharded) batch array.
+
+    Under multi-host data parallelism each process logs only the frames it
+    fed; remote shards are not addressable, so the per-host TFEP logger
+    stores the locally owned rows (the addressing scheme keys rows by
+    sample index, which stays global).
+    """
+    import jax
+
+    if isinstance(value, jax.Array) and not value.is_fully_addressable:
+        shards = sorted(value.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+        return np.concatenate([np.asarray(s.data) for s in shards])
+    return np.asarray(value)

@@ -185,10 +185,20 @@ class Trainer:
     # ------------------------------------------------------------------ #
     def _device_batch(self, tfep_map, batch_indices):
         batch = tfep_map.dataset.get_batch(batch_indices)
+        if self.sharding is None:
+            return {k: jnp.asarray(v) for k, v in batch.items()}
+        if jax.process_count() > 1:
+            # Multi-host: this process's rows are its shard of the global
+            # batch (every host runs the same loop over its own frames).
+            from jax.sharding import NamedSharding
+            assert isinstance(self.sharding, NamedSharding)
+            return {
+                name: jax.make_array_from_process_local_data(
+                    self.sharding, np.asarray(value))
+                for name, value in batch.items()
+            }
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
-        if self.sharding is not None:
-            batch = jax.device_put(batch, self.sharding)
-        return batch
+        return jax.device_put(batch, self.sharding)
 
     def _consume_aux(self, tfep_map, aux, epoch_idx, batch_idx):
         """Materialize a finished step's aux: TFEP logging + loss channel."""

@@ -75,6 +75,26 @@ def host_frame_indices(n_frames: int, process_id: Optional[int] = None,
     return np.arange(starts[process_id], starts[process_id + 1])
 
 
+def make_global_batch(batch: dict, mesh, axis_name: str = 'dp') -> dict:
+    """Assemble each host's local batch shard into global sharded arrays.
+
+    Every process passes its own rows; the returned arrays are global
+    (leading axis = sum of the hosts' rows) with the frame axis sharded
+    over the mesh. Single-process meshes fall back to a plain
+    ``device_put``.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    sharding = NamedSharding(mesh, PartitionSpec(axis_name))
+    if jax.process_count() == 1:
+        return jax.device_put(batch, sharding)
+    return {
+        name: jax.make_array_from_process_local_data(sharding, value)
+        for name, value in batch.items()
+    }
+
+
 def host_logger_dir(base_dir: str, process_id: Optional[int] = None) -> str:
     """Per-host TFEP logger directory (the logger is single-process)."""
     if process_id is None:
