@@ -87,6 +87,23 @@ def test_pipelined_epoch_bookkeeping(tmp_path):
     assert np.all(np.isfinite(logged['potential']))
 
 
+def test_profiler_hook_captures_trace(tmp_path):
+    """Trainer(profile_dir=...) writes an XPlane trace and synced step
+    times for the configured window."""
+    import glob
+
+    tfep_map = make_map(tmp_path, 'logs', QuadraticEngine())
+    trainer = Trainer(save_dir=None, max_epochs=2, shuffle=False,
+                      profile_dir=str(tmp_path / 'profile'),
+                      profile_steps=(1, 3))
+    trainer.fit(tfep_map)
+    assert len(trainer.profiled_step_times) == 2
+    assert all(t > 0 for t in trainer.profiled_step_times)
+    traces = glob.glob(str(tmp_path / 'profile' / '**' / '*.xplane.pb'),
+                       recursive=True)
+    assert traces, 'no xplane trace written'
+
+
 def test_loss_history_on_standard_path(tmp_path, capsys):
     tfep_map = make_map(tmp_path, 'logs', QuadraticEngine())
     trainer = Trainer(save_dir=None, max_epochs=1, shuffle=False,

@@ -290,3 +290,111 @@ def test_openmm_anonymous_context_not_cached(fake_openmm):
     _run_single_point_calculation('sys', None, {}, None, False,
                                   np.zeros((1, 3)), None)
     assert None not in openmm_backend.global_context_cache
+
+
+# =============================================================================
+# Fake ASE
+# =============================================================================
+
+class FakeAtoms:
+    """Quadratic-energy stand-in for ase.Atoms (deep-copyable)."""
+
+    def __init__(self):
+        self.positions = None
+        self.cell = None
+
+    def set_positions(self, positions):
+        self.positions = np.asarray(positions)
+
+    def set_cell(self, cell):
+        self.cell = np.asarray(cell)
+
+    def get_potential_energy(self):
+        return float(np.sum(self.positions ** 2))
+
+    def get_forces(self):
+        return -2.0 * self.positions
+
+
+def test_ase_task_plumbing():
+    from tfep_tpu.potentials.ase import _run_ase_task
+
+    template = FakeAtoms()
+    positions = np.arange(6, dtype=float)
+    cell = np.diag([9.0, 9.0, 9.0])
+    energy, forces = _run_ase_task(template, positions, cell, True)
+    assert energy == float(np.sum(positions ** 2))
+    np.testing.assert_allclose(forces,
+                               -2.0 * positions)
+    # The template stays pristine (per-task deepcopy => pool-safe).
+    assert template.positions is None and template.cell is None
+
+    energy, forces = _run_ase_task(template, positions, None, False)
+    assert forces is None
+
+
+# =============================================================================
+# Fake tblite
+# =============================================================================
+
+def make_fake_tblite(record, fail=False):
+    interface = types.ModuleType('tblite.interface')
+
+    class Calculator:
+        def __init__(self, method, numbers, positions):
+            record['init'] = (method, list(numbers), np.asarray(positions))
+            self.settings = {}
+
+        def set(self, key, value):
+            self.settings[key] = value
+            record['settings'] = dict(self.settings)
+
+        def singlepoint(self):
+            if fail:
+                raise RuntimeError('SCC did not converge')
+            return {'energy': -5.5,
+                    'gradient': np.full(record['init'][2].shape, 0.25)}
+
+    interface.Calculator = Calculator
+    package = types.ModuleType('tblite')
+    package.interface = interface
+    return package, interface
+
+
+@pytest.fixture
+def fake_tblite(monkeypatch):
+    record = {}
+    package, interface = make_fake_tblite(record)
+    monkeypatch.setitem(sys.modules, 'tblite', package)
+    monkeypatch.setitem(sys.modules, 'tblite.interface', interface)
+    return record
+
+
+def test_tblite_task_plumbing(fake_tblite):
+    from tfep_tpu.potentials.tblite import _run_single_point
+
+    positions = np.arange(6, dtype=float).reshape(2, 3)
+    energy, gradient = _run_single_point(
+        'GFN2-xTB', [8, 1], True, 0, False, positions)
+    assert energy == -5.5
+    np.testing.assert_allclose(gradient, 0.25)
+    method, numbers, init_positions = fake_tblite['init']
+    assert method == 'GFN2-xTB' and numbers == [8, 1]
+    np.testing.assert_array_equal(init_positions, positions)
+    assert fake_tblite['settings'] == {'verbosity': 0}
+
+
+def test_tblite_task_failure_policies(monkeypatch):
+    record = {}
+    package, interface = make_fake_tblite(record, fail=True)
+    monkeypatch.setitem(sys.modules, 'tblite', package)
+    monkeypatch.setitem(sys.modules, 'tblite.interface', interface)
+    from tfep_tpu.potentials.tblite import _run_single_point
+
+    positions = np.zeros((2, 3))
+    with pytest.raises(RuntimeError, match='SCC'):
+        _run_single_point('GFN2-xTB', [8, 1], False, 0, False, positions)
+    energy, gradient = _run_single_point(
+        'GFN2-xTB', [8, 1], True, 0, True, positions)
+    assert np.isnan(energy)
+    np.testing.assert_array_equal(gradient, np.zeros((2, 3)))

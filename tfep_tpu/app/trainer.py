@@ -66,6 +66,14 @@ class Trainer:
         max(device, engine) instead of their sum. Requires the map to
         implement the ``forward_step_fn`` / ``host_engine_eval`` /
         ``pipelined_update_fn`` contract (TFEPMapBase does).
+    profile_dir : str, optional
+        Capture a JAX profiler trace (XPlane, viewable in TensorBoard /
+        Perfetto) of steps ``profile_steps`` into this directory. Per-step
+        host wall-clock times for the profiled window are also recorded in
+        :attr:`profiled_step_times`.
+    profile_steps : (int, int), optional
+        Half-open ``[start, stop)`` global-step window to trace (default
+        ``(2, 5)`` — past the compile, a handful of steady-state steps).
     """
 
     CHECKPOINT_NAME = 'last.ckpt'
@@ -79,7 +87,9 @@ class Trainer:
                  drop_last: bool = False,
                  sharding=None,
                  log_every_n_steps: int = 0,
-                 engine_overlap: bool = False):
+                 engine_overlap: bool = False,
+                 profile_dir: Optional[str] = None,
+                 profile_steps: tuple = (2, 5)):
         if max_epochs is None and max_steps is None:
             raise ValueError('Set at least one of max_epochs/max_steps.')
         self.save_dir = save_dir
@@ -93,10 +103,15 @@ class Trainer:
         self.log_every_n_steps = log_every_n_steps
         self.engine_overlap = engine_overlap
 
+        self.profile_dir = profile_dir
+        self.profile_steps = tuple(profile_steps)
+
         self.global_step = 0
         self.current_epoch = 0
         self.loss_history: list = []
+        self.profiled_step_times: list = []
         self._sampler_state_to_restore = None
+        self._profiling = False
 
     # ------------------------------------------------------------------ #
     @property
@@ -151,7 +166,9 @@ class Trainer:
                 batch_idx = self.global_step % n_batches
                 batch = self._device_batch(tfep_map, batch_indices)
 
+                tick = self._profile_tick()
                 flow, opt_state, loss, aux = step_fn(flow, opt_state, batch)
+                self._profile_tock(tick, loss)
 
                 # Per-sample TFEP logging + scalar channel, deferred by one
                 # step: the host materializes the *previous* step's aux
@@ -178,9 +195,39 @@ class Trainer:
 
         if pending_log is not None:
             self._consume_aux(tfep_map, *pending_log)
+        self._stop_profiler()
 
         tfep_map.flow = flow
         return flow
+
+    # ------------------------------------------------------------------ #
+    # Profiler hooks: capture an XPlane trace (+ synced per-step wall
+    # times) over the configured global-step window.
+    # ------------------------------------------------------------------ #
+    def _profile_tick(self):
+        if self.profile_dir is None or not (
+                self.profile_steps[0] <= self.global_step
+                < self.profile_steps[1]):
+            return None
+        if not self._profiling:
+            jax.profiler.start_trace(self.profile_dir)
+            self._profiling = True
+        import time
+        return time.perf_counter()
+
+    def _profile_tock(self, tick, loss):
+        if tick is not None:
+            import time
+            jax.block_until_ready(loss)
+            self.profiled_step_times.append(time.perf_counter() - tick)
+        if self._profiling and \
+                self.global_step + 1 >= self.profile_steps[1]:
+            self._stop_profiler()
+
+    def _stop_profiler(self):
+        if self._profiling:
+            jax.profiler.stop_trace()
+            self._profiling = False
 
     # ------------------------------------------------------------------ #
     def _device_batch(self, tfep_map, batch_indices):
