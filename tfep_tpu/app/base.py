@@ -36,8 +36,67 @@ __all__ = ['TFEPMapBase']
 class TFEPMapBase:
     """Abstract base class for TFEP maps.
 
-    Subclasses implement :meth:`configure_flow` returning a flow over the
-    non-fixed DOFs; fixed atoms are wrapped away by a PartialFlow.
+    A map bundles everything one targeted-free-energy-perturbation run
+    needs: the trajectory dataset, the atom-role partitioning
+    (mapped / conditioning / fixed), the invertible flow over the
+    non-fixed degrees of freedom (fixed atoms are wrapped away by a
+    :class:`~tfep_tpu.nn.flows.PartialFlow`), the target potential, the
+    kT-reduced KL loss, and per-sample work logging for the estimator.
+    Subclasses implement :meth:`configure_flow`.
+
+    Example
+    -------
+    >>> from tfep_tpu.app import CartesianMAFMap, Trainer       # doctest: +SKIP
+    >>> tfep_map = CartesianMAFMap(
+    ...     potential_energy_func=potential,
+    ...     temperature=300.0 * ureg.kelvin,
+    ...     coordinates_file_path='traj.xtc',
+    ...     topology_file_path='system.prmtop',
+    ...     batch_size=1024,
+    ...     mapped_atoms='resname MOL',
+    ...     conditioning_atoms='resname SOL')                   # doctest: +SKIP
+    >>> Trainer(save_dir='ckpt', max_epochs=10).fit(tfep_map)   # doctest: +SKIP
+
+    Afterwards ``tfep_map.tfep_logger`` holds per-sample potentials and
+    log-det-Jacobians for :func:`tfep_tpu.analysis.fep_estimator`.
+
+    Parameters
+    ----------
+    potential_energy_func : callable
+        The target potential ``u_B``: maps ``(batch, n_atoms*3)`` flattened
+        positions (plus an optional ``batch_cell``) to per-sample energies.
+        Either a pure-JAX function or an
+        :class:`~tfep_tpu.potentials.EnginePotential`. Its ``energy_unit``
+        attribute (None means "already in kT") drives kT reduction.
+    temperature : Quantity
+        The ensemble temperature (used with ``energy_unit`` to form kT).
+    system : System, optional
+        In-memory topology + frames. Mutually exclusive with the file
+        paths below.
+    topology_file_path, coordinates_file_path : str, optional
+        Files to load the system from: coordinates in PDB/GRO/XYZ or
+        binary DCD/XTC/TRR (which additionally need the topology file —
+        PDB/GRO/prmtop/.top).
+    batch_size : int
+        Frames per optimization step.
+    mapped_atoms, conditioning_atoms : selection, optional
+        Index lists or selection strings (:mod:`tfep_tpu.io.topology`).
+        Mapped atoms are transformed; conditioning atoms influence the map
+        but stay fixed; everything else is fixed and removed from the
+        flow entirely. Defaults: all atoms mapped.
+    origin_atom, axes_atoms : selection, optional
+        Reference-frame atoms: the origin atom is pinned at the origin
+        (must be conditioning) and the two axes atoms fix the global
+        rotation. Their constrained DOFs are removed from the flow with
+        exact log-det accounting.
+    tfep_logger_dir_path : str, optional
+        Where per-sample work values are stored (None disables logging).
+    ignore_nan : bool
+        Ignore NaN energies (failed engine evaluations) in the loss.
+    lazy_trajectory : bool
+        Stream binary trajectories from disk per batch.
+    seed : int
+        PRNG seed for parameter initialization.
     """
 
     def __init__(self,

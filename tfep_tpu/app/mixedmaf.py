@@ -76,7 +76,39 @@ def is_collinear(points, tol: float = 1e-2) -> bool:
 
 
 class MixedMAFMap(TFEPMapBase):
-    """TFEP map on mixed internal/Cartesian coordinates."""
+    """TFEP map on mixed internal/Cartesian coordinates (the flagship map).
+
+    Molecular fragments with at least 4 bonded atoms are represented in
+    internal coordinates (bonds/angles/torsions from an automatically
+    built Z-matrix); smaller fragments and solvent stay Cartesian. Every
+    internal coordinate is transformed by a rational-quadratic spline
+    whose domain comes from the dataset's observed ranges; torsions are
+    circular splines with a periodic (cos, sin) conditioner embedding.
+    The Cartesian<->internal conversion carries the exact log-det
+    (including the frame volume element the reference omits), so the
+    mapped ensemble's work values are exact in Cartesian space.
+
+    Accepts every :class:`TFEPMapBase` argument plus the ones below.
+
+    Parameters
+    ----------
+    n_maf_layers : int
+        Number of MAF layers (alternating ascending/descending degrees).
+    distance_lower_limit_displacement : float
+        Widens the spline domain below the observed minimum of each bond
+        distance (same positions units as the data), leaving room for the
+        map to contract bonds.
+    remove_translation, remove_rotation : bool
+        Drop the reference atoms' roto-translational DOFs even when those
+        atoms are mapped.
+    n_bins : int
+        Spline bins per internal coordinate.
+    flow_kwargs : dict, optional
+        Extra keyword arguments for :meth:`tfep_tpu.nn.flows.MAF.create`.
+    remat : bool
+        Rematerialize MAF layers in the backward pass (roughly halves
+        training-step memory for deep stacks).
+    """
 
     def __init__(self, *args, n_maf_layers: int = 6,
                  distance_lower_limit_displacement: float = 0.3,
@@ -85,10 +117,6 @@ class MixedMAFMap(TFEPMapBase):
                  n_bins: int = 5,
                  flow_kwargs: Optional[Dict] = None,
                  remat: bool = False, **kwargs):
-        """``distance_lower_limit_displacement`` widens spline domains below
-        the observed minimum distance (same positions units as the data);
-        ``remove_translation``/``remove_rotation`` drop the reference atoms'
-        roto-translational DOFs even when those atoms are mapped."""
         super().__init__(*args, **kwargs)
         self.n_maf_layers = int(n_maf_layers)
         self.distance_lower_limit_displacement = float(
