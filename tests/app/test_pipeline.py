@@ -142,15 +142,20 @@ class SlowDeviceMap(CartesianMAFMap):
 
 
 def test_overlap_hides_device_time_behind_engine(tmp_path):
-    """Wall time ~ N*engine + device, far below N*(engine + device)."""
-    engine_s, device_s = 0.12, 0.08
-    n_steps = 6
+    """Steady-state step time ~ max(engine, device), not engine + device.
+
+    Asserts on the engine's start-to-start intervals past the compile
+    window (the sleeps dominate them), so the check is insensitive to
+    machine load and jit-compile latency — a total-wall bound is not.
+    """
+    engine_s, device_s = 0.15, 0.10
+    n_steps = 10
 
     potential = QuadraticEngine(sleep_s=engine_s)
     tfep_map = SlowDeviceMap(
         potential_energy_func=potential,
         temperature=300.0 * ureg.kelvin,
-        system=make_system(n_frames=40),
+        system=make_system(n_frames=60),
         batch_size=5,
         tfep_logger_dir_path=str(tmp_path / 'logs'),
         n_maf_layers=2)
@@ -158,17 +163,18 @@ def test_overlap_hides_device_time_behind_engine(tmp_path):
 
     trainer = Trainer(save_dir=None, max_steps=n_steps, shuffle=False,
                       engine_overlap=True)
-    # Warm-up compile outside the timed window.
-    tfep_map.setup()
-    start = time.perf_counter()
     trainer.fit(tfep_map)
-    wall = time.perf_counter() - start
-
-    serial_bound = n_steps * (engine_s + device_s)
-    # Generous slack for compile (first fwd/update) and host overhead:
-    # the pipelined run must still land clearly below the serial sum.
-    assert wall < serial_bound * 0.85 + 1.5, (
-        f'no overlap: wall={wall:.2f}s serial≈{serial_bound:.2f}s')
 
     # The engine genuinely ran once per step.
     assert len(potential.calls) == n_steps
+
+    # Skip the first 3 calls: the fwd jit compiles before call 1 and the
+    # update jit before call 3. A serial loop would put the full device
+    # stall between consecutive engine calls (interval >= engine+device);
+    # the pipeline hides it inside the engine window.
+    starts = np.array([start for start, _ in potential.calls])
+    intervals = np.diff(starts[3:])
+    median = float(np.median(intervals))
+    assert median < engine_s + 0.5 * device_s, (
+        f'no overlap: median engine start-to-start {median:.3f}s vs '
+        f'serial >= {engine_s + device_s:.3f}s')
