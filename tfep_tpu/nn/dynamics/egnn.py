@@ -32,6 +32,19 @@ from tfep_tpu.nn.module import Module, buffer, static
 __all__ = ['EGNNDynamics']
 
 
+def _mm(x, w, compute_dtype):
+    """``x @ w.T`` over the last axis, optionally in a lower compute dtype
+    (bfloat16 operands, float32 accumulation) — the same mixed-precision
+    policy as :class:`~tfep_tpu.nn.masked.MaskedLinear`."""
+    if compute_dtype is None:
+        return x @ w.T
+    cd = jnp.dtype(compute_dtype)
+    return jax.lax.dot_general(
+        x.astype(cd), w.astype(cd).T,
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+
+
 class _MLP(Module):
     """Small dense MLP with SiLU activations (optionally on the output)."""
 
@@ -40,19 +53,27 @@ class _MLP(Module):
 
     @classmethod
     def create(cls, key, dims, final_activation='none', bias_last=True,
-               dtype=None):
+               dtype=None, compute_dtype=None):
         keys = jax.random.split(key, len(dims) - 1)
         layers = []
         for i, (d_in, d_out) in enumerate(zip(dims[:-1], dims[1:])):
             bias = bias_last if i == len(dims) - 2 else True
             layers.append(MaskedLinear.create(keys[i], d_in, d_out,
-                                              bias=bias, dtype=dtype))
+                                              bias=bias, dtype=dtype,
+                                              compute_dtype=compute_dtype))
         return cls(layers=tuple(layers), final_activation=final_activation)
 
     def __call__(self, x):
-        for layer in self.layers[:-1]:
-            x = jax.nn.silu(layer(x))
-        x = self.layers[-1](x)
+        return self.finish(self.layers[0](x))
+
+    def finish(self, x):
+        """Apply everything after the first linear layer.
+
+        Callers that can compute the first layer more cheaply in factored
+        form (see ``_EGLayer.__call__``) feed its pre-activation here.
+        """
+        for layer in self.layers[1:]:
+            x = layer(jax.nn.silu(x))
         if self.final_activation == 'silu':
             x = jax.nn.silu(x)
         elif self.final_activation == 'tanh':
@@ -75,7 +96,8 @@ class _EGLayer(Module):
 
     @classmethod
     def create(cls, key, r_cutoff, node_feat_dim, distance_feat_dim,
-               speed_factor, initialize_identity=True, dtype=None):
+               speed_factor, initialize_identity=True, dtype=None,
+               compute_dtype=None):
         k1, k2, k3, k4 = jax.random.split(key, 4)
         layer = cls(
             distance_embedding=BehlerParrinelloRadialExpansion.from_range(
@@ -83,16 +105,18 @@ class _EGLayer(Module):
                 max_mean=r_cutoff, trainable_stds=True),
             message_mlp=_MLP.create(
                 k1, [2 * node_feat_dim + distance_feat_dim, node_feat_dim,
-                     node_feat_dim], final_activation='silu', dtype=dtype),
+                     node_feat_dim], final_activation='silu', dtype=dtype,
+                compute_dtype=compute_dtype),
             attention_mlp=_MLP.create(
                 k2, [node_feat_dim, 1], final_activation='sigmoid',
-                dtype=dtype),
+                dtype=dtype, compute_dtype=compute_dtype),
             update_x_mlp=_MLP.create(
                 k3, [node_feat_dim, node_feat_dim, 1],
-                final_activation='tanh', bias_last=False, dtype=dtype),
+                final_activation='tanh', bias_last=False, dtype=dtype,
+                compute_dtype=compute_dtype),
             update_h_mlp=_MLP.create(
                 k4, [2 * node_feat_dim, node_feat_dim, node_feat_dim],
-                dtype=dtype),
+                dtype=dtype, compute_dtype=compute_dtype),
             r_cutoff=float(r_cutoff),
             speed_factor=float(speed_factor),
         )
@@ -119,11 +143,25 @@ class _EGLayer(Module):
         mask_f = mask.astype(h.dtype)[..., None]
 
         # Messages: m_ij = MLP([h_i, h_j, embed(d_ij)]) * attention.
+        # The first linear layer is computed in factored form: with its
+        # weight split W = [W_i | W_j | W_e] by input block, the
+        # pre-activation is (W_i h_i) ⊕ (W_j h_j) + W_e emb — two cheap
+        # per-node (b, n, feat) matmuls broadcast-added to the per-pair
+        # embedding term, instead of materializing the
+        # (b, n, n, 2*feat+dfeat) concatenation in HBM and feeding it to a
+        # 3x-wider per-pair matmul. Numerically identical modulo float
+        # reassociation.
         dist_emb = self.distance_embedding(safe_dist)    # (b, i, j, dfeat)
-        h_i = jnp.broadcast_to(h[:, :, None, :], (batch, n, n, feat))
-        h_j = jnp.broadcast_to(h[:, None, :, :], (batch, n, n, feat))
-        msg_in = jnp.concatenate([h_i, h_j, dist_emb], axis=-1)
-        messages = self.message_mlp(msg_in)
+        first = self.message_mlp.layers[0]
+        w = first.effective_weight()
+        w_i, w_j, w_e = w[:, :feat], w[:, feat:2 * feat], w[:, 2 * feat:]
+        a_i = _mm(h, w_i, first.compute_dtype)           # (b, i, feat')
+        a_j = _mm(h, w_j, first.compute_dtype)
+        pre = (a_i[:, :, None, :] + a_j[:, None, :, :]
+               + _mm(dist_emb, w_e, first.compute_dtype))
+        if first.bias is not None:
+            pre = pre + first.bias
+        messages = self.message_mlp.finish(pre)
         messages = messages * self.attention_mlp(messages) * mask_f
 
         # Residual feature update from aggregated messages.
@@ -153,7 +191,10 @@ class EGNNDynamics(Module):
                time_feat_dim: int = 16, node_feat_dim: int = 64,
                distance_feat_dim: int = 64, n_layers: int = 4,
                speed_factor: float = 1.0, initialize_identity: bool = True,
-               dtype=None) -> 'EGNNDynamics':
+               dtype=None, compute_dtype=None) -> 'EGNNDynamics':
+        """``compute_dtype='bfloat16'`` runs the message/update matmuls with
+        bfloat16 operands and float32 accumulation (MXU mixed precision);
+        parameters stay in the storage ``dtype``."""
         node_types = np.asarray(node_types)
         n_types = int(node_types.max()) + 1
         one_hot = np.eye(n_types)[node_types]
@@ -162,7 +203,8 @@ class EGNNDynamics(Module):
         layers = tuple(
             _EGLayer.create(keys[i], r_cutoff, node_feat_dim,
                             distance_feat_dim, speed_factor,
-                            initialize_identity, dtype=dtype)
+                            initialize_identity, dtype=dtype,
+                            compute_dtype=compute_dtype)
             for i in range(n_layers))
         return cls(
             node_types_one_hot=jnp.asarray(one_hot),

@@ -123,7 +123,7 @@ class MaskedLinear(Module):
             cd = jnp.dtype(self.compute_dtype)
             y = jax.lax.dot_general(
                 x.astype(cd), w.astype(cd).T,
-                (((1,), (0,)), ((), ())),
+                (((x.ndim - 1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32).astype(x.dtype)
         else:
             y = x @ w.T
