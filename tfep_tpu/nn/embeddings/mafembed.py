@@ -24,16 +24,50 @@ __all__ = ['MAFEmbedding', 'PeriodicEmbedding', 'FlipInvariantEmbedding',
 
 
 class MAFEmbedding(Module):
-    """API: ``__call__(x) -> lifted x`` plus degree lifting."""
+    """Base class for MAF conditioner input embeddings.
+
+    Implementations provide ``__call__(x) -> lifted_x`` mapping
+    ``(batch, n_features_in)`` to ``(batch, n_features_out)``, and
+    :meth:`get_degrees_out` so the MADE conditioner can assign each output
+    feature the autoregressive degree of the input it derives from — the
+    masks then remain autoregressive through the embedding.
+    """
 
     def get_degrees_out(self, degrees_in: np.ndarray) -> np.ndarray:
+        """Lift per-input-feature degrees to the embedded feature space.
+
+        Parameters
+        ----------
+        degrees_in : numpy.ndarray
+            ``(n_features_in,)`` integer degrees of the raw inputs.
+
+        Returns
+        -------
+        numpy.ndarray
+            ``(n_features_out,)`` degrees in the embedding's output order.
+        """
         raise NotImplementedError
 
 
 class PeriodicEmbedding(MAFEmbedding):
     """Lift periodic DOFs to (cos, sin) pairs.
 
-    Output layout: ``[x[nonperiodic], cos/sin interleaved per periodic DOF]``.
+    A periodic feature (e.g. a torsion in ``limits = (-pi, pi]``) has a
+    topological discontinuity at the boundary that a plain dense network
+    must waste capacity approximating; mapping it to the unit circle
+    removes it. Each periodic feature is first rescaled so ``limits`` spans
+    one period, then emitted as its (cos, sin) pair.
+
+    Output layout: ``[x[nonperiodic], cos/sin interleaved per periodic
+    DOF]`` — matching the reference
+    (/root/reference/tfep/nn/embeddings/mafembed.py:106-232).
+
+    Attributes
+    ----------
+    limits : jax.Array
+        ``(2,)`` lower/upper values identified with each other.
+    periodic_indices, nonperiodic_indices : jax.Array
+        Partition of the input features.
     """
 
     limits: jnp.ndarray = buffer(default=None)           # (2,)
@@ -80,8 +114,17 @@ class PeriodicEmbedding(MAFEmbedding):
 class FlipInvariantEmbedding(MAFEmbedding):
     """Sign-flip-invariant vector embedding (Köhler et al., SI Eq. 46).
 
-    Each ``vector_dimension``-vector v maps to a softmax-weighted mix of
-    MLP(v) and MLP(-v), so quaternion double-cover ambiguity cancels.
+    Each ``vector_dimension``-vector ``v`` maps to a softmax-weighted mix
+    of ``MLP(v)`` and ``MLP(-v)`` (weights from a second MLP), so the
+    embedding satisfies ``E(v) == E(-v)`` exactly. Its intended use is
+    quaternion inputs, where ``q`` and ``-q`` encode the same rotation
+    (double cover of SO(3)): downstream conditioners then cannot depend on
+    the arbitrary sign. All components of a vector must share one
+    autoregressive degree, which the ``embedding_dimension`` outputs
+    inherit.
+
+    Reference behavior:
+    /root/reference/tfep/nn/embeddings/mafembed.py:235-380.
     """
 
     embed_l1: MaskedLinear
@@ -160,7 +203,13 @@ class FlipInvariantEmbedding(MAFEmbedding):
 class MixedEmbedding(MAFEmbedding):
     """Compose multiple embeddings over disjoint feature groups.
 
-    Output layout: non-embedded features first, then each embedding's output.
+    Each sub-embedding receives its assigned input slice (and must be
+    constructed for that slice's feature count); features assigned to no
+    embedding pass through unchanged. Output layout: non-embedded features
+    first, then each embedding's output in layer order — matching
+    /root/reference/tfep/nn/embeddings/mafembed.py:383-447. Used by
+    :class:`~tfep_tpu.app.MixedMAFMap` to give torsions a periodic
+    embedding while distances/angles/cartesians stay raw.
     """
 
     embedding_layers: tuple

@@ -18,11 +18,21 @@ __all__ = ['GaussianBasisExpansion', 'BehlerParrinelloRadialExpansion',
 
 
 class GaussianBasisExpansion(Module):
-    """Soft one-hot expansion ``exp(-gamma_i (r - mu_i)^2)`` (Schnet-style).
+    """Soft one-hot expansion ``exp(-gamma_i (r - mu_i)^2)`` (SchNet-style).
 
-    Trainability is structural here: with ``trainable_* = False`` the arrays
-    live in buffer fields (excluded from gradients), mirroring the reference's
-    Parameter-vs-tensor switch.
+    Expands a scalar (typically an interatomic distance) into
+    ``n_gaussians`` overlapping radial basis functions, giving graph
+    networks a smooth, localized distance representation instead of a raw
+    scalar. ``gamma_i = 1 / std_i^2`` is stored as ``log gamma`` so
+    gradient updates keep the widths positive.
+
+    Trainability is structural here: with ``trainable_* = False`` the
+    arrays live in buffer fields (excluded from gradients), mirroring the
+    reference's Parameter-vs-tensor switch
+    (/root/reference/tfep/nn/embeddings/radial.py:24-160).
+
+    Use :meth:`create` with explicit means/stds, or :meth:`from_range` for
+    the common equidistant grid.
     """
 
     means_param: jnp.ndarray               # trainable slot (may be size 0)
@@ -85,7 +95,16 @@ def behler_parrinello_cosine_switching_function(
 
 
 class BehlerParrinelloRadialExpansion(GaussianBasisExpansion):
-    """Gaussian expansion x cosine switching envelope (Behler-Parrinello)."""
+    """Gaussian expansion × cosine switching envelope (Behler–Parrinello).
+
+    Multiplies the Gaussian basis by the smooth cutoff
+    ``0.5 cos(pi r / r_cutoff) + 0.5`` so every feature decays continuously
+    to zero at ``r_cutoff`` (and, with ``force_zero_after_cutoff``, stays
+    exactly zero beyond it). This keeps graph-network messages continuous
+    as pairs cross the cutoff — the radial featurizer used by
+    :class:`~tfep_tpu.nn.dynamics.EGNNDynamics`. Reference:
+    /root/reference/tfep/nn/embeddings/radial.py:163-292.
+    """
 
     r_cutoff: float = static(default=1.0)
     force_zero_after_cutoff: bool = static(default=True)

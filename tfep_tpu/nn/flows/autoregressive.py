@@ -29,6 +29,33 @@ class AutoregressiveFlow(Flow):
     transformed feature indices by autoregressive order; features absent from
     it are fixed (propagated unchanged). Reference behavior:
     /root/reference/tfep/nn/flows/autoregressive.py:29-247.
+
+    The forward direction is one conditioner pass (the conditioner — e.g.
+    :class:`~tfep_tpu.nn.conditioners.MADE` — must itself be autoregressive
+    over the same degree ordering) followed by one elementwise transformer
+    apply. The inverse resolves one degree group per iteration: group
+    ``i``'s inputs depend only on groups ``< i``, so after ``i`` masked
+    conditioner passes those features are exact. The loop is a
+    ``lax.fori_loop`` over the *groups* (typically few: MAF degree values),
+    not the features, and compiles once regardless of dimension.
+
+    Attributes
+    ----------
+    conditioner : Module
+        Maps ``(batch, n_conditioner_features) -> (batch, n_parameters)``
+        transformer parameters, autoregressively.
+    transformer : Transformer
+        Elementwise bijection applied with those parameters.
+    transformer_indices_buf : jax.Array or None
+        Sorted indices of transformed features, or ``None`` when every
+        feature is transformed.
+    inverse_masks : jax.Array
+        ``(n_iterations, n_features)`` bool masks — which features become
+        exact at each inverse iteration.
+    fixed_indices : jax.Array
+        Features propagated unchanged (possibly empty).
+    conditioner_indices : jax.Array or None
+        Optional subset of input features fed to the conditioner.
     """
 
     conditioner: object
@@ -48,6 +75,32 @@ class AutoregressiveFlow(Flow):
                conditioner, transformer,
                conditioner_indices=None,
                initialize_identity: bool = True) -> 'AutoregressiveFlow':
+        """Build the flow from index groups + conditioner + transformer.
+
+        Parameters
+        ----------
+        n_features_in : int
+            Total input feature count.
+        transformer_indices : sequence of sequence of int
+            Transformed feature indices grouped by autoregressive degree
+            (group ``i`` may depend on groups ``< i`` only). Features in
+            no group are propagated unchanged.
+        conditioner : Conditioner
+            Autoregressive parameter network (must respect the same degree
+            ordering — see :func:`tfep_tpu.nn.conditioners.generate_degrees`).
+        transformer : Transformer
+            Elementwise bijection.
+        conditioner_indices : sequence of int, optional
+            Subset of input features the conditioner sees (default: all).
+        initialize_identity : bool, optional
+            If ``True`` (default), zero the conditioner's output layer and
+            bias it to the transformer's identity parameters so the flow
+            starts as the identity map.
+
+        Returns
+        -------
+        AutoregressiveFlow
+        """
         groups = [np.asarray(g).reshape(-1) for g in transformer_indices]
         for g in groups:
             if np.any((g < 0) | (g >= n_features_in)):
@@ -96,6 +149,11 @@ class AutoregressiveFlow(Flow):
         return self.conditioner(x)
 
     def forward(self, x: jnp.ndarray):
+        """One conditioner pass + one transformer apply.
+
+        Returns ``(y, log_det_J)`` with shapes ``(batch, n_features)`` and
+        ``(batch,)``.
+        """
         parameters = self.get_transformer_parameters(x)
         if self.has_fixed_indices:
             idx = self.transformer_indices_buf
@@ -106,6 +164,14 @@ class AutoregressiveFlow(Flow):
         return y, log_det_J
 
     def inverse(self, y: jnp.ndarray):
+        """Exact inverse in ``n_degree_groups`` conditioner passes.
+
+        Rolled as a ``lax.fori_loop`` with masked updates so compile time
+        is O(1) in the number of groups. Returns ``(x, log_det_J)`` where
+        ``log_det_J`` is the inverse map's log-det, taken from the final
+        (fully-resolved) transformer pass — the same contract as the
+        reference's last-pass log_det_J.
+        """
         n_iterations = self.inverse_masks.shape[0]
 
         if self.has_fixed_indices:

@@ -41,7 +41,44 @@ __all__ = ['CartesianToMixedFlow']
 
 
 class CartesianToMixedFlow(Flow):
-    """Convert to mixed coordinates, run the wrapped flow, convert back."""
+    """Convert to mixed coordinates, run the wrapped flow, convert back.
+
+    The workhorse of :class:`~tfep_tpu.app.MixedMAFMap`: Z-matrix atoms are
+    expressed as (bond, angle, torsion) internal coordinates — much easier
+    for an autoregressive flow to model than raw Cartesians — while bulky
+    or weakly-coupled atoms (e.g. solvent) stay Cartesian in a relative
+    reference frame defined by three reference atoms. The full round trip
+    (Cartesian -> mixed -> flow -> Cartesian) is a bijection whose log-det
+    sums the conversion Jacobians (computed analytically, including the
+    global-frame volume elements the reference omits) with the wrapped
+    flow's.
+
+    Angles and torsions are normalized to the flow's domain; the NeRF
+    reconstruction of IC atoms runs as a level-scheduled ``lax.scan`` over
+    Z-matrix dependency depth (atoms at the same depth place in parallel),
+    with the schedule precomputed host-side at :meth:`create` time.
+
+    Attributes
+    ----------
+    flow : Flow
+        The wrapped flow, operating on the mixed-coordinate vector.
+    z_matrix : jax.Array
+        ``(n_ic, 4)`` rows ``(atom, bond_ref, angle_ref, torsion_ref)``.
+    cartesian_atom_indices : jax.Array
+        Cartesian-represented atoms, the three reference atoms (origin,
+        axis, plane) moved to the last three slots.
+    cartesian_keep_indices : jax.Array
+        Flattened relative-frame Cartesian DOFs the flow actually sees
+        (constrained/reparametrized reference DOFs dropped, kept-constant
+        reference DOFs last).
+    placement_schedule : tuple
+        Level-scheduled NeRF placement plan
+        (:func:`tfep_tpu.ops.zmatrix.build_placement_schedule`).
+    remove_ref_rototranslation : tuple of bool
+        Per reference atom (origin, axis, plane): drop its constant
+        roto-translational DOFs from the flow input entirely (``True``) or
+        keep them as always-zero features (``False``).
+    """
 
     flow: object
     z_matrix: jnp.ndarray = buffer(default=None)            # (n_ic, 4)
@@ -60,9 +97,29 @@ class CartesianToMixedFlow(Flow):
                z_matrix, reference_atom_indices: Sequence[int],
                remove_ref_rototranslation: Sequence[bool]
                ) -> 'CartesianToMixedFlow':
-        """``cartesian_atom_indices``: sorted indices (fixed atoms removed) of
-        Cartesian-represented atoms; ``reference_atom_indices``: (origin,
-        axis, plane); ``z_matrix``: (n_ic, 4) in the same index space."""
+        """Build the conversion flow; all bookkeeping happens here.
+
+        Parameters
+        ----------
+        flow : Flow
+            The wrapped flow; must accept ``n_dofs_out`` features laid out
+            as documented in the module docstring.
+        cartesian_atom_indices : sequence of int
+            Sorted indices (in the fixed-atoms-removed index space) of the
+            atoms kept in Cartesian representation, including the three
+            reference atoms.
+        z_matrix : array_like
+            ``(n_ic, 4)`` integer Z-matrix in the same index space.
+        reference_atom_indices : sequence of int
+            The (origin, axis, plane) atoms defining the relative frame.
+        remove_ref_rototranslation : sequence of bool
+            Length 3; whether each reference atom's constant DOFs are
+            removed from the flow input (vs kept as zero features).
+
+        Returns
+        -------
+        CartesianToMixedFlow
+        """
         z_matrix = np.asarray(z_matrix, dtype=np.int64).reshape(-1, 4)
         cartesian_atom_indices = np.asarray(cartesian_atom_indices,
                                             dtype=np.int64)
@@ -206,9 +263,16 @@ class CartesianToMixedFlow(Flow):
     # Conversion.
     # ------------------------------------------------------------------ #
     def forward(self, x):
+        """Map ``(batch, 3*n_atoms)`` Cartesians through the wrapped flow.
+
+        Returns ``(y, log_det_J, *extras)`` in Cartesian coordinates; the
+        log-det includes both conversion Jacobians and the flow's.
+        """
         return self._pass(x, inverse=False)
 
     def inverse(self, y):
+        """Invert :meth:`forward` (runs the wrapped flow's inverse between
+        the same coordinate conversions)."""
         return self._pass(y, inverse=True)
 
     def _pass(self, x, inverse: bool):

@@ -22,7 +22,56 @@ __all__ = ['CenteredCentroidFlow']
 
 
 class CenteredCentroidFlow(PartialFlow):
-    """Wraps a flow, fixing the centroid of (a subset of) the points."""
+    """Wraps a flow, fixing the centroid of (a subset of) the points.
+
+    The flow removes the net-translation degrees of freedom from a point
+    cloud before handing it to the wrapped flow. On the forward (and
+    inverse) pass it:
+
+    1. translates the configuration so the (weighted) centroid of the
+       chosen point subset sits at ``origin``;
+    2. runs the wrapped flow on all degrees of freedom except those of
+       ``fixed_point_idx`` (held out through the :class:`PartialFlow`
+       machinery);
+    3. solves for the fixed point's coordinates so the output centroid is
+       again at ``origin``;
+    4. optionally (``translate_back=True``) undoes the initial translation
+       so input and output live in the original frame.
+
+    Because steps 1 and 4 are rigid translations and step 3 determines the
+    fixed point's position from the constraint, the overall map is bijective
+    on the full coordinate set and its log-Jacobian equals that of the
+    wrapped flow on the reduced set.
+
+    The transformation is purely functional — scatter updates go through
+    ``jax.numpy``'s ``.at[].set`` so the whole flow stays jittable.
+
+    Attributes
+    ----------
+    space_dimension : int
+        Dimensionality of each point (3 for atoms).
+    fixed_point_idx : int
+        Index of the point whose coordinates absorb the centroid
+        constraint. When ``subset_point_indices`` is given, this indexes
+        into the subset.
+    subset_point_indices : jax.Array, optional
+        Point indices over which the centroid is computed. ``None`` means
+        all points.
+    weights : jax.Array, optional
+        ``(n_subset_points, 1)`` normalized centroid weights (e.g. masses
+        for a center-of-mass constraint). ``None`` means uniform.
+    origin : jax.Array
+        ``(space_dimension,)`` target centroid position.
+    translate_back : bool
+        Whether to restore the input frame on output. The inverse pass is
+        only defined when this is ``True``.
+
+    See Also
+    --------
+    tfep_tpu.nn.flows.OrientedFlow : removes net rotation instead.
+
+    Reference behavior: /root/reference/tfep/nn/flows/centroid.py:33-263.
+    """
 
     space_dimension: int = static(default=3)
     fixed_point_idx: int = static(default=0)
@@ -39,10 +88,51 @@ class CenteredCentroidFlow(PartialFlow):
                origin: Optional[Sequence[float]] = None,
                translate_back: bool = True,
                return_partial: bool = False) -> 'CenteredCentroidFlow':
-        """``n_features`` is the total flattened DOF count (static shapes).
+        """Build a centroid-constrained wrapper around ``flow``.
 
-        ``subset_point_indices``/``fixed_point_idx`` are point (atom) indices;
-        ``fixed_point_idx`` indexes into the subset when one is given.
+        Parameters
+        ----------
+        flow : Flow
+            The wrapped flow. It will receive
+            ``n_features - space_dimension`` features (the fixed point's
+            DOFs are held out).
+        space_dimension : int
+            Dimensionality of each point (3 for atoms).
+        n_features : int
+            Total flattened DOF count of the input, i.e.
+            ``n_points * space_dimension``. Passed explicitly so the
+            held-out index sets can be built at construction time with
+            static shapes (required under ``jit``).
+        subset_point_indices : sequence of int, optional
+            Point (atom) indices over which the centroid is computed.
+            Default: all points.
+        weights : sequence of float, optional
+            Centroid weights, one per subset point (normalized internally).
+            Pass masses for a center-of-mass constraint.
+        fixed_point_idx : int, optional
+            Which point absorbs the constraint. Indexes into
+            ``subset_point_indices`` when one is given, into all points
+            otherwise. Default 0.
+        origin : sequence of float, optional
+            ``(space_dimension,)`` target centroid position. Default: the
+            origin of the coordinate system.
+        translate_back : bool, optional
+            If ``True`` (default) the output is translated back to the
+            input frame; required for :meth:`inverse` to be defined.
+        return_partial : bool, optional
+            If ``True``, return only the propagated (non-fixed) features —
+            used for testing. Incompatible with ``translate_back=True``.
+
+        Returns
+        -------
+        CenteredCentroidFlow
+
+        Raises
+        ------
+        ValueError
+            If ``origin`` has the wrong length, ``weights`` and
+            ``subset_point_indices`` disagree in length, or
+            ``return_partial`` conflicts with ``translate_back``.
         """
         if return_partial and translate_back:
             raise ValueError("'return_partial=True' is supported only if "
@@ -96,9 +186,21 @@ class CenteredCentroidFlow(PartialFlow):
 
     # ------------------------------------------------------------------ #
     def forward(self, x):
+        """Map ``x`` of shape ``(batch, n_features)`` forward.
+
+        Returns
+        -------
+        y : jax.Array
+            ``(batch, n_features)`` transformed configurations with the
+            centroid constraint restored.
+        log_det_J : jax.Array
+            ``(batch,)`` log-absolute-Jacobian-determinant of the wrapped
+            flow (the constraint and translations contribute zero).
+        """
         return self._transform(x, inverse=False)
 
     def inverse(self, y):
+        """Invert :meth:`forward`; requires ``translate_back=True``."""
         if not self.translate_back:
             raise ValueError(
                 "The inverse of CenteredCentroidFlow can be computed only if "

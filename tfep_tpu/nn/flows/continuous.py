@@ -27,7 +27,47 @@ __all__ = ['ContinuousFlow']
 
 
 class ContinuousFlow(Flow):
-    """Continuous normalizing flow over a dynamics network ``f(t, x)``."""
+    """Continuous normalizing flow over a dynamics network ``f(t, x)``.
+
+    The flow is the time-1 map of the ODE ``dx/dt = f(t, x)`` where ``f``
+    is any callable module (e.g. :class:`~tfep_tpu.nn.dynamics.EGNNDynamics`)
+    mapping ``(t, (batch, dim))`` to velocities of the same shape. The
+    log-absolute-Jacobian-determinant is integrated alongside as the trace
+    of ``df/dx`` (instantaneous change of variables, FFJORD), and the
+    inverse map simply integrates the negated field backwards in time — the
+    two directions cost the same.
+
+    Attributes
+    ----------
+    dynamics : Module
+        The velocity field ``f(t, x)``.
+    trace_estimator : {'hutchinson', 'exact'}
+        ``'exact'`` vmaps one ``jax.jvp`` per basis vector (``dim`` JVPs:
+        exact but O(dim) cost); ``'hutchinson'`` uses
+        ``n_hutchinson_samples`` Gaussian probes (``E[e . J e]``, unbiased,
+        O(1) cost — the default, and what the KL training loss needs).
+    solver : {'euler', 'midpoint', 'rk4', 'dopri5'}
+        Fixed-grid integrator from :mod:`tfep_tpu.nn.ode`.
+    n_steps : int
+        Number of integration steps (static — the scan is compiled once).
+    regularization : bool
+        If ``True``, also integrate the Finlay et al. regularizers
+        (kinetic energy ``|f|^2`` + Jacobian Frobenius norm estimate) and
+        return them as a third output for the training loss.
+    checkpoint : bool
+        Rematerialize each ODE step under reverse-mode AD (trades ~1
+        extra forward per step for O(n_steps) less activation memory).
+    hutchinson_key : jax.Array
+        Default PRNG key data for the probe draw when ``forward`` is
+        called without an explicit ``key``.
+
+    Notes
+    -----
+    Gradients flow through the ``lax.scan`` (discretize-then-optimize),
+    which is exact for the discrete map — unlike the reference's
+    torchdiffeq adjoint option, which integrates a second ODE and drifts
+    (/root/reference/tfep/nn/flows/continuous.py:134-169).
+    """
 
     dynamics: object
     hutchinson_key: jnp.ndarray = buffer(default=None)
@@ -44,6 +84,11 @@ class ContinuousFlow(Flow):
                n_hutchinson_samples: int = 1,
                regularization: bool = True,
                seed: int = 0, checkpoint: bool = True) -> 'ContinuousFlow':
+        """Build a CNF; see the class docstring for parameter semantics.
+
+        ``seed`` initializes the default Hutchinson probe key used when no
+        explicit ``key`` is passed to :meth:`forward`/:meth:`inverse`.
+        """
         if trace_estimator not in ('exact', 'hutchinson'):
             raise ValueError(
                 "trace_estimator must be 'exact' or 'hutchinson'.")
@@ -56,9 +101,33 @@ class ContinuousFlow(Flow):
 
     # ------------------------------------------------------------------ #
     def forward(self, x, key: Optional[jax.Array] = None):
+        """Integrate ``x`` of shape ``(batch, dim)`` from t=0 to t=1.
+
+        Parameters
+        ----------
+        x : jax.Array
+            ``(batch, dim)`` input configurations.
+        key : jax.Array, optional
+            PRNG key for the Hutchinson probes. Pass a fresh key per
+            training step for an unbiased trace; defaults to the stored
+            ``hutchinson_key`` (deterministic, useful for evaluation).
+
+        Returns
+        -------
+        y : jax.Array
+            ``(batch, dim)`` integrated configurations.
+        log_det_J : jax.Array
+            ``(batch,)`` integrated trace (the log-det estimate).
+        reg : jax.Array
+            ``(batch,)`` integrated regularizer — only when
+            ``regularization=True``.
+        """
         return self._pass(x, inverse=False, key=key)
 
     def inverse(self, y, key: Optional[jax.Array] = None):
+        """Integrate the negated field backwards; same contract as
+        :meth:`forward`. Exact only up to the fixed-grid discretization
+        error of the solver."""
         return self._pass(y, inverse=True, key=key)
 
     def _pass(self, x, inverse: bool, key):

@@ -23,7 +23,44 @@ __all__ = ['OrientedFlow']
 
 
 class OrientedFlow(PartialFlow):
-    """Wraps a flow, fixing the frame orientation via two reference points."""
+    """Wraps a flow, fixing the frame orientation via two reference points.
+
+    Removes the three rotational degrees of freedom of a 3D point cloud
+    before handing it to the wrapped flow. On each pass it:
+
+    1. builds a per-sample rotation that puts ``axis_point_idx`` on the
+       chosen coordinate ``axis`` and ``plane_point_idx`` on the chosen
+       coordinate ``plane`` (a batched ``(batch, 3, 3)`` matmul);
+    2. zeroes the three constrained coordinates (two off-axis for the axis
+       point, one off-plane for the plane point) and runs the wrapped flow
+       on the remaining DOFs through the :class:`PartialFlow` machinery;
+    3. optionally (``rotate_back=True``) applies the inverse rotation so
+       input and output share a frame — adding the exact frame volume
+       element to ``log_det_J`` (see :meth:`_frame_log_weight`; the
+       reference omits this term and is biased whenever the wrapped flow
+       moves the radial frame DOFs).
+
+    Typically composed inside :class:`CenteredCentroidFlow` so translation
+    and rotation are both constrained, leaving ``3N - 6`` internal DOFs.
+
+    Attributes
+    ----------
+    axis_vec, plane_axis_vec, plane_normal_vec : jax.Array
+        The orthonormal frame derived from ``axis``/``plane`` names.
+    axis_point_idx, plane_point_idx : int
+        Atom indices of the two reference points.
+    axis_dim, plane_axis_dim : int
+        Cartesian components that survive the constraint (the axis point's
+        signed radius and the plane point's in-plane coordinate).
+    round_off_imprecisions : bool
+        Explicitly zero the constrained DOFs after rotation to remove
+        float rounding residue.
+    rotate_back : bool
+        Whether to restore the input frame on output; required for
+        :meth:`inverse`.
+
+    Reference behavior: /root/reference/tfep/nn/flows/oriented.py:38-225.
+    """
 
     axis_vec: jnp.ndarray = buffer(default=None)          # (3,)
     plane_axis_vec: jnp.ndarray = buffer(default=None)    # (3,)
@@ -43,6 +80,43 @@ class OrientedFlow(PartialFlow):
                round_off_imprecisions: bool = True,
                rotate_back: bool = True,
                return_partial: bool = False) -> 'OrientedFlow':
+        """Build an orientation-constrained wrapper around ``flow``.
+
+        Parameters
+        ----------
+        flow : Flow
+            The wrapped flow; receives ``n_features - 3`` features.
+        n_features : int
+            Total flattened DOF count (``3 * n_atoms``), passed explicitly
+            so index sets are static under ``jit``.
+        axis_point_idx, plane_point_idx : int, optional
+            Atoms constrained to the axis and plane respectively. Default:
+            atoms 0 and 1 (whichever is not taken by the other).
+        axis : {'x', 'y', 'z'}, optional
+            Coordinate axis for the axis point. Default ``'x'``.
+        plane : {'xy', 'yz', 'xz'}, optional
+            Coordinate plane for the plane point; must contain ``axis``.
+            Default ``'xy'``.
+        round_off_imprecisions : bool, optional
+            Zero the constrained DOFs after rotating (default ``True``).
+        rotate_back : bool, optional
+            Restore the input frame on output (default ``True``); required
+            for :meth:`inverse`.
+        return_partial : bool, optional
+            Return only propagated features (testing); incompatible with
+            ``rotate_back=True``.
+
+        Returns
+        -------
+        OrientedFlow
+
+        Raises
+        ------
+        ValueError
+            If the two reference points coincide, ``axis`` is not in
+            ``plane``, or ``return_partial`` conflicts with
+            ``rotate_back``.
+        """
         if return_partial and rotate_back:
             raise ValueError("'return_partial=True' is supported only if "
                              "'rotate_back=False'")
@@ -96,9 +170,15 @@ class OrientedFlow(PartialFlow):
 
     # ------------------------------------------------------------------ #
     def forward(self, x):
+        """Map ``x`` of shape ``(batch, 3*n_atoms)`` forward.
+
+        Returns ``(y, log_det_J, *extras)``; with ``rotate_back=True`` the
+        log-det includes the exact frame volume-element correction.
+        """
         return self._transform(x, inverse=False)
 
     def inverse(self, y):
+        """Invert :meth:`forward`; requires ``rotate_back=True``."""
         if not self.rotate_back:
             raise ValueError(
                 "The inverse of OrientedFlow can be computed only if "

@@ -19,7 +19,40 @@ __all__ = ['PCAWhitenedFlow']
 
 
 class PCAWhitenedFlow(Flow):
-    """Whiten -> wrapped flow -> (optional) blacken."""
+    """Whiten -> wrapped flow -> (optional) blacken.
+
+    Runs the wrapped flow in PCA-whitened coordinates
+    ``z = (x - mean) @ W`` where ``W = V diag(1/sigma)`` comes from the
+    eigendecomposition ``cov = V diag(sigma^2) V^T`` of a data sample's
+    covariance. Whitening decorrelates and rescales the input features to
+    unit variance, which typically conditions the wrapped flow's
+    optimization much better for strongly anisotropic molecular data.
+
+    With ``blacken=True`` (the default) the output is mapped back through
+    the inverse transform, so the flow is an ``x -> x`` map and the two
+    constant Jacobians cancel exactly — nothing is added to ``log_det_J``.
+    With ``blacken=False`` the flow maps ``x -> z`` space and the constant
+    ``-sum(log sigma_i)`` enters the log-det.
+
+    Both directions are single ``(batch, n) @ (n, n)`` matmuls that XLA
+    places on the MXU; the eigendecomposition itself happens once,
+    host-side, at construction.
+
+    Attributes
+    ----------
+    flow : Flow
+        The wrapped flow, operating in whitened coordinates.
+    mean : jax.Array
+        ``(n_features,)`` sample mean.
+    whitening_matrix, blackening_matrix : jax.Array
+        ``(n_features, n_features)`` mutually inverse linear maps.
+    whitening_log_det_J : jax.Array
+        Scalar ``-sum(log sigma_i)``, the whitening map's constant log-det.
+    blacken : bool
+        Whether the output is mapped back to the original coordinates.
+
+    Reference behavior: /root/reference/tfep/nn/flows/pca.py:26-125.
+    """
 
     flow: object
     mean: jnp.ndarray = buffer(default=None)
@@ -30,7 +63,30 @@ class PCAWhitenedFlow(Flow):
 
     @classmethod
     def create(cls, flow, x, blacken: bool = True) -> 'PCAWhitenedFlow':
-        """``x``: (n_samples, n_features) data sample for the PCA estimate."""
+        """Estimate the whitening transform from data and wrap ``flow``.
+
+        Parameters
+        ----------
+        flow : Flow
+            The flow to run in whitened coordinates.
+        x : array_like
+            ``(n_samples, n_features)`` data sample used for the PCA
+            estimate. Needs at least ``n_features + 1`` linearly
+            independent samples for a positive-definite covariance.
+        blacken : bool, optional
+            If ``True`` (default), map the wrapped flow's output back to
+            the original coordinates so the overall map is ``x -> x``.
+
+        Returns
+        -------
+        PCAWhitenedFlow
+
+        Raises
+        ------
+        ValueError
+            If the covariance estimate has negative eigenvalues (too few
+            samples).
+        """
         x = np.asarray(x)
         mean = x.mean(axis=0)
         centered = x - mean
@@ -65,9 +121,16 @@ class PCAWhitenedFlow(Flow):
         return x @ self.blackening_matrix + self.mean
 
     def forward(self, x):
+        """Map ``(batch, n_features)`` inputs through whiten/flow/blacken.
+
+        Returns ``(y, log_det_J, *extras)`` where the constant whitening
+        log-det is included only when the map changes coordinate systems
+        (``blacken=False``).
+        """
         return self._pass(x, inverse=False)
 
     def inverse(self, y):
+        """Invert :meth:`forward` (defined for any ``blacken`` setting)."""
         return self._pass(y, inverse=True)
 
     def _pass(self, x, inverse: bool):

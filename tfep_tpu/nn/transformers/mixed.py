@@ -21,7 +21,30 @@ __all__ = ['MixedTransformer']
 
 
 class MixedTransformer(MAFTransformer):
-    """Apply different transformers to disjoint feature-index groups."""
+    """Apply different transformers to disjoint feature-index groups.
+
+    Each sub-transformer sees only its assigned features and its slice of
+    the conditioner parameter vector (parameters are laid out per
+    transformer, in order — the split offsets are cached at :meth:`create`
+    time from each transformer's identity-parameter count). The total
+    log-det is the sum over groups, since the Jacobian is block diagonal
+    in the feature partition.
+
+    :class:`~tfep_tpu.app.MixedMAFMap` uses this to give distances/angles
+    neural splines, torsions circular splines, and kept-constant reference
+    DOFs a :class:`~tfep_tpu.nn.transformers.VolumePreservingShift`.
+
+    Attributes
+    ----------
+    transformers : tuple of MAFTransformer
+        The sub-transformers.
+    indices : tuple of tuple of int
+        Feature indices assigned to each (disjoint, together covering all
+        transformed features).
+    param_lengths : tuple of int
+        Per-transformer conditioner-parameter counts, cached for the
+        static split.
+    """
 
     transformers: tuple
     indices: tuple = static(default=())        # tuple of index tuples
