@@ -26,15 +26,49 @@ __all__ = ['CartesianMAFMap']
 
 
 class CartesianMAFMap(TFEPMapBase):
-    """TFEP map built from MAF layers acting on Cartesian coordinates."""
+    """TFEP map built from MAF layers acting on Cartesian coordinates.
+
+    The workhorse map for TFEP in Cartesian space. ``n_maf_layers``
+    masked autoregressive flows with alternating ascending/descending
+    degree assignments act on the non-fixed degrees of freedom; passing
+    ``origin_atom``/``axes_atoms`` (see :class:`~tfep_tpu.app.TFEPMapBase`)
+    additionally maps in a relative reference frame — translation removed
+    by pinning the origin atom, rotation removed by placing the axis atom
+    on z and the plane atom in the xz-plane — so the learned map commutes
+    with rigid motions of the system. All reference-frame wrappers
+    contribute their exact log-det-Jacobian volume corrections.
+
+    Accepts every :class:`~tfep_tpu.app.TFEPMapBase` argument
+    (potential, dataset/batch sizes, mapped/conditioning/fixed
+    selections, temperature, ...) plus the ones below.
+
+    Parameters
+    ----------
+    n_maf_layers : int, optional
+        Number of stacked MAF layers (default 6).
+    flow_kwargs : dict, optional
+        Extra arguments forwarded to :meth:`tfep_tpu.nn.flows.MAF.create`
+        — e.g. ``transformer`` (an affine/spline/... transformer
+        instance), ``hidden_layers``, ``embedding``.
+    remat : bool, optional
+        Rematerialize each MAF layer on the backward pass
+        (``jax.checkpoint``), trading FLOPs for activation memory on
+        long stacks.
+    pca_whitening : bool, optional
+        Run the MAF stack in PCA-whitened coordinates: a
+        :class:`~tfep_tpu.nn.flows.PCAWhitenedFlow` is fitted during
+        setup on up to ``pca_n_frames`` dataset frames as seen by the
+        MAF (i.e. after fixed-DOF removal and reference-frame
+        alignment).
+    pca_n_frames : int, optional
+        Frame budget for the PCA fit.
+
+    Reference behaviors: /root/reference/tfep/app/cartesianmaf.py:178-367.
+    """
 
     def __init__(self, *args, n_maf_layers: int = 6, flow_kwargs=None,
                  remat: bool = False, pca_whitening: bool = False,
                  pca_n_frames: int = 5120, **kwargs):
-        """``pca_whitening`` runs the MAF stack in PCA-whitened coordinates
-        (a :class:`~tfep_tpu.nn.flows.PCAWhitenedFlow` fitted during setup
-        on up to ``pca_n_frames`` dataset frames as seen by the MAF, i.e.
-        after fixed-DOF removal and reference-frame alignment)."""
         super().__init__(*args, **kwargs)
         self.n_maf_layers = int(n_maf_layers)
         self.flow_kwargs = dict(flow_kwargs or {})

@@ -20,7 +20,18 @@ __all__ = ['Dataset', 'DictDataset', 'MergedDataset', 'Subset',
 
 
 class Dataset:
-    """Map-style dataset: ``__len__`` + ``__getitem__`` -> dict of arrays."""
+    """Map-style dataset: ``__len__`` + ``__getitem__`` -> dict of arrays.
+
+    The torch ``Dataset``/``DataLoader`` pair the reference builds on is
+    replaced by this minimal protocol plus
+    :class:`tfep_tpu.io.sampler.StatefulBatchSampler`: the trainer asks
+    the sampler for index batches and the dataset for
+    :meth:`get_batch`, then ships one whole dict of host arrays to the
+    device (sharded on the frames axis). Subclasses should override
+    :meth:`get_batch` when they can fetch a batch in one vectorized read
+    — the base implementation just stacks per-sample ``__getitem__``
+    results.
+    """
 
     def __len__(self):
         raise NotImplementedError
@@ -96,7 +107,14 @@ class MergedDataset(Dataset):
 
 
 class Subset(Dataset):
-    """Arbitrary-index subset of a dataset (the reference's TrajectorySubset)."""
+    """Arbitrary-index view of a dataset.
+
+    Mirrors the reference's ``TrajectorySubset``
+    (/root/reference/tfep/io/dataset/traj.py:470-540): indices are
+    composed, not copied, so a subset of a lazy trajectory dataset still
+    streams frames on demand. Exposed under both names (``Subset`` /
+    ``TrajectorySubset``) for API parity.
+    """
 
     def __init__(self, dataset: Dataset, indices: Sequence[int]):
         self._dataset = dataset

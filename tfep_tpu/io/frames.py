@@ -31,7 +31,21 @@ _NM_TO_ANGSTROM = 10.0
 
 
 class FrameStore:
-    """Base: lazy ``(n_frames, n_atoms, 3)`` coordinate access (angstrom)."""
+    """Base class: lazy ``(n_frames, n_atoms, 3)`` coordinate access.
+
+    Subclasses implement :meth:`_load_frames` (decode a list of frame
+    indices into an angstrom float32 array); this base provides the
+    array-like surface — ``.shape``/``.ndim``/``len()``, integer indexing
+    through an LRU cache of :attr:`CACHE_FRAMES` decoded frames, fancy
+    indexing that bypasses the cache (batch reads are assumed
+    non-repeating), and ``__array__`` so ``np.asarray(store)`` eagerly
+    materializes the whole trajectory when a caller really wants that.
+
+    Integer indexing returns ``(n_atoms, 3)``; slice or fancy indexing
+    returns ``(n_selected, n_atoms, 3)``. All coordinates are angstrom,
+    the framework-wide unit convention (matching MDAnalysis, which the
+    reference relies on).
+    """
 
     #: Decoded frames kept in memory (LRU). Batches revisit frames within
     #: an epoch only under shuffling, so a modest cache suffices.
@@ -247,7 +261,29 @@ class DcdFrameStore(FrameStore):
 
 
 def open_frame_store(path: str) -> FrameStore:
-    """Open a binary trajectory as a lazy frame store (by extension)."""
+    """Open a binary trajectory as a lazy frame store.
+
+    The format is chosen by file extension. Lazy stores exist for the
+    binary formats where decoding dominates read cost — XTC, TRR, and DCD;
+    text formats (PDB/GRO/XYZ) are always read eagerly by
+    :mod:`tfep_tpu.io.traj`.
+
+    Parameters
+    ----------
+    path : str
+        Trajectory file path ending in ``.xtc``, ``.trr``, or ``.dcd``.
+
+    Returns
+    -------
+    FrameStore
+        Lazy coordinate store with eagerly-read ``dimensions`` (unit-cell
+        parameters per frame, or None) and ``times`` (ps) attributes.
+
+    Raises
+    ------
+    ValueError
+        If the extension has no lazy reader.
+    """
     import os
     ext = os.path.splitext(path)[1].lower()
     stores = {'.xtc': XtcFrameStore, '.trr': TrrFrameStore,

@@ -81,7 +81,28 @@ def _parse_prmtop_sections(path: str) -> Dict[str, List[str]]:
 
 
 def read_prmtop(path: str) -> Topology:
-    """Parse an AMBER prmtop/parm7 topology (names, elements, bonds, ...)."""
+    """Parse an AMBER prmtop/parm7 topology file.
+
+    Reads the ``%FLAG`` sections needed to build a
+    :class:`~tfep_tpu.io.topology.Topology`: atom names, masses,
+    elements (from ``ATOMIC_NUMBER`` when present, else nearest-mass
+    lookup with a name-based fallback), residue labels/pointers, and both
+    bond tables (``BONDS_INC_HYDROGEN`` + ``BONDS_WITHOUT_HYDROGEN``,
+    whose atom indices are stored pre-multiplied by 3 in the format).
+    Character sections are split at their ``%FORMAT`` fixed width so
+    blank-padded atom names survive.
+
+    Parameters
+    ----------
+    path : str
+        Path to a ``.prmtop``/``.parm7`` file.
+
+    Returns
+    -------
+    Topology
+        Full topology with bonds; validated against the reference's own
+        test fixture (/root/reference/tfep/tests/data/water.prmtop).
+    """
     sections = _parse_prmtop_sections(path)
     pointers = [int(x) for x in sections['POINTERS']]
     n_atoms = pointers[0]
@@ -173,11 +194,34 @@ def _top_lines(path: str):
 
 
 def read_gromacs_top(path: str) -> Topology:
-    """Parse a GROMACS .top: molecule types expanded by [ molecules ].
+    """Parse a GROMACS ``.top`` topology.
 
-    Parameter-level force-field ``#include`` files that cannot be found
-    are ignored — atoms and bonds must be declared in reachable files
+    ``[ moleculetype ]`` blocks are collected (atoms, bonds, constraints,
+    and ``[ settles ]``-implied rigid-water bonds), then expanded by the
+    ``[ molecules ]`` composition into one flat per-atom topology, one
+    residue id per molecule copy. ``#include`` directives are followed
+    when the target file exists relative to the including file;
+    parameter-level force-field includes that cannot be found are
+    ignored — atoms and bonds must be declared in reachable files
     (standard for solute topologies written by ``pdb2gmx``/``acpype``).
+    Elements are recovered from explicit masses when given, else guessed
+    from atom names.
+
+    Parameters
+    ----------
+    path : str
+        Path to a ``.top`` (or itp-style) file.
+
+    Returns
+    -------
+    Topology
+        Expanded system topology with bonds.
+
+    Raises
+    ------
+    ValueError
+        If ``[ molecules ]`` references a molecule type that no reachable
+        ``[ moleculetype ]`` defines.
     """
     molecule_types: Dict[str, _MoleculeType] = {}
     composition: List[Tuple[str, int]] = []
@@ -249,11 +293,32 @@ def read_gromacs_top(path: str) -> Topology:
 def guess_bonds(positions: np.ndarray, elements,
                 tolerance: float = 0.45,
                 min_distance: float = 0.4) -> np.ndarray:
-    """Guess bonds from one frame's coordinates (angstrom).
+    """Guess bonds from one frame's coordinates.
 
-    Two atoms bond when their distance is below the sum of covalent radii
-    plus ``tolerance`` (and above ``min_distance``, rejecting overlapping
-    duplicates). Returns an (n_bonds, 2) sorted index array.
+    Uses the same criterion as MDAnalysis' bond guesser (which the
+    reference relies on when a format carries no connectivity): two atoms
+    are bonded when their distance is below the sum of their covalent
+    radii plus ``tolerance``, and above ``min_distance`` (rejecting
+    overlapping duplicate atoms). O(n^2) in memory — intended for solute
+    or single-molecule systems, not full solvent boxes; for those, read
+    connectivity from a prmtop/.top instead.
+
+    Parameters
+    ----------
+    positions : numpy.ndarray
+        One frame, ``(n_atoms, 3)``, in angstrom.
+    elements : sequence of str
+        Element symbols used to look up covalent radii (unknown elements
+        fall back to carbon's radius).
+    tolerance : float, optional
+        Slack added to the radii sum, in angstrom.
+    min_distance : float, optional
+        Minimum separation below which a pair is ignored.
+
+    Returns
+    -------
+    numpy.ndarray
+        ``(n_bonds, 2)`` sorted zero-based index pairs.
     """
     positions = np.asarray(positions, dtype=np.float64).reshape(-1, 3)
     radii = np.asarray([_COVALENT_RADII.get(str(e).capitalize(), 0.76)

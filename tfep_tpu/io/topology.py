@@ -37,7 +37,25 @@ _TWO_LETTER = {k.upper(): k for k in ELEMENT_MASSES if len(k) == 2}
 
 
 def guess_element(atom_name: str) -> str:
-    """Guess the chemical element from an atom name (PDB conventions)."""
+    """Guess the chemical element from an atom name (PDB conventions).
+
+    Leading digits are stripped (``1HB2`` is hydrogen). A two-letter
+    element symbol is recognized only on an exact capitalization match
+    (``Cl``, ``Na``) so that all-caps alpha carbons (``CA``) are not
+    mistaken for calcium — the same disambiguation rule MDAnalysis applies
+    for the reference. Falls back to the first alphabetic character, and
+    to carbon if the name has none.
+
+    Parameters
+    ----------
+    atom_name : str
+        Atom name as found in a PDB/GRO/prmtop file.
+
+    Returns
+    -------
+    str
+        Capitalized element symbol (e.g. ``'C'``, ``'Cl'``).
+    """
     name = atom_name.strip().lstrip('0123456789')
     # Prefer a two-letter element only on exact capitalization match
     # ('Cl', 'Na', ...) so 'CA' (alpha carbon) is not read as calcium.
@@ -50,7 +68,35 @@ def guess_element(atom_name: str) -> str:
 
 
 class Topology:
-    """Host-side per-atom attributes plus bonds."""
+    """Host-side per-atom attributes plus bonds.
+
+    This is the framework's replacement for the slice of the MDAnalysis
+    ``Universe`` the reference actually consumes (atom names, elements,
+    residues, masses, bonds, and the selection language;
+    /root/reference/tfep/io/dataset/traj.py:43-120). It is a plain numpy
+    container — nothing here is traced or device-resident; topology
+    information is consumed at map-construction time only (e.g. to build
+    the Z-matrix in :class:`tfep_tpu.app.mixedmaf.MixedMAFMap`).
+
+    Missing attributes are derived: elements from atom names via
+    :func:`guess_element`, masses from elements via :data:`ELEMENT_MASSES`,
+    residue names/ids default to a single ``UNK`` residue.
+
+    Parameters
+    ----------
+    names : sequence of str
+        Atom names, length ``n_atoms``.
+    elements : sequence of str, optional
+        Element symbols; guessed from ``names`` if omitted.
+    resnames : sequence of str, optional
+        Per-atom residue names.
+    resids : sequence of int, optional
+        Per-atom residue ids.
+    masses : sequence of float, optional
+        Atomic masses in amu; looked up from elements if omitted.
+    bonds : sequence of (int, int), optional
+        Zero-based atom-index pairs.
+    """
 
     def __init__(self, names: Sequence[str],
                  elements: Optional[Sequence[str]] = None,
@@ -81,7 +127,26 @@ class Topology:
 
     # ------------------------------------------------------------------ #
     def select_atoms(self, selection) -> np.ndarray:
-        """Resolve a selection (string or index list) to sorted atom indices."""
+        """Resolve a selection to sorted atom indices.
+
+        Parameters
+        ----------
+        selection : str or sequence of int or None
+            Either a selection string in the mini-grammar documented in the
+            module docstring (e.g. ``'resname MOL and not element H'``),
+            an explicit index array (returned sorted), or ``None`` for an
+            empty selection.
+
+        Returns
+        -------
+        numpy.ndarray
+            Sorted, zero-based atom indices, shape ``(n_selected,)``.
+
+        Raises
+        ------
+        ValueError
+            If the selection string cannot be parsed.
+        """
         if selection is None:
             return np.zeros(0, dtype=np.int64)
         if not isinstance(selection, str):

@@ -31,7 +31,21 @@ _BINARY_FORMATS = {'.dcd', '.xtc', '.trr'}
 
 
 def box_vectors_to_dimensions(box_vectors: np.ndarray) -> np.ndarray:
-    """(..., 3, 3) triclinic box vectors -> (..., 6) lengths + angles (deg)."""
+    """Convert triclinic box vectors to unit-cell dimensions.
+
+    Parameters
+    ----------
+    box_vectors : numpy.ndarray
+        ``(..., 3, 3)`` row-vector boxes (any length unit).
+
+    Returns
+    -------
+    numpy.ndarray
+        ``(..., 6)`` as ``[lx, ly, lz, alpha, beta, gamma]`` with angles
+        in degrees — the MDAnalysis ``dimensions`` convention the
+        reference exposes to its maps. Degenerate (zero-length) vectors
+        report 90-degree angles rather than NaN.
+    """
     v = np.asarray(box_vectors, dtype=np.float64)
     lengths = np.linalg.norm(v, axis=-1)
 
@@ -52,8 +66,22 @@ def box_vectors_to_dimensions(box_vectors: np.ndarray) -> np.ndarray:
 
 
 def dimensions_to_box_vectors(dimensions: np.ndarray) -> np.ndarray:
-    """(..., 6) lengths + angles (deg) -> (..., 3, 3) box vectors
-    (first vector on x, second in the xy-plane)."""
+    """Convert unit-cell dimensions to triclinic box vectors.
+
+    Inverse of :func:`box_vectors_to_dimensions` up to the standard
+    orientation convention: the first vector lies on x, the second in the
+    xy-plane, the third has a non-negative z-component.
+
+    Parameters
+    ----------
+    dimensions : numpy.ndarray
+        ``(..., 6)`` as ``[lx, ly, lz, alpha, beta, gamma]``, degrees.
+
+    Returns
+    -------
+    numpy.ndarray
+        ``(..., 3, 3)`` row-vector boxes.
+    """
     dims = np.asarray(dimensions, dtype=np.float64)
     a, b, c = dims[..., 0], dims[..., 1], dims[..., 2]
     alpha = np.radians(dims[..., 3])
@@ -70,7 +98,16 @@ def dimensions_to_box_vectors(dimensions: np.ndarray) -> np.ndarray:
 
 
 class System:
-    """Topology + trajectory frames (the framework's 'Universe')."""
+    """Topology + trajectory frames (the framework's 'Universe').
+
+    Plays the role MDAnalysis' ``Universe`` plays for the reference: one
+    object carrying atom attributes (:class:`~tfep_tpu.io.topology.Topology`),
+    coordinates for every frame, per-frame unit-cell dimensions, and
+    frame times. ``positions`` may be an in-memory array or a lazy
+    :class:`~tfep_tpu.io.frames.FrameStore` — downstream code only relies
+    on the array-like surface, so multi-gigabyte trajectories stream per
+    batch without code changes.
+    """
 
     def __init__(self, topology: Topology, positions,
                  dimensions: Optional[np.ndarray] = None,
@@ -158,7 +195,24 @@ def load_topology(path: str) -> Topology:
 # =============================================================================
 
 def read_pdb(path: str) -> System:
-    """Multi-MODEL PDB reader with CONECT bonds and CRYST1 box."""
+    """Read a (multi-MODEL) PDB file.
+
+    Parses ``ATOM``/``HETATM`` coordinates for every ``MODEL``, atom
+    attributes from the first model, ``CONECT`` records into bonds, and a
+    ``CRYST1`` record into per-frame unit-cell dimensions (PDB carries one
+    box for all models). Element columns are honored when present,
+    guessed from atom names otherwise.
+
+    Parameters
+    ----------
+    path : str
+        PDB file path.
+
+    Returns
+    -------
+    System
+        Coordinates in angstrom, one frame per MODEL.
+    """
     frames = []
     names, resnames, resids, elements = [], [], [], []
     bonds = set()
@@ -219,7 +273,24 @@ def read_pdb(path: str) -> System:
 
 
 def read_gro(path: str) -> System:
-    """GRO reader (single or concatenated frames); nm -> angstrom."""
+    """Read a GROMACS GRO file (single or concatenated frames).
+
+    Coordinates are converted nm -> angstrom. The box line is parsed in
+    both forms: 3 fields (orthorhombic diagonal) and 9 fields (full
+    triclinic ``v1x v2y v3z v1y v1z v2x v2z v3x v3y``), the latter
+    converted to lengths + angles — a triclinic box is never silently
+    treated as rectangular.
+
+    Parameters
+    ----------
+    path : str
+        GRO file path.
+
+    Returns
+    -------
+    System
+        Coordinates in angstrom; atom attributes from the first frame.
+    """
     frames, boxes = [], []
     names, resnames, resids = [], [], []
     first = True
@@ -263,7 +334,19 @@ def read_gro(path: str) -> System:
 
 
 def read_xyz(path: str) -> System:
-    """Multi-frame XYZ reader (element symbol + angstrom coordinates)."""
+    """Read a (multi-frame) XYZ file.
+
+    Parameters
+    ----------
+    path : str
+        XYZ file path: per frame, an atom count line, a comment line,
+        then ``element x y z`` rows in angstrom.
+
+    Returns
+    -------
+    System
+        Coordinates in angstrom; element symbols double as atom names.
+    """
     frames, symbols = [], []
     first = True
     with open(path) as f:
@@ -295,9 +378,30 @@ def read_xyz(path: str) -> System:
 def get_subsampled_indices(n_frames: int, times: Optional[np.ndarray] = None,
                            start=None, stop=None, step=None,
                            n_frames_out: Optional[int] = None) -> np.ndarray:
-    """Regular-interval frame indices, by frame number or pint-style time.
+    """Regular-interval frame indices, by frame number or time.
 
     Reference behavior: /root/reference/tfep/io/dataset/traj.py:549-645.
+
+    Parameters
+    ----------
+    n_frames : int
+        Total frames available.
+    times : numpy.ndarray, optional
+        ``(n_frames,)`` frame times in ps; required whenever any bound or
+        step is given as a time ``Quantity``.
+    start, stop : int or Quantity, optional
+        Inclusive first/last frame. Time values snap inward (start rounds
+        up to the first frame at/after it, stop rounds down).
+    step : int or Quantity, optional
+        Stride in frames, or a time interval matched against ``times``.
+    n_frames_out : int, optional
+        Instead of a stride, pick this many evenly-spaced frames
+        (mutually exclusive with ``step``).
+
+    Returns
+    -------
+    numpy.ndarray
+        Sorted unique frame indices.
     """
     def to_frame(value, default, round_up):
         if value is None:
@@ -343,6 +447,19 @@ class TrajectoryDataset(Dataset):
     angstrom (float32, converted on access), optional ``dimensions`` box,
     registered auxiliary keys, and both dataset- and trajectory-frame
     indices for the TFEP logger addressing scheme.
+
+    The two index keys differ once :meth:`subsample` has been applied:
+    ``dataset_sample_index`` addresses the (possibly subsampled) dataset
+    and is what samplers and loggers use within a run, while
+    ``trajectory_sample_index`` is the absolute frame number in the
+    underlying trajectory — stable across different subsamplings, which
+    is why the TFEP logger and the Psi4 restart machinery key on it
+    (reference: /root/reference/tfep/io/dataset/traj.py:380-470).
+
+    Auxiliary data registered with :meth:`add_aux` (e.g. PLUMED
+    log-weights for biased simulations) is stored full-trajectory-length
+    and indexed by trajectory frame, so it stays aligned under
+    subsampling.
     """
 
     def __init__(self, system: System, return_dimensions: Optional[bool] = None):

@@ -356,7 +356,25 @@ def write_xtc(path: str, positions_nm: np.ndarray,
               boxes_nm: Optional[np.ndarray] = None,
               times_ps: Optional[np.ndarray] = None,
               precision: float = 1000.0):
-    """Write an XTC trajectory. ``positions_nm``: (n_frames, n_atoms, 3)."""
+    """Write an XTC trajectory.
+
+    Parameters
+    ----------
+    path : str
+        Output file path.
+    positions_nm : numpy.ndarray
+        Coordinates in nm, shape ``(n_frames, n_atoms, 3)``.
+    boxes_nm : numpy.ndarray, optional
+        Triclinic box vectors in nm, shape ``(n_frames, 3, 3)``; zero
+        matrices are written when omitted (GROMACS convention for "no
+        box").
+    times_ps : numpy.ndarray, optional
+        Frame times in ps; defaults to the frame index.
+    precision : float, optional
+        Quantization factor: coordinates are stored as
+        ``round(x * precision)`` integers, so the default 1000 keeps
+        0.001 nm resolution — the GROMACS default.
+    """
     positions_nm = np.asarray(positions_nm, dtype=np.float64)
     n_frames, n_atoms = positions_nm.shape[:2]
     with open(path, 'wb') as f:
@@ -385,10 +403,25 @@ def _read_xtc_frame(data: bytes, offset: int):
 
 
 def read_xtc(path: str):
-    """Read an XTC trajectory.
+    """Read an XTC trajectory into memory.
 
-    Returns ``(positions_nm (n_frames, n_atoms, 3), boxes_nm (n_frames, 3, 3),
-    times_ps (n_frames,))``.
+    For lazy per-frame access to large files use
+    :class:`tfep_tpu.io.frames.XtcFrameStore` instead.
+
+    Parameters
+    ----------
+    path : str
+        XTC file path.
+
+    Returns
+    -------
+    positions_nm : numpy.ndarray
+        ``(n_frames, n_atoms, 3)`` coordinates in nm (lossy at the file's
+        stored precision).
+    boxes_nm : numpy.ndarray
+        ``(n_frames, 3, 3)`` box vectors in nm.
+    times_ps : numpy.ndarray
+        ``(n_frames,)`` frame times in ps.
     """
     with open(path, 'rb') as f:
         data = f.read()
@@ -445,7 +478,21 @@ def write_trr(path: str, positions_nm: np.ndarray,
               velocities_nm_ps: Optional[np.ndarray] = None,
               forces: Optional[np.ndarray] = None,
               double: bool = False):
-    """Write a TRR trajectory (positions + optional box/velocities/forces)."""
+    """Write a TRR trajectory.
+
+    Parameters
+    ----------
+    path : str
+        Output file path.
+    positions_nm : numpy.ndarray
+        Coordinates in nm, shape ``(n_frames, n_atoms, 3)``.
+    boxes_nm, times_ps, velocities_nm_ps, forces : numpy.ndarray, optional
+        Per-frame box vectors ``(n_frames, 3, 3)``, times (ps),
+        velocities (nm/ps), and forces; blocks are omitted from the file
+        when None (TRR encodes presence via per-block byte sizes).
+    double : bool, optional
+        Store values as float64 instead of float32.
+    """
     positions_nm = np.asarray(positions_nm, dtype=np.float64)
     n_frames, n_atoms = positions_nm.shape[:2]
     real, real_size = ('>d', 8) if double else ('>f', 4)
@@ -524,10 +571,25 @@ def _read_trr_frame(data: bytes, offset: int):
 
 
 def read_trr(path: str):
-    """Read a TRR trajectory.
+    """Read a TRR trajectory into memory.
 
-    Returns ``(positions_nm, boxes_nm or None, times_ps)``; frames without
-    coordinates (force-only frames) are skipped.
+    Frames without coordinates (e.g. force-only frames from
+    ``mdrun -rerun``) are skipped. Float32 and float64 files are both
+    supported; the width is detected per frame from the block byte sizes.
+
+    Parameters
+    ----------
+    path : str
+        TRR file path.
+
+    Returns
+    -------
+    positions_nm : numpy.ndarray
+        ``(n_frames, n_atoms, 3)`` coordinates in nm.
+    boxes_nm : numpy.ndarray or None
+        ``(n_frames, 3, 3)`` box vectors, or None if any frame lacks one.
+    times_ps : numpy.ndarray
+        ``(n_frames,)`` frame times in ps.
     """
     with open(path, 'rb') as f:
         data = f.read()

@@ -92,10 +92,27 @@ def odeint(func: Callable, state0, t0: float, t1: float, n_steps: int = 20,
            solver: str = 'dopri5', checkpoint: bool = True):
     """Integrate ``d state/dt = func(t, state)`` from t0 to t1.
 
-    ``state0`` may be any pytree (the CNF integrates positions, trace, and
-    regularization jointly). Returns the final state. ``checkpoint``
-    rematerializes each step under reverse-mode AD, trading FLOPs for
-    activation memory on long integrations.
+    Parameters
+    ----------
+    func : callable
+        Dynamics ``func(t, state) -> d state/dt``; must be traceable.
+    state0 : pytree
+        Initial state — any pytree of arrays (the CNF integrates
+        positions, trace, and regularization terms jointly).
+    t0, t1 : float
+        Integration bounds (t1 < t0 integrates backward).
+    n_steps : int, optional
+        Number of fixed steps (static; the grid is uniform).
+    solver : str, optional
+        One of ``'euler'``, ``'midpoint'``, ``'rk4'``, ``'dopri5'``.
+    checkpoint : bool, optional
+        Rematerialize each step under reverse-mode AD, trading FLOPs for
+        activation memory on long integrations.
+
+    Returns
+    -------
+    pytree
+        The state at ``t1``, same structure as ``state0``.
     """
     if solver not in SOLVERS:
         raise ValueError(

@@ -26,7 +26,25 @@ __all__ = [
 
 
 class MoebiusTransformer(MAFTransformer):
-    """Moebius transformer on spheres of radius ``|x|`` (vector-wise)."""
+    """Moebius transformer on spheres of radius ``|x|`` (vector-wise).
+
+    Features are grouped into consecutive ``dimension``-vectors; each
+    vector is transformed on its own sphere (its norm is preserved), so
+    the transformer suits unit vectors such as bond directions in
+    internal-coordinate maps. The conditioner provides one parameter
+    vector ``w`` per input vector; ``w`` is rescaled to
+    ``max_radius * |x|`` to keep the map invertible, and the inverse is
+    the same transform with ``-w``.
+
+    Attributes
+    ----------
+    dimension : int
+        Vector size (3 for 3D directions).
+    max_radius : float
+        Upper bound on ``|w| / |x|`` (invertibility margin).
+    unit_sphere : bool
+        Assume inputs already unit-norm (skips the radial factor).
+    """
 
     dimension: int = static(default=3)
     max_radius: float = static(default=0.99)

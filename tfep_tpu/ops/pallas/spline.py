@@ -307,10 +307,39 @@ def _run_kernel(kernel, out_shapes, block_b, B, inputs, F, P):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
 def fused_spline(x, params, x0, xf, y0, yf, n_bins, min_bin_size, min_slope,
                  block_b=DEFAULT_BLOCK_B):
-    """Fused spline: ``(y, per-element log dy/dx)``.
+    """Fused rational-quadratic spline transform on TPU.
 
-    ``x``: (B, F); ``params``: (B, (3K+1)F) raw conditioner outputs;
-    ``x0``/``xf``/``y0``/``yf``: (F,) domain bounds.
+    Differentiable via a hand-derived :func:`jax.custom_vjp` whose
+    backward pass is itself a Pallas kernel (recompute-in-VMEM, no HBM
+    intermediates). Points outside ``[x0, xf]`` are mapped by linear
+    extrapolation with the boundary slopes, exactly like the XLA
+    formulation in
+    :class:`tfep_tpu.nn.transformers.spline.NeuralSplineTransformer`.
+
+    Parameters
+    ----------
+    x : jax.Array
+        Inputs, shape ``(batch, n_features)``.
+    params : jax.Array
+        Raw conditioner outputs, shape ``(batch, (3K+1) * n_features)``,
+        laid out feature-contiguous per parameter: K width logits, K
+        height logits, K+1 slope pre-activations.
+    x0, xf, y0, yf : jax.Array
+        Per-feature domain bounds, shape ``(n_features,)``.
+    n_bins : int
+        Number of spline bins K (static).
+    min_bin_size, min_slope : float
+        Floors applied after normalization (static).
+    block_b : int, optional
+        Batch tile per kernel invocation (static).
+
+    Returns
+    -------
+    y : jax.Array
+        Transformed values, shape ``(batch, n_features)``.
+    log_dy_dx : jax.Array
+        Per-element log-derivative, same shape (sum over features gives
+        the transformer's log-det-Jacobian contribution).
     """
     y, dl = _fused_spline_fwd_impl(x, params, x0, xf, y0, yf, n_bins,
                                    min_bin_size, min_slope, block_b)

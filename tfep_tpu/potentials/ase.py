@@ -24,7 +24,29 @@ except ImportError:
 
 
 class ASEPotential(EnginePotential):
-    """Differentiable potential energy via an ASE calculator."""
+    """Differentiable potential energy via an ASE calculator.
+
+    Any calculator implementing the ``ase.calculators`` interface (EMT,
+    LAMMPS, VASP, machine-learned potentials, ...) becomes a TFEP target
+    potential. A template ``ase.Atoms`` is built once from the
+    constructor arguments; each batch sample deep-copies it, sets the
+    sample's positions (and unit cell, when the dataset provides one),
+    and runs a single-point evaluation — deep-copying keeps tasks
+    process-pool safe even for stateful calculators.
+
+    Parameters
+    ----------
+    calculator : ase.calculators.calculator.Calculator
+        The calculator attached to the template atoms.
+    symbols, numbers, pbc, **atoms_kwargs
+        Forwarded to ``ase.Atoms`` to define the chemical system.
+    positions_unit, energy_unit : pint units, optional
+        Caller-side units (default angstrom / eV).
+    parallelization_strategy : ParallelizationStrategy, optional
+        How per-sample tasks are distributed (default serial).
+    precompute_gradient : bool, optional
+        Compute forces with energies in one engine call.
+    """
 
     DEFAULT_ENERGY_UNIT = 'eV'
     DEFAULT_POSITIONS_UNIT = 'angstrom'
@@ -35,8 +57,6 @@ class ASEPotential(EnginePotential):
                  positions_unit=None, energy_unit=None,
                  parallelization_strategy=None, precompute_gradient=True,
                  **atoms_kwargs):
-        """``calculator`` is any ASE Calculator; ``symbols``/``numbers``/
-        ``pbc``/``atoms_kwargs`` initialize the template ``ase.Atoms``."""
         if not ASE_INSTALLED:
             raise ImportError(
                 'ASEPotential requires the ase package to be installed.')

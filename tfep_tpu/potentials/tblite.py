@@ -25,7 +25,37 @@ except ImportError:
 
 
 class TBLitePotential(EnginePotential):
-    """Differentiable potential energy via tblite (e.g. 'GFN2-xTB')."""
+    """Differentiable potential energy via tblite.
+
+    Wraps the ``tblite`` Python interface as an
+    :class:`~tfep_tpu.potentials.engine.EnginePotential`: inside a jitted
+    training step the energy rides a ``pure_callback`` to the host, where
+    each sample of the batch is evaluated as an independent single-point
+    calculation (optionally fanned out over a
+    :class:`~tfep_tpu.parallel.ParallelizationStrategy` process pool),
+    and gradients flow through the engine's analytic forces via
+    ``custom_vjp``.
+
+    Parameters
+    ----------
+    method : str
+        xTB Hamiltonian, e.g. ``'GFN2-xTB'`` or ``'GFN1-xTB'``.
+    numbers : array-like of int
+        Atomic numbers, shape ``(n_atoms,)``.
+    positions_unit, energy_unit : pint units, optional
+        Units of the caller's positions / returned energies (default
+        bohr / hartree; conversion to the engine's units is automatic).
+    precompute_gradient : bool, optional
+        Compute forces together with energies in the forward pass (one
+        engine call per step instead of two).
+    parallelization_strategy : ParallelizationStrategy, optional
+        How the per-sample tasks are distributed (default serial).
+    verbosity : int, optional
+        tblite verbosity level.
+    return_nan_on_failure : bool, optional
+        Turn unconverged-SCF RuntimeErrors into NaN energies (with zero
+        forces) instead of raising.
+    """
 
     DEFAULT_ENERGY_UNIT = 'hartree'
     DEFAULT_POSITIONS_UNIT = 'bohr'
