@@ -26,14 +26,22 @@ TORCH_TIMED_STEPS = 3
 TORCH_ROUNDS = 2
 
 
+def _setup_jax_cache():
+    """Enable the persistent compile cache (called by every jax stage —
+    each runs in its own subprocess, so each must configure it)."""
+    import jax
+
+    jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache_tfep_bench')
+    jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+
 def bench_jax():
     import jax
     import jax.numpy as jnp
     import optax
 
-    jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache_tfep_bench')
-    jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
-    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    _setup_jax_cache()
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from tfep_tpu.nn.conditioners.made import generate_degrees
@@ -98,6 +106,7 @@ def bench_mixed_jax():
     import jax.numpy as jnp
     import optax
 
+    _setup_jax_cache()
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from tfep_tpu.app import MixedMAFMap
     from tfep_tpu.app.trainer import _dealias
@@ -170,6 +179,66 @@ def bench_mixed_jax():
         jax.block_until_ready(loss)
         best_dt = min(best_dt, time.perf_counter() - t0)
     return BATCH * n_steps / best_dt
+
+
+def bench_cnf_jax():
+    """CNF (EGNN dynamics) training step at the single-chip sweet spot
+    (batch 512; benchmarks/cnf_bench.py has the full sweep harness).
+    Tracked so regressions in the continuous-flow path are visible."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    _setup_jax_cache()
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tfep_tpu.app.trainer import _dealias
+    from tfep_tpu.nn.dynamics import EGNNDynamics
+    from tfep_tpu.nn.flows import ContinuousFlow
+    from tfep_tpu.nn.module import (
+        apply_updates, filter_value_and_grad, partition,
+    )
+
+    batch = 512
+    dim = N_ATOMS * 3
+    dynamics = EGNNDynamics.create(
+        jax.random.key(0), node_types=np.arange(N_ATOMS) % 4, r_cutoff=6.0,
+        node_feat_dim=64, distance_feat_dim=64, n_layers=4,
+        initialize_identity=False, dtype=jnp.float32)
+    flow = _dealias(ContinuousFlow.create(
+        dynamics, trace_estimator='hutchinson', solver='rk4', n_steps=8,
+        regularization=True))
+
+    optimizer = optax.adamw(1e-4)
+    trainable, _ = partition(flow)
+    opt_state = optimizer.init(trainable)
+    x = 0.5 * jax.random.normal(jax.random.key(1), (batch, dim), jnp.float32)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(flow, opt_state, x):
+        def loss_fn(f):
+            y, ldj, reg = f.forward(x)
+            potential = 0.5 * jnp.sum(y ** 2, axis=-1)
+            return jnp.mean(potential - ldj) + 0.01 * jnp.mean(reg)
+
+        loss, grads = filter_value_and_grad(loss_fn)(flow)
+        tr, _ = partition(flow)
+        updates, new_opt_state = optimizer.update(grads, opt_state, tr)
+        return apply_updates(flow, updates), new_opt_state, loss
+
+    flow, opt_state, loss = train_step(flow, opt_state, x)
+    jax.block_until_ready(loss)
+
+    n_steps = 10
+    best_dt = float('inf')
+    for _ in range(max(2, N_ROUNDS // 2)):
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            flow, opt_state, loss = train_step(flow, opt_state, x)
+        jax.block_until_ready(loss)
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    return batch * n_steps / best_dt
 
 
 def bench_torch_baseline():
@@ -270,12 +339,39 @@ def bench_torch_baseline():
     return BATCH * TORCH_TIMED_STEPS / best_dt
 
 
+def _run_stage(expr: str):
+    """Run one bench stage in a fresh subprocess and return its value.
+
+    Stages must not share a process: the remote-compile tunnel on this
+    platform produces progressively worse executables for programs
+    compiled later in a process's lifetime (measured: the CNF step
+    compiled after the MAF bench runs 1000x slower than the same step
+    compiled in a fresh process, deterministically). Each stage prints
+    its result on the last stdout line.
+    """
+    import subprocess
+
+    code = (f'import bench; print("RESULT", bench.{expr})')
+    out = subprocess.run(
+        [sys.executable, '-c', code], capture_output=True, text=True,
+        timeout=560, cwd=os.path.dirname(os.path.abspath(__file__)))
+    for line in out.stdout.splitlines():
+        if line.startswith('RESULT '):
+            return eval(line[len('RESULT '):])
+    raise RuntimeError(f'bench stage failed: {out.stdout[-500:]} '
+                       f'{out.stderr[-2000:]}')
+
+
 def main():
-    value, platform = bench_jax()
+    value, platform = _run_stage('bench_jax()')
     try:
-        mixed_value = bench_mixed_jax()
+        mixed_value = _run_stage('bench_mixed_jax()')
     except Exception:
         mixed_value = None
+    try:
+        cnf_value = _run_stage('bench_cnf_jax()')
+    except Exception:
+        cnf_value = None
     try:
         baseline = bench_torch_baseline()
         vs_baseline = value / baseline
@@ -293,6 +389,9 @@ def main():
         # Flagship secondary metric: MixedMAFMap step incl. the scanned
         # NeRF Cartesian<->internal conversion.
         record['mixed_map_frames_per_s'] = round(mixed_value, 1)
+    if cnf_value is not None:
+        # Continuous-flow path: EGNN-dynamics CNF train step (batch 512).
+        record['cnf_frames_per_s'] = round(cnf_value, 1)
     print(json.dumps(record))
 
 

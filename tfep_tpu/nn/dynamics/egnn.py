@@ -178,7 +178,31 @@ class _EGLayer(Module):
 
 
 class EGNNDynamics(Module):
-    """EGNN velocity field ``v = f(t, x)`` for CNFs."""
+    """EGNN velocity field ``v = f(t, x)`` for CNFs.
+
+    Intended as the ``dynamics`` of a
+    :class:`~tfep_tpu.nn.flows.ContinuousFlow`. The field is equivariant
+    under rotations and permutations of same-type atoms and invariant
+    under translations (the mean velocity is removed), so the resulting
+    flow preserves these symmetries of the Boltzmann target.
+
+    Construction parameters (``create``):
+
+    - ``node_types`` — integer type per atom (one-hot node features);
+      same-type atoms are treated symmetrically.
+    - ``r_cutoff`` — radial cutoff for message passing, in the input's
+      length unit; pairs beyond it exchange no message.
+    - ``time_feat_dim``, ``node_feat_dim``, ``distance_feat_dim`` —
+      Gaussian time-embedding size, node-feature width, radial-basis
+      size.
+    - ``n_layers`` — number of message-passing layers.
+    - ``speed_factor`` — scales displacement magnitudes (the tanh bound
+      makes per-layer displacements at most ``speed_factor``).
+    - ``initialize_identity`` — start with a zero velocity field so the
+      untrained CNF is the identity map.
+    - ``dtype`` / ``compute_dtype`` — parameter storage dtype and
+      optional lower matmul compute dtype (e.g. ``'bfloat16'``).
+    """
 
     node_types_one_hot: jnp.ndarray = buffer(default=None)
     time_embedding: GaussianBasisExpansion = None

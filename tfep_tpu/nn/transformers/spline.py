@@ -32,7 +32,35 @@ __all__ = [
 
 
 class NeuralSplineTransformer(MAFTransformer):
-    """Neural spline transformer (optionally circular / learnable-domain)."""
+    """Neural spline transformer (optionally circular / learnable-domain).
+
+    Attributes
+    ----------
+    x0, xf : jax.Array
+        ``(n_features,)`` input-domain bounds; inputs outside are mapped
+        by linear extrapolation with the boundary slopes.
+    y0, yf : jax.Array
+        Output-domain bounds (default: same as the input domain, which is
+        required for the identity initialization).
+    n_bins : int
+        Number of rational-quadratic bins K.
+    circular : bool
+        Periodic spline: first slope equals last slope and the
+        conditioner provides a phase shift, so torsions transform
+        smoothly through the boundary.
+    identity_boundary_slopes : bool
+        Pin both boundary slopes to 1 (removes 2 parameters per feature,
+        1 if circular) so the map is C1 at the domain edges with the
+        linear tails.
+    learn_lower_bound, learn_upper_bound : bool
+        Make domain bounds conditioner outputs (log-scale + shift).
+    min_bin_size, min_slope : float
+        Floors keeping every bin and slope strictly positive.
+    fused : {'auto', 'always', 'never'}
+        Whether to use the Pallas fused kernel when applicable (see
+        ``_fused_applicable`` for why 'auto' currently means the XLA
+        path).
+    """
 
     x0: jnp.ndarray = buffer(default=None)    # (n_features,)
     xf: jnp.ndarray = buffer(default=None)
