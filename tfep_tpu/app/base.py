@@ -452,12 +452,14 @@ class TFEPMapBase:
         potential = self._potential_energy_func
         kwargs = {}
         if getattr(potential, 'uses_sample_keys', False):
-            kwargs['sample_keys'] = np.asarray(
+            kwargs['sample_keys'] = _host_local_rows(
                 batch['trajectory_sample_index'])
-        cell = (np.asarray(batch['dimensions'])
+        cell = (_host_local_rows(batch['dimensions'])
                 if 'dimensions' in batch else None)
+        # Under multi-host data parallelism each host's engine evaluates
+        # only the frames this process feeds (its addressable shard).
         energies, forces = potential.compute_energies_and_forces(
-            np.asarray(mapped_positions), cell, **kwargs)
+            _host_local_rows(mapped_positions), cell, **kwargs)
         return energies / self.kT, forces / self.kT
 
     def pipelined_update_fn(self, flow, batch: Dict, potentials_kT,

@@ -301,12 +301,20 @@ class Trainer:
         pending = None
         stop = False
 
+        def _globalize(local_rows):
+            """Engine results (this host's rows) -> device array matching
+            the batch sharding; global assembly under multi-host."""
+            if self.sharding is not None and jax.process_count() > 1:
+                return jax.make_array_from_process_local_data(
+                    self.sharding, np.asarray(local_rows))
+            return jnp.asarray(local_rows)
+
         def apply_pending(flow, opt_state):
             future, flow_snap, batch, epoch_idx, batch_idx = pending
             potentials, forces = future.result()
             flow, opt_state, aux = update_fn(
                 flow, opt_state, flow_snap, batch,
-                jnp.asarray(potentials), jnp.asarray(forces))
+                _globalize(potentials), _globalize(forces))
             self._consume_aux(tfep_map, aux, epoch_idx, batch_idx)
             self.global_step += 1
             if (self.checkpoint_path is not None and
@@ -329,10 +337,12 @@ class Trainer:
 
                     # Phase A (device): flow forward, dispatched async.
                     result = fwd_fn(flow, batch)
-                    # Phase B (host thread): engine on the mapped frames.
+                    # Phase B (host thread): engine on the mapped frames
+                    # (this host's rows only, under multi-host sharding).
+                    from tfep_tpu.app.base import _host_local_rows
                     future = executor.submit(
                         tfep_map.host_engine_eval,
-                        np.asarray(result['positions']), batch)
+                        _host_local_rows(result['positions']), batch)
                     # Phase C: finish the *previous* batch while the
                     # engine chews on this one.
                     if pending is not None:
