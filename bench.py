@@ -352,14 +352,21 @@ def _run_stage(expr: str):
     import subprocess
 
     code = (f'import bench; print("RESULT", bench.{expr})')
-    out = subprocess.run(
-        [sys.executable, '-c', code], capture_output=True, text=True,
-        timeout=560, cwd=os.path.dirname(os.path.abspath(__file__)))
-    for line in out.stdout.splitlines():
-        if line.startswith('RESULT '):
-            return eval(line[len('RESULT '):])
-    raise RuntimeError(f'bench stage failed: {out.stdout[-500:]} '
-                       f'{out.stderr[-2000:]}')
+    last_err = None
+    for _attempt in range(2):   # the remote-compile tunnel flakes (HTTP 500)
+        try:
+            out = subprocess.run(
+                [sys.executable, '-c', code], capture_output=True, text=True,
+                timeout=560, cwd=os.path.dirname(os.path.abspath(__file__)))
+        except subprocess.TimeoutExpired as e:
+            last_err = f'stage timed out: {e}'
+            continue
+        for line in out.stdout.splitlines():
+            if line.startswith('RESULT '):
+                return eval(line[len('RESULT '):])
+        last_err = (f'bench stage failed: {out.stdout[-500:]} '
+                    f'{out.stderr[-2000:]}')
+    raise RuntimeError(last_err)
 
 
 def main():

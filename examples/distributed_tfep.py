@@ -110,7 +110,9 @@ def worker(coordinator: str, process_id: int, workdir: str):
     class DistributedGaussianMap(TFEPMapBase):
         def create_dataset(self):
             dataset = super().create_dataset()
-            dataset._frame_indices = np.asarray(host_frames)
+            # This host feeds only its (contiguous) shard of the frames.
+            dataset.subsample(start=int(host_frames[0]),
+                              stop=int(host_frames[-1]))
             return dataset
 
         def configure_flow(self):
@@ -186,23 +188,37 @@ def worker(coordinator: str, process_id: int, workdir: str):
 def main(workdir=None):
     import tempfile
 
+    # Every host must feed the same local row count, or the global-batch
+    # assembly sees inconsistent shapes across processes.
+    assert N_FRAMES_GLOBAL % N_PROCESSES == 0, \
+        'DIST_TFEP_FRAMES must be divisible by the number of processes.'
+
     workdir = workdir or tempfile.mkdtemp(prefix='dist_tfep_')
     with socket.socket() as s:
         s.bind(('127.0.0.1', 0))
         coordinator = f'127.0.0.1:{s.getsockname()[1]}'
 
+    # Workers log to files (reading pipes sequentially could deadlock the
+    # cluster if one worker fills its pipe while the other is being read).
+    logs = [os.path.join(workdir, f'worker-{pid}.log')
+            for pid in range(N_PROCESSES)]
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), '--worker',
              coordinator, str(pid), workdir],
             env=dict(os.environ, PYTHONPATH=os.getcwd()),
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
-        for pid in range(N_PROCESSES)
+            stdout=open(log, 'w'), stderr=subprocess.STDOUT)
+        for pid, log in zip(range(N_PROCESSES), logs)
     ]
-    outputs = [p.communicate(timeout=900)[0] for p in procs]
-    for proc, out in zip(procs, outputs):
+    for proc, log in zip(procs, logs):
+        try:
+            proc.wait(timeout=900)
+        finally:
+            if proc.poll() is None:
+                proc.kill()
         if proc.returncode != 0:
-            raise RuntimeError(f'worker failed:\n{out[-4000:]}')
+            with open(log) as f:
+                raise RuntimeError(f'worker failed:\n{f.read()[-4000:]}')
 
     results = {}
     for pid in range(N_PROCESSES):

@@ -74,6 +74,74 @@ def test_single_step_matches_standard_path(tmp_path):
         np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-12)
 
 
+def test_multistep_delayed_gradient_contract(tmp_path):
+    """Pipelined steps apply the exact gradient at the parameters the
+    engine saw (one-step delay): theta_{k+1} = theta_k - opt(grad L(b_k,
+    theta_{k-1})). Verified against a manual replay with the standard
+    (non-pipelined) loss — a single-step test cannot catch a snapshot
+    taken after the update."""
+    import optax
+
+    from tfep_tpu.app.trainer import _dealias
+    from tfep_tpu.nn.module import (
+        apply_updates, filter_value_and_grad, partition,
+    )
+
+    def build_map(name):
+        # 4 batches per epoch: no epoch-boundary drain within the first 3
+        # steps, so the pipeline stays exactly one step deep throughout.
+        return CartesianMAFMap(
+            potential_energy_func=QuadraticEngine(),
+            temperature=300.0 * ureg.kelvin,
+            system=make_system(n_frames=20),
+            batch_size=5,
+            tfep_logger_dir_path=str(tmp_path / name),
+            n_maf_layers=2)
+
+    n_steps = 3
+    tfep_map = build_map('logs-pipe')
+    trainer = Trainer(save_dir=None, max_steps=n_steps, shuffle=False,
+                      engine_overlap=True)
+    pipelined_flow = trainer.fit(tfep_map)
+
+    # Manual replay: same batches, standard loss, delayed gradients.
+    replay_map = build_map('logs-replay')
+    replay_map.setup()
+    optimizer = trainer.optimizer  # same optimizer as the pipelined run
+
+    flow = _dealias(replay_map.flow)
+    trainable, _ = partition(flow)
+    opt_state = optimizer.init(trainable)
+
+    def true_loss(f, batch):
+        loss, _ = replay_map.training_step_fn(f, batch)
+        return loss
+
+    batches = []
+    n_batches = (len(replay_map.dataset) + replay_map.batch_size - 1) \
+        // replay_map.batch_size
+    for k in range(n_steps):
+        start = (k % n_batches) * replay_map.batch_size
+        indices = list(range(start, start + replay_map.batch_size))
+        batches.append({k2: jnp.asarray(v) for k2, v in
+                        replay_map.dataset.get_batch(indices).items()})
+
+    history = [flow]
+    for k in range(n_steps):
+        # Gradient at the parameters the engine saw: theta_{k-1} (the
+        # forward for batch k ran before update k-1 was applied).
+        snap = history[max(0, k - 1)]
+        _, grads = filter_value_and_grad(
+            lambda f: true_loss(f, batches[k]))(snap)
+        trainable, _ = partition(flow)
+        updates, opt_state = optimizer.update(grads, opt_state, trainable)
+        flow = apply_updates(flow, updates)
+        history.append(flow)
+
+    for a, b in zip(_flow_leaves(pipelined_flow), _flow_leaves(flow)):
+        np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-11)
+
+
 def test_pipelined_epoch_bookkeeping(tmp_path):
     tfep_map = make_map(tmp_path, 'logs', QuadraticEngine())
     trainer = Trainer(save_dir=str(tmp_path / 'ckpt'), max_epochs=2,

@@ -67,7 +67,8 @@ def main():
 
         def create_dataset(self):
             dataset = super().create_dataset()
-            dataset._frame_indices = np.asarray(host_frames)
+            dataset.subsample(start=int(host_frames[0]),
+                              stop=int(host_frames[-1]))
             return dataset
 
     tfep_map = HostShardMap(

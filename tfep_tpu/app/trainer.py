@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from tfep_tpu.app.base import _host_local_rows
 from tfep_tpu.io.sampler import StatefulBatchSampler
 from tfep_tpu.nn.module import (
     apply_updates, combine, filter_value_and_grad, partition,
@@ -336,10 +337,14 @@ class Trainer:
                     batch = self._device_batch(tfep_map, batch_indices)
 
                     # Phase A (device): flow forward, dispatched async.
+                    # The snapshot MUST be the parameters this forward (and
+                    # hence the engine) sees — apply_pending below advances
+                    # `flow` to the next step's parameters, and the delayed
+                    # gradient is only exact at the snapshot.
+                    flow_snap = flow
                     result = fwd_fn(flow, batch)
                     # Phase B (host thread): engine on the mapped frames
                     # (this host's rows only, under multi-host sharding).
-                    from tfep_tpu.app.base import _host_local_rows
                     future = executor.submit(
                         tfep_map.host_engine_eval,
                         _host_local_rows(result['positions']), batch)
@@ -347,7 +352,7 @@ class Trainer:
                     # engine chews on this one.
                     if pending is not None:
                         flow, opt_state = apply_pending(flow, opt_state)
-                    pending = (future, flow, batch, epoch_idx, batch_idx)
+                    pending = (future, flow_snap, batch, epoch_idx, batch_idx)
 
                     if self.max_steps is not None and \
                             self.global_step + 1 >= self.max_steps:
