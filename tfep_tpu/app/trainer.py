@@ -235,18 +235,13 @@ class Trainer:
         batch = tfep_map.dataset.get_batch(batch_indices)
         if self.sharding is None:
             return {k: jnp.asarray(v) for k, v in batch.items()}
-        if jax.process_count() > 1:
-            # Multi-host: this process's rows are its shard of the global
-            # batch (every host runs the same loop over its own frames).
-            from jax.sharding import NamedSharding
-            assert isinstance(self.sharding, NamedSharding)
-            return {
-                name: jax.make_array_from_process_local_data(
-                    self.sharding, np.asarray(value))
-                for name, value in batch.items()
-            }
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
-        return jax.device_put(batch, self.sharding)
+        # Sharded: each process's rows are its shard of the global batch
+        # (under multi-host, every host runs the same loop over its own
+        # frames and the arrays are assembled globally).
+        from tfep_tpu.parallel.distributed import global_rows_from_local
+        return {name: global_rows_from_local(np.asarray(value),
+                                             self.sharding)
+                for name, value in batch.items()}
 
     def _consume_aux(self, tfep_map, aux, epoch_idx, batch_idx):
         """Materialize a finished step's aux: TFEP logging + loss channel."""
@@ -305,9 +300,12 @@ class Trainer:
         def _globalize(local_rows):
             """Engine results (this host's rows) -> device array matching
             the batch sharding; global assembly under multi-host."""
-            if self.sharding is not None and jax.process_count() > 1:
-                return jax.make_array_from_process_local_data(
-                    self.sharding, np.asarray(local_rows))
+            if self.sharding is not None:
+                from tfep_tpu.parallel.distributed import (
+                    global_rows_from_local,
+                )
+                return global_rows_from_local(np.asarray(local_rows),
+                                              self.sharding)
             return jnp.asarray(local_rows)
 
         def apply_pending(flow, opt_state):

@@ -17,7 +17,8 @@ from typing import Optional, Sequence
 import numpy as np
 
 __all__ = ['initialize', 'is_distributed', 'process_index', 'process_count',
-           'host_frame_indices', 'host_logger_dir', 'all_hosts_work_values']
+           'host_frame_indices', 'host_logger_dir', 'all_hosts_work_values',
+           'global_rows_from_local', 'make_global_batch']
 
 
 def initialize(coordinator_address: Optional[str] = None,
@@ -75,6 +76,22 @@ def host_frame_indices(n_frames: int, process_id: Optional[int] = None,
     return np.arange(starts[process_id], starts[process_id + 1])
 
 
+def global_rows_from_local(local_rows, sharding):
+    """This host's rows -> a device array with the given (frames-axis)
+    sharding; global assembly across processes under multi-host.
+
+    The single place encoding the 'make_array_from_process_local_data when
+    multi-process, device_put otherwise' rule — the trainer's batch feed
+    and engine-result reassembly both route through it.
+    """
+    import jax
+
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(local_rows))
+    return jax.device_put(local_rows, sharding)
+
+
 def make_global_batch(batch: dict, mesh, axis_name: str = 'dp') -> dict:
     """Assemble each host's local batch shard into global sharded arrays.
 
@@ -83,16 +100,11 @@ def make_global_batch(batch: dict, mesh, axis_name: str = 'dp') -> dict:
     over the mesh. Single-process meshes fall back to a plain
     ``device_put``.
     """
-    import jax
     from jax.sharding import NamedSharding, PartitionSpec
 
     sharding = NamedSharding(mesh, PartitionSpec(axis_name))
-    if jax.process_count() == 1:
-        return jax.device_put(batch, sharding)
-    return {
-        name: jax.make_array_from_process_local_data(sharding, value)
-        for name, value in batch.items()
-    }
+    return {name: global_rows_from_local(value, sharding)
+            for name, value in batch.items()}
 
 
 def host_logger_dir(base_dir: str, process_id: Optional[int] = None) -> str:
