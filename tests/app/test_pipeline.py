@@ -155,13 +155,15 @@ def test_pipelined_epoch_bookkeeping(tmp_path):
     assert np.all(np.isfinite(logged['potential']))
 
 
-def test_profiler_hook_captures_trace(tmp_path):
+@pytest.mark.parametrize('overlap', [False, True])
+def test_profiler_hook_captures_trace(tmp_path, overlap):
     """Trainer(profile_dir=...) writes an XPlane trace and synced step
-    times for the configured window."""
+    times for the configured window — on both training paths."""
     import glob
 
     tfep_map = make_map(tmp_path, 'logs', QuadraticEngine())
     trainer = Trainer(save_dir=None, max_epochs=2, shuffle=False,
+                      engine_overlap=overlap,
                       profile_dir=str(tmp_path / 'profile'),
                       profile_steps=(1, 3))
     trainer.fit(tfep_map)

@@ -149,8 +149,11 @@ class Trainer:
             flow, opt_state = self._load_checkpoint(flow, opt_state, sampler)
 
         if self.engine_overlap:
-            flow = self._fit_pipelined(tfep_map, sampler, flow, opt_state,
-                                       n_batches)
+            try:
+                flow = self._fit_pipelined(tfep_map, sampler, flow,
+                                           opt_state, n_batches)
+            finally:
+                self._stop_profiler()
             tfep_map.flow = flow
             return flow
 
@@ -253,7 +256,7 @@ class Trainer:
         loss = scalars.get('loss')
         if loss is not None:
             self.loss_history.append(loss)
-        if self.log_every_n_steps and \
+        if self.log_every_n_steps and loss is not None and \
                 len(self.loss_history) % self.log_every_n_steps == 0:
             extras = ' '.join(f'{k}={v:.6g}' for k, v in scalars.items()
                               if k != 'loss')
@@ -311,9 +314,11 @@ class Trainer:
         def apply_pending(flow, opt_state):
             future, flow_snap, batch, epoch_idx, batch_idx = pending
             potentials, forces = future.result()
+            tick = self._profile_tick()
             flow, opt_state, aux = update_fn(
                 flow, opt_state, flow_snap, batch,
                 _globalize(potentials), _globalize(forces))
+            self._profile_tock(tick, aux.get('loss', flow))
             self._consume_aux(tfep_map, aux, epoch_idx, batch_idx)
             self.global_step += 1
             if (self.checkpoint_path is not None and

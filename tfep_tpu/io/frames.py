@@ -16,6 +16,7 @@ iterators (/root/reference/tfep/io/dataset/traj.py:274).
 from __future__ import annotations
 
 import ctypes
+import os
 import struct
 from collections import OrderedDict
 from typing import Optional, Tuple
@@ -97,6 +98,21 @@ class FrameStore:
 
 class _XdrFrameStore(FrameStore):
     """Shared machinery for the native-decoded XTC/TRR stores."""
+
+    def _frame_chunk(self, f, frame_offset: int, offsets=None) -> bytes:
+        """Read exactly one frame's bytes (offset to the next frame).
+
+        Keeps the pure-Python fallback streaming too: per-batch I/O stays
+        O(frames requested), not O(file size). ``offsets`` must be passed
+        explicitly during ``_scan`` (before ``self._offsets`` exists).
+        """
+        if offsets is None:
+            offsets = self._offsets
+        idx = int(np.searchsorted(offsets, frame_offset))
+        end = (int(offsets[idx + 1]) if idx + 1 < len(offsets)
+               else os.fstat(f.fileno()).st_size)
+        f.seek(frame_offset)
+        return f.read(end - frame_offset)
 
     _SCAN = ''          # native scan symbol
     _READ = ''          # native read symbol
@@ -180,11 +196,12 @@ class XtcFrameStore(_XdrFrameStore):
 
     def _py_load(self, offsets):
         from tfep_tpu.io.xdr import _decompress_coords
+        frames = []
         with open(self.path, 'rb') as f:
-            data = f.read()
-        frames = [
-            _decompress_coords(data, int(off) + 56, self.shape[1])[0]
-            for off in offsets]
+            for off in offsets:
+                chunk = self._frame_chunk(f, int(off))
+                frames.append(
+                    _decompress_coords(chunk, 56, self.shape[1])[0])
         return np.asarray(frames, dtype=np.float32) * _NM_TO_ANGSTROM
 
     def _read_headers(self, path, offsets):
@@ -212,20 +229,22 @@ class TrrFrameStore(_XdrFrameStore):
 
     def _py_load(self, offsets):
         from tfep_tpu.io.xdr import _read_trr_frame
+        frames = []
         with open(self.path, 'rb') as f:
-            data = f.read()
-        frames = [_read_trr_frame(data, int(off))[0] for off in offsets]
+            for off in offsets:
+                chunk = self._frame_chunk(f, int(off))
+                frames.append(_read_trr_frame(chunk, 0)[0])
         return np.asarray(frames, dtype=np.float32) * _NM_TO_ANGSTROM
 
     def _read_headers(self, path, offsets):
         from tfep_tpu.io.xdr import _read_trr_frame
-        with open(path, 'rb') as f:
-            data = f.read()
         boxes, times = [], []
-        for off in offsets:
-            _, _, _, box, time, _, _ = _read_trr_frame(data, int(off))
-            boxes.append(box)
-            times.append(time)
+        with open(path, 'rb') as f:
+            for off in offsets:
+                chunk = self._frame_chunk(f, int(off), offsets)
+                _, _, _, box, time, _, _ = _read_trr_frame(chunk, 0)
+                boxes.append(box)
+                times.append(time)
         if any(b is None for b in boxes):
             return None, np.asarray(times)
         return np.asarray(boxes), np.asarray(times)

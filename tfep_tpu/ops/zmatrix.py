@@ -209,8 +209,17 @@ def internal_to_cartesian(bonds: jnp.ndarray, angles: jnp.ndarray,
         2.0 * jnp.log(bonds) + jnp.log(jnp.sin(angles)), axis=-1)
 
     # Level schedule: all rows of one level place concurrently. Padded
-    # slots write out of bounds and are dropped by the scatter.
+    # slots write out of bounds and are dropped by the scatter. The
+    # schedule is host-side control flow, so a traced z_matrix cannot be
+    # scheduled here — pass a precomputed ``schedule`` in that case (as
+    # CartesianToMixedFlow does at construction).
     if schedule is None:
+        if isinstance(z_matrix, jax.core.Tracer):
+            raise ValueError(
+                'internal_to_cartesian received a traced z_matrix without '
+                'a precomputed schedule. The placement schedule is built '
+                'from the Z-matrix host-side; call build_placement_schedule '
+                'on the concrete Z-matrix outside jit and pass schedule=.')
         schedule = build_placement_schedule(np.asarray(z_matrix),
                                             positions_init.shape[1])
     level_targets, level_refs, level_cols = schedule
