@@ -28,6 +28,9 @@ def main():
     parser.add_argument('--feat', type=int, default=64)
     parser.add_argument('--compute-dtype', default=None,
                         help="e.g. 'bfloat16' for MXU mixed precision")
+    parser.add_argument('--pairwise', default='xla',
+                        choices=['xla', 'pallas'],
+                        help='per-pair message block implementation')
     parser.add_argument('--timed-steps', type=int, default=10)
     parser.add_argument('--rounds', type=int, default=4)
     parser.add_argument('--force-cpu-devices', type=int, default=0)
@@ -67,7 +70,7 @@ def main():
         r_cutoff=6.0,
         node_feat_dim=args.feat, distance_feat_dim=args.feat,
         n_layers=args.layers, initialize_identity=False,
-        dtype=jnp.float32,
+        dtype=jnp.float32, pairwise=args.pairwise,
         **({'compute_dtype': args.compute_dtype}
            if args.compute_dtype else {}))
     flow = _dealias(ContinuousFlow.create(
@@ -108,6 +111,7 @@ def main():
     print(f'platform={jax.devices()[0].platform} atoms={n_atoms} '
           f'batch={batch} ode_steps={args.steps} layers={args.layers} '
           f'feat={args.feat} compute_dtype={args.compute_dtype} '
+          f'pairwise={args.pairwise} '
           f'compile={compile_s:.1f}s loss={float(loss):.4f} '
           f'frames/s={frames_s:.1f}')
 

@@ -99,16 +99,41 @@ def test_forward_matches_reference():
     np.testing.assert_allclose(mag_f, mag_r, rtol=1e-6, atol=1e-10)
 
 
-def test_backward_matches_autodiff():
+def test_jvp_matches_autodiff():
+    """Forward-mode (the Hutchinson-probe pattern) matches the mirror."""
+    p = _params(jax.random.key(2))
+    a_i, a_j, dist = _inputs(jax.random.key(3))
+    t_i = jax.random.normal(jax.random.key(20), a_i.shape)
+    t_d = jax.random.normal(jax.random.key(21), dist.shape)
+    zeros_p = jax.tree_util.tree_map(jnp.zeros_like, p)
+
+    out_f, tan_f = jax.jvp(_fused, (a_i, a_j, dist, p),
+                           (t_i, jnp.zeros_like(a_j), t_d, zeros_p))
+    out_r, tan_r = jax.jvp(reference, (a_i, a_j, dist, p),
+                           (t_i, jnp.zeros_like(a_j), t_d, zeros_p))
+    for f, r in zip((*out_f, *tan_f), (*out_r, *tan_r)):
+        np.testing.assert_allclose(f, r, rtol=1e-5, atol=1e-8)
+
+
+def test_grad_of_jvp_matches_autodiff():
+    """Reverse over an explicit jvp — the CNF training pattern — matches
+    autodiff of the mirror for every input (incl. the radial widths)."""
     p = _params(jax.random.key(2))
     a_i, a_j, dist = _inputs(jax.random.key(3))
     c1 = jax.random.normal(jax.random.key(4), (BATCH, N, FEAT))
     c2 = jax.random.normal(jax.random.key(5), (BATCH, N, N))
+    e_i = jax.random.normal(jax.random.key(22), a_i.shape)
+    e_d = jax.random.normal(jax.random.key(23), dist.shape)
 
     def scalar(fn):
         def wrapped(a_i, a_j, dist, p):
-            nm, mag = fn(a_i, a_j, dist, p)
-            return jnp.sum(nm * c1) + jnp.sum(mag * c2)
+            zeros_p = jax.tree_util.tree_map(jnp.zeros_like, p)
+            (nm, mag), (dnm, dmag) = jax.jvp(
+                fn, (a_i, a_j, dist, p),
+                (e_i, jnp.zeros_like(a_j), e_d, zeros_p))
+            # Loss touches primal outputs AND the probe (like the trace).
+            return (jnp.sum(nm * c1) + jnp.sum(mag * c2)
+                    + jnp.sum(dnm * c1) + jnp.sum(dmag * c2))
         return wrapped
 
     args = (a_i, a_j, dist, p)
@@ -122,6 +147,70 @@ def test_backward_matches_autodiff():
     for name in grads_r[3]:
         np.testing.assert_allclose(grads_f[3][name], grads_r[3][name],
                                    rtol=1e-5, atol=1e-8, err_msg=name)
+
+
+def test_dynamics_pallas_matches_xla():
+    """Whole EGNNDynamics: pairwise='pallas' == 'xla' for the primal and
+    a forward-mode probe (the CNF's access pattern)."""
+    from tfep_tpu.nn.dynamics import EGNNDynamics
+
+    node_types = np.arange(N) % 3
+    nets = {
+        mode: EGNNDynamics.create(
+            jax.random.key(9), node_types=node_types, r_cutoff=R_CUTOFF,
+            time_feat_dim=4, node_feat_dim=FEAT, distance_feat_dim=DFEAT,
+            n_layers=2, initialize_identity=False, pairwise=mode)
+        for mode in ('xla', 'pallas')
+    }
+    x = 2.0 * jax.random.normal(jax.random.key(10), (BATCH, N * 3))
+    probe = jax.random.normal(jax.random.key(11), (BATCH, N * 3))
+
+    outs, jvs = {}, {}
+    for mode, net in nets.items():
+        outs[mode], jvs[mode] = jax.jvp(
+            lambda z: net(0.3, z), (x,), (probe,))
+
+    np.testing.assert_allclose(outs['pallas'], outs['xla'],
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(jvs['pallas'], jvs['xla'],
+                               rtol=1e-5, atol=1e-8)
+
+
+def test_cnf_training_grads_pallas_matches_xla():
+    """Full CNF training loss + grads through the fused kernel.
+
+    The KL training loss differentiates through the vjp-based Hutchinson
+    trace, which exercises the second-order rule (the in-kernel-autodiff
+    VJP of the backward kernel)."""
+    from tfep_tpu.nn.dynamics import EGNNDynamics
+    from tfep_tpu.nn.flows import ContinuousFlow
+    from tfep_tpu.nn.module import filter_value_and_grad
+
+    node_types = np.arange(N) % 3
+    x = 1.5 * jax.random.normal(jax.random.key(12), (BATCH, N * 3))
+
+    results = {}
+    for mode in ('xla', 'pallas'):
+        dynamics = EGNNDynamics.create(
+            jax.random.key(13), node_types=node_types, r_cutoff=R_CUTOFF,
+            time_feat_dim=4, node_feat_dim=FEAT, distance_feat_dim=DFEAT,
+            n_layers=2, initialize_identity=False, pairwise=mode)
+        flow = ContinuousFlow.create(dynamics, trace_estimator='hutchinson',
+                                     solver='midpoint', n_steps=2,
+                                     regularization=True, checkpoint=False)
+
+        def loss_fn(f):
+            y, ldj, reg = f.forward(x)
+            return (jnp.mean(0.5 * jnp.sum(y ** 2, -1) - ldj)
+                    + 0.01 * jnp.mean(reg))
+
+        loss, grads = filter_value_and_grad(loss_fn)(flow)
+        results[mode] = (loss, jax.tree_util.tree_leaves(grads))
+
+    np.testing.assert_allclose(results['pallas'][0], results['xla'][0],
+                               rtol=1e-6)
+    for g_p, g_x in zip(results['pallas'][1], results['xla'][1]):
+        np.testing.assert_allclose(g_p, g_x, rtol=2e-5, atol=1e-8)
 
 
 def test_mirror_matches_real_layer():

@@ -93,11 +93,17 @@ class _EGLayer(Module):
     update_h_mlp: _MLP
     r_cutoff: float = static(default=1.0)
     speed_factor: float = static(default=1.0)
+    #: 'xla' (default) or 'pallas' — the fused pairwise kernel
+    #: (tfep_tpu/ops/pallas/egnn.py) keeping all (b, n, n, feat) message
+    #: intermediates in VMEM.
+    pairwise: str = static(default='xla')
 
     @classmethod
     def create(cls, key, r_cutoff, node_feat_dim, distance_feat_dim,
                speed_factor, initialize_identity=True, dtype=None,
-               compute_dtype=None):
+               compute_dtype=None, pairwise='xla'):
+        if pairwise not in ('xla', 'pallas'):
+            raise ValueError("pairwise must be 'xla' or 'pallas'.")
         k1, k2, k3, k4 = jax.random.split(key, 4)
         layer = cls(
             distance_embedding=BehlerParrinelloRadialExpansion.from_range(
@@ -119,6 +125,7 @@ class _EGLayer(Module):
                 dtype=dtype, compute_dtype=compute_dtype),
             r_cutoff=float(r_cutoff),
             speed_factor=float(speed_factor),
+            pairwise=pairwise,
         )
         if initialize_identity:
             # Zero the last update_x weight -> zero displacements.
@@ -139,6 +146,10 @@ class _EGLayer(Module):
         # Keep self-distances finite and off-graph via the mask.
         safe_dist = jnp.sqrt(jnp.where(eye, 1.0, dist2) + 1e-20)
         directions = diff / safe_dist[..., None]
+
+        if self.pairwise == 'pallas':
+            return self._call_fused(h, pos, safe_dist, directions)
+
         mask = (~eye) & (safe_dist <= self.r_cutoff)     # (b, i, j)
         mask_f = mask.astype(h.dtype)[..., None]
 
@@ -174,6 +185,39 @@ class _EGLayer(Module):
         disp = self.speed_factor * directions * disp_magnitude * mask_f
         pos = pos + jnp.sum(disp, axis=2)
 
+        return h, pos
+
+    def _call_fused(self, h, pos, safe_dist, directions):
+        """Pairwise block via the fused Pallas kernel (pairwise='pallas').
+
+        Per-node matmuls, the residual h-update, and the 3-vector work
+        stay in XLA; everything (b, n, n, feat)-shaped runs in VMEM.
+        """
+        from tfep_tpu.ops.pallas.egnn import fused_egnn_pairwise
+
+        batch, n, feat = h.shape
+        first = self.message_mlp.layers[0]
+        w = first.effective_weight()
+        w_i, w_j, w_e = w[:, :feat], w[:, feat:2 * feat], w[:, 2 * feat:]
+
+        node_messages, magnitudes = fused_egnn_pairwise(
+            _mm(h, w_i, None), _mm(h, w_j, None), safe_dist,
+            self.distance_embedding.means,
+            self.distance_embedding.log_gammas,
+            w_e, first.bias,
+            self.message_mlp.layers[1].effective_weight(),
+            self.message_mlp.layers[1].bias,
+            self.attention_mlp.layers[0].effective_weight()[0],
+            self.attention_mlp.layers[0].bias,
+            self.update_x_mlp.layers[0].effective_weight(),
+            self.update_x_mlp.layers[0].bias,
+            self.update_x_mlp.layers[1].effective_weight()[0],
+            n, feat, self.r_cutoff)
+
+        h = h + self.update_h_mlp(
+            jnp.concatenate([h, node_messages], axis=-1))
+        pos = pos + jnp.sum(
+            self.speed_factor * directions * magnitudes[..., None], axis=2)
         return h, pos
 
 
@@ -215,10 +259,19 @@ class EGNNDynamics(Module):
                time_feat_dim: int = 16, node_feat_dim: int = 64,
                distance_feat_dim: int = 64, n_layers: int = 4,
                speed_factor: float = 1.0, initialize_identity: bool = True,
-               dtype=None, compute_dtype=None) -> 'EGNNDynamics':
+               dtype=None, compute_dtype=None,
+               pairwise: str = 'xla') -> 'EGNNDynamics':
         """``compute_dtype='bfloat16'`` runs the message/update matmuls with
         bfloat16 operands and float32 accumulation (MXU mixed precision);
-        parameters stay in the storage ``dtype``."""
+        parameters stay in the storage ``dtype``. ``pairwise='pallas'``
+        runs each layer's per-pair message block through the fused VMEM
+        kernel (tfep_tpu/ops/pallas/egnn.py) — numerically identical
+        (same training losses on hardware) and supporting the CNF's
+        jvp-probe + training-grad pattern via its custom_jvp rule; on
+        v5e at CNF bench sizes it ties the XLA formulation, so 'xla'
+        stays the default. Plain ``jax.grad`` of the dynamics without an
+        enclosing ``jvp`` is not supported in 'pallas' mode (see the
+        kernel's differentiation contract)."""
         node_types = np.asarray(node_types)
         n_types = int(node_types.max()) + 1
         one_hot = np.eye(n_types)[node_types]
@@ -228,7 +281,7 @@ class EGNNDynamics(Module):
             _EGLayer.create(keys[i], r_cutoff, node_feat_dim,
                             distance_feat_dim, speed_factor,
                             initialize_identity, dtype=dtype,
-                            compute_dtype=compute_dtype)
+                            compute_dtype=compute_dtype, pairwise=pairwise)
             for i in range(n_layers))
         return cls(
             node_types_one_hot=jnp.asarray(one_hot),

@@ -163,14 +163,20 @@ class ContinuousFlow(Flow):
                 trace = jnp.einsum('ibi->b', jvs)
                 frobenius = jnp.sum(jvs ** 2, axis=(0, 2))
             else:
-                def jvp_eps(e):
-                    return jax.jvp(vel_fn, (xt,), (e,))
-
-                vels, jvs = jax.vmap(jvp_eps)(eps)
-                vel = vels[0]
-                # E[e . J e] over probes.
-                trace = jnp.mean(jnp.sum(eps * jvs, axis=-1), axis=0)
-                frobenius = jnp.mean(jnp.sum(jvs ** 2, axis=-1), axis=0)
+                # A static Python loop over the (few, default 1) probes
+                # instead of vmap: the fused Pallas EGNN dynamics expands
+                # each jvp into first-order kernel ops via its custom_jvp
+                # rule, and pallas calls have no vmap batching rule.
+                vel = None
+                trace = jnp.zeros(xt.shape[0], dtype=xt.dtype)
+                frobenius = jnp.zeros(xt.shape[0], dtype=xt.dtype)
+                for k in range(self.n_hutchinson_samples):
+                    vel, jv = jax.jvp(vel_fn, (xt,), (eps[k],))
+                    # E[e . J e] over probes.
+                    trace = trace + jnp.sum(eps[k] * jv, axis=-1)
+                    frobenius = frobenius + jnp.sum(jv ** 2, axis=-1)
+                trace = trace / self.n_hutchinson_samples
+                frobenius = frobenius / self.n_hutchinson_samples
 
             if inverse:
                 vel = -vel

@@ -68,29 +68,30 @@ def _radial(dist, mu, log_gammas, r_cutoff):
     return gauss * sw, gauss, sw
 
 
-def _pair_mask(dist_blk, n, r_cutoff, dtype):
-    """(B_t, N, N) float mask: off-diagonal pairs within the cutoff."""
-    eye_i = jax.lax.broadcasted_iota(jnp.int32, (1, n, n), 1)
-    eye_j = jax.lax.broadcasted_iota(jnp.int32, (1, n, n), 2)
-    off_diag = eye_i != eye_j
-    return (off_diag & (dist_blk <= r_cutoff)).astype(dtype)
-
-
 def _forward_chain(a_i, a_j, dist, mu, log_gammas, w_e, b1, w_m2, b_m2,
                    w_att, b_att, w_x1, b_x1, w_x2, *, n, feat, r_cutoff):
     """Shared traceable forward; returns every intermediate the backward
-    chain needs. All pair tensors are (B_t*N*N, ...) 2D."""
+    chain needs.
+
+    Mosaic layout rule: the lane (last) dim is never changed by a
+    reshape — pair scalars arrive as ``(B_t, N*N, 1)`` and the factored
+    node terms pre-expanded as ``(B_t, N, 1, F)`` / ``(B_t, 1, N, F)``,
+    so every in-kernel reshape only folds leading dims and every
+    broadcast expands a size-1 dim.
+    """
     b_t = a_i.shape[0]
     p = b_t * n * n
 
-    mask3 = _pair_mask(dist, n, r_cutoff, a_i.dtype)      # (B_t, N, N)
-    mask = mask3.reshape(p, 1)
-    dist2d = dist.reshape(p, 1)
+    dist2d = dist.reshape(p, 1)                           # lane stays 1
+    pair = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    off_diag = (pair // n) % n != pair % n
+    mask = (off_diag & (dist2d <= r_cutoff)).astype(a_i.dtype)
 
     emb, gauss, sw = _radial(dist2d, mu, log_gammas, r_cutoff)
 
     # pre[b,i,j,:] = a_i[b,i,:] + a_j[b,j,:] + emb @ W_e^T + b1
-    pre4 = (a_i[:, :, None, :] + a_j[:, None, :, :])      # (B_t,N,N,F)
+    pre4 = (jnp.broadcast_to(a_i, (b_t, n, n, feat))
+            + jnp.broadcast_to(a_j, (b_t, n, n, feat)))
     pre = pre4.reshape(p, feat) + jnp.dot(
         emb, w_e.T, preferred_element_type=a_i.dtype) + b1
     s_pre = _silu(pre)
@@ -118,158 +119,255 @@ def _forward_kernel(a_i_ref, a_j_ref, dist_ref, mu_ref, lg_ref, w_e_ref,
         b_x1_ref[0], w_x2_ref[0], n=n, feat=feat, r_cutoff=r_cutoff)
 
     node_msg_out[:] = jnp.sum(messages.reshape(b_t, n, n, feat), axis=2)
-    mag_out[:] = (t2 * mask).reshape(b_t, n, n)
+    mag_out[:] = (t2 * mask).reshape(b_t, n * n, 1)
 
 
-def _backward_kernel(a_i_ref, a_j_ref, dist_ref, mu_ref, lg_ref, w_e_ref,
-                     b1_ref, w_m2_ref, b_m2_ref, w_att_ref, b_att_ref,
-                     w_x1_ref, b_x1_ref, w_x2_ref, g_nm_ref, g_mag_ref,
-                     g_a_i_out, g_a_j_out, g_dist_out, g_mu_out, g_lg_out,
-                     g_w_e_out, g_b1_out, g_w_m2_out, g_b_m2_out,
-                     g_w_att_out, g_b_att_out, g_w_x1_out, g_b_x1_out,
-                     g_w_x2_out, *, n, feat, r_cutoff):
-    b_t = a_i_ref.shape[0]
-    p = b_t * n * n
-    dtype = a_i_ref.dtype
+def _pairwise_outputs(a_i, a_j, dist, mu, log_gammas, w_e, b1, w_m2, b_m2,
+                      w_att, b_att, w_x1, b_x1, w_x2, *, n, feat,
+                      r_cutoff):
+    """The block's outputs as a pure traceable function of values.
 
-    mu = mu_ref[0]
-    log_gammas = lg_ref[0]
-    w_e = w_e_ref[:]
-    w_m2 = w_m2_ref[:]
-    w_att = w_att_ref[0]
-    w_x1 = w_x1_ref[:]
-    w_x2 = w_x2_ref[0]
+    The JVP and VJP kernels apply ``jax.jvp`` / ``jax.vjp`` to this
+    function *inside* the kernel body — autodiff of pure jnp traces to
+    the same elementwise + matmul ops Mosaic compiles for the forward,
+    so the derived kernels stay VMEM-resident."""
+    b_t = a_i.shape[0]
+    (mask, _, _, _, _, _, _, _, _, _, messages, _, t2) = _forward_chain(
+        a_i, a_j, dist, mu, log_gammas, w_e, b1, w_m2, b_m2, w_att,
+        b_att, w_x1, b_x1, w_x2, n=n, feat=feat, r_cutoff=r_cutoff)
+    node_msg = jnp.sum(messages.reshape(b_t, n, n, feat), axis=2)
+    mag = (t2 * mask).reshape(b_t, n * n, 1)
+    return node_msg, mag
 
-    (mask, dist2d, emb, gauss, sw, pre, s_pre, m1, m_s, att, messages,
-     x1, t2) = _forward_chain(
-        a_i_ref[:], a_j_ref[:], dist_ref[:], mu, log_gammas, w_e,
-        b1_ref[0], w_m2, b_m2_ref[0], w_att, b_att_ref[0, 0], w_x1,
-        b_x1_ref[0], w_x2, n=n, feat=feat, r_cutoff=r_cutoff)
 
-    # Upstream cotangents.
-    g_nm = g_nm_ref[:]                                   # (B_t, N, F)
-    g_mag = g_mag_ref[:].reshape(p, 1)                   # (B_t, N, N)
+#: Positions (within one 14-argument group) stored as (1, k) rows in the
+#: kernel layout; position 10 (b_att) is a (1, 1) scalar.
+_ROW_POSITIONS = frozenset({3, 4, 6, 8, 9, 12, 13})
+_SCALAR_POSITION = 10
 
-    # mag = tanh(z2) * mask, z2 = x1 . w_x2
-    g_z2 = g_mag * mask * (1.0 - t2 * t2)
-    g_x1 = g_z2 * w_x2                                   # (P,1)*(F,) bcast
-    g_w_x2 = jnp.dot(g_z2.T, x1, preferred_element_type=dtype)   # (1, F)
 
-    # x1 = silu(z1), z1 = messages @ w_x1^T + b_x1
-    z1 = jnp.dot(messages, w_x1.T, preferred_element_type=dtype) \
-        + b_x1_ref[0]
-    g_z1 = g_x1 * _dsilu(z1)
-    g_messages = jnp.dot(g_z1, w_x1, preferred_element_type=dtype)
-    g_w_x1 = jnp.dot(g_z1.T, messages, preferred_element_type=dtype)
-    g_b_x1 = jnp.sum(g_z1, axis=0, keepdims=True)
+def _unpack_group(values):
+    """Kernel-layout (2D) values -> the shapes _pairwise_outputs expects."""
+    out = []
+    for idx, value in enumerate(values):
+        if idx % 14 in _ROW_POSITIONS:
+            out.append(value[0])
+        elif idx % 14 == _SCALAR_POSITION:
+            out.append(value[0, 0])
+        else:
+            out.append(value)
+    return tuple(out)
 
-    # node_msg = sum_j messages
-    g_messages = g_messages + jnp.broadcast_to(
-        g_nm[:, :, None, :], (b_t, n, n, feat)).reshape(p, feat)
 
-    # messages = m_s * att * mask
-    g_m_s = g_messages * att * mask
-    g_att = jnp.sum(g_messages * m_s * mask, axis=-1, keepdims=True)
+def _pack_group(grads):
+    """Inverse of :func:`_unpack_group` for gradient outputs."""
+    out = []
+    for idx, g in enumerate(grads):
+        if idx % 14 in _ROW_POSITIONS:
+            out.append(g.reshape(1, -1))
+        elif idx % 14 == _SCALAR_POSITION:
+            out.append(g.reshape(1, 1))
+        else:
+            out.append(g)
+    return out
 
-    # att = sigmoid(z_a), z_a = m_s . w_att + b_att
-    g_z_a = g_att * att * (1.0 - att)
-    g_m_s = g_m_s + g_z_a * w_att
-    g_w_att = jnp.dot(g_z_a.T, m_s, preferred_element_type=dtype)
-    g_b_att = jnp.sum(g_z_a).reshape(1, 1)
 
-    # m_s = silu(m1), m1 = s_pre @ w_m2^T + b_m2
-    g_m1 = g_m_s * _dsilu(m1)
-    g_s_pre = jnp.dot(g_m1, w_m2, preferred_element_type=dtype)
-    g_w_m2 = jnp.dot(g_m1.T, s_pre, preferred_element_type=dtype)
-    g_b_m2 = jnp.sum(g_m1, axis=0, keepdims=True)
+def _accumulate_outputs(outs, out_refs, n_tiled):
+    """Write per-tile grads directly; zero-init + accumulate the rest
+    (weight-shaped contributions summed across the batch-tile grid)."""
+    for ref, value in zip(out_refs[:n_tiled], outs[:n_tiled]):
+        ref[:] = value
 
-    # s_pre = silu(pre), pre = a_i + a_j + emb @ w_e^T + b1
-    g_pre = g_s_pre * _dsilu(pre)
-    g_pre4 = g_pre.reshape(b_t, n, n, feat)
-    g_a_i_out[:] = jnp.sum(g_pre4, axis=2)
-    g_a_j_out[:] = jnp.sum(g_pre4, axis=1)
-    g_emb = jnp.dot(g_pre, w_e, preferred_element_type=dtype)
-    g_w_e = jnp.dot(g_pre.T, emb, preferred_element_type=dtype)
-    g_b1 = jnp.sum(g_pre, axis=0, keepdims=True)
-
-    # emb = gauss * sw
-    gammas = jnp.exp(log_gammas)
-    disp = dist2d - mu                                    # (P, D)
-    g_gauss_sw = g_emb * gauss                            # common factor
-    g_mu = jnp.sum(g_gauss_sw * sw * 2.0 * gammas * disp, axis=0,
-                   keepdims=True)
-    g_lg = jnp.sum(g_gauss_sw * sw * (-(disp * disp) * gammas), axis=0,
-                   keepdims=True)
-    g_sw = jnp.sum(g_emb * gauss, axis=-1, keepdims=True)
-    dsw = jnp.where(dist2d > r_cutoff, 0.0,
-                    -(0.5 * jnp.pi / r_cutoff)
-                    * jnp.sin(jnp.pi / r_cutoff * dist2d))
-    g_dist2d = (jnp.sum(g_gauss_sw * sw * (-2.0 * gammas * disp),
-                        axis=-1, keepdims=True) + g_sw * dsw)
-    g_dist_out[:] = g_dist2d.reshape(b_t, n, n)
-
-    # Weight gradients accumulate across the batch-tile grid.
     @pl.when(pl.program_id(0) == 0)
     def _init():
-        g_mu_out[:] = jnp.zeros_like(g_mu_out)
-        g_lg_out[:] = jnp.zeros_like(g_lg_out)
-        g_w_e_out[:] = jnp.zeros_like(g_w_e_out)
-        g_b1_out[:] = jnp.zeros_like(g_b1_out)
-        g_w_m2_out[:] = jnp.zeros_like(g_w_m2_out)
-        g_b_m2_out[:] = jnp.zeros_like(g_b_m2_out)
-        g_w_att_out[:] = jnp.zeros_like(g_w_att_out)
-        g_b_att_out[:] = jnp.zeros_like(g_b_att_out)
-        g_w_x1_out[:] = jnp.zeros_like(g_w_x1_out)
-        g_b_x1_out[:] = jnp.zeros_like(g_b_x1_out)
-        g_w_x2_out[:] = jnp.zeros_like(g_w_x2_out)
+        for ref in out_refs[n_tiled:]:
+            ref[:] = jnp.zeros_like(ref)
 
-    g_mu_out[:] += g_mu
-    g_lg_out[:] += g_lg
-    g_w_e_out[:] += g_w_e
-    g_b1_out[:] += g_b1
-    g_w_m2_out[:] += g_w_m2
-    g_b_m2_out[:] += g_b_m2
-    g_w_att_out[:] += g_w_att
-    g_b_att_out[:] += g_b_att
-    g_w_x1_out[:] += g_w_x1
-    g_b_x1_out[:] += g_b_x1
-    g_w_x2_out[:] += g_w_x2
+    for ref, value in zip(out_refs[n_tiled:], outs[n_tiled:]):
+        ref[:] += value
 
 
-def _specs(batch, block_b, n, feat, d_feat, with_cotangents):
-    """(in_specs, out-shapes builder helpers) shared by both kernels."""
-    def tile3(width):
-        return pl.BlockSpec((block_b, n, width), lambda i: (i, 0, 0),
-                            memory_space=pltpu.VMEM)
+def _jvp_kernel(*refs, n, feat, r_cutoff):
+    """(primal, tangent) of the pairwise block in one fused pass."""
+    vals = _unpack_group([ref[:] for ref in refs[:28]])
+    out_refs = refs[28:]
 
-    def full(shape):
-        ndim = len(shape)
-        return pl.BlockSpec(shape, lambda i: (0,) * ndim,
-                            memory_space=pltpu.VMEM)
+    def fn(*args):
+        return _pairwise_outputs(*args, n=n, feat=feat, r_cutoff=r_cutoff)
 
-    in_specs = [
-        tile3(feat), tile3(feat), tile3(n),            # a_i, a_j, dist
-        full((1, d_feat)), full((1, d_feat)),          # mu, log_gammas
-        full((feat, d_feat)), full((1, feat)),         # w_e, b1
-        full((feat, feat)), full((1, feat)),           # w_m2, b_m2
-        full((1, feat)), full((1, 1)),                 # w_att, b_att
-        full((feat, feat)), full((1, feat)),           # w_x1, b_x1
-        full((1, feat)),                               # w_x2
-    ]
-    if with_cotangents:
-        in_specs += [tile3(feat), tile3(n)]            # g_nm, g_mag
-    return in_specs, tile3, full
+    (nm, mag), (dnm, dmag) = jax.jvp(fn, vals[:14], vals[14:])
+    out_refs[0][:] = nm
+    out_refs[1][:] = mag
+    out_refs[2][:] = dnm
+    out_refs[3][:] = dmag
 
 
-def _as_row(x):
-    return jnp.asarray(x).reshape(1, -1)
+def _jvp_bwd_kernel(*refs, n, feat, r_cutoff):
+    """VJP of the JVP pass, derived by in-kernel autodiff.
+
+    Inputs: 28 primal refs (14 args + 14 tangents), 4 cotangent refs
+    (on nm, mag, dnm, dmag). Outputs: 28 grads — the 6 per-pair ones
+    (a_i, a_j, dist and their tangents) written per tile, the 22
+    weight-shaped ones accumulated across the grid."""
+    vals = _unpack_group([ref[:] for ref in refs[:28]])
+    cots = tuple(ref[:] for ref in refs[28:32])
+    out_refs = refs[32:]
+
+    def jvp_fn(*args):
+        def fn(*a):
+            return _pairwise_outputs(*a, n=n, feat=feat,
+                                     r_cutoff=r_cutoff)
+        (nm, mag), (dnm, dmag) = jax.jvp(fn, args[:14], args[14:])
+        return nm, mag, dnm, dmag
+
+    _, vjp_fn = jax.vjp(jvp_fn, *vals)
+    grads = _pack_group(vjp_fn(cots))
+
+    tiled = [grads[0], grads[1], grads[2], grads[14], grads[15], grads[16]]
+    accumulated = grads[3:14] + grads[17:28]
+    _accumulate_outputs(tuple(tiled + accumulated), out_refs, 6)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15, 16, 17))
+def _weight_specs_shapes(feat, d_feat, dtype, full):
+    """(specs, shapes) for one group's 11 weight-layout tensors."""
+    layouts = [(1, d_feat), (1, d_feat), (feat, d_feat), (1, feat),
+               (feat, feat), (1, feat), (1, feat), (1, 1),
+               (feat, feat), (1, feat), (1, feat)]
+    specs = tuple(full(shape) for shape in layouts)
+    shapes = tuple(jax.ShapeDtypeStruct(shape, dtype) for shape in layouts)
+    return specs, shapes
+
+
+def _pack_args(args, n):
+    """Map user-facing arg shapes to the kernel layouts (free XLA
+    reshapes: a_i -> (B,N,1,F), a_j -> (B,1,N,F), dist -> (B,N*N,1),
+    row params -> (1,k))."""
+    packed = []
+    for idx, value in enumerate(args):
+        pos = idx % 14
+        if pos == 0:
+            packed.append(value[:, :, None, :])
+        elif pos == 1:
+            packed.append(value[:, None, :, :])
+        elif pos == 2:
+            packed.append(value.reshape(value.shape[0], n * n, 1))
+        elif pos in _ROW_POSITIONS or pos == _SCALAR_POSITION:
+            packed.append(_as_row(value))
+        else:
+            packed.append(value)
+    return packed
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(28, 29, 30, 31))
+def _jvp_op(*args):
+    """Fused (primal, tangent) op: 14 primals + 14 tangents in, the 4
+    outputs (nm, mag, dnm, dmag) out. custom_vjp (first order), which is
+    all the CNF training loss needs once the trace probe has been
+    expanded by the jvp rule."""
+    arrays, (n, feat, r_cutoff, block_b) = args[:28], args[28:]
+    a_i = arrays[0]
+    batch = a_i.shape[0]
+    # The dual (value, tangent) chain doubles the live VMEM set vs the
+    # plain forward; halve the batch tile.
+    block_b = max(1, min(block_b, batch) // 2)
+    d_feat = arrays[5].shape[1]
+    grid = (pl.cdiv(batch, block_b),)
+    in_specs, tile3, full, pair1, _ = _specs(batch, block_b, n, feat,
+                                             d_feat, False)
+    w_specs, _ = _weight_specs_shapes(feat, d_feat, a_i.dtype, full)
+    group = [in_specs[0], in_specs[1], in_specs[2], *w_specs]
+    dtype = a_i.dtype
+
+    kernel = functools.partial(_jvp_kernel, n=n, feat=feat,
+                               r_cutoff=r_cutoff)
+    nm, mag, dnm, dmag = pl.pallas_call(
+        kernel, grid=grid,
+        in_specs=group + group,
+        out_specs=(tile3(feat), pair1(), tile3(feat), pair1()),
+        out_shape=(jax.ShapeDtypeStruct((batch, n, feat), dtype),
+                   jax.ShapeDtypeStruct((batch, n * n, 1), dtype),
+                   jax.ShapeDtypeStruct((batch, n, feat), dtype),
+                   jax.ShapeDtypeStruct((batch, n * n, 1), dtype)),
+        compiler_params=_compiler_params(),
+        interpret=INTERPRET,
+    )(*_pack_args(arrays, n))
+    return nm, mag.reshape(batch, n, n), dnm, dmag.reshape(batch, n, n)
+
+
+def _jvp_op_fwd(*args):
+    arrays = args[:28]
+    return _jvp_op(*args), arrays
+
+
+def _jvp_op_bwd(n, feat, r_cutoff, block_b, residuals, cotangents):
+    arrays = residuals
+    a_i = arrays[0]
+    batch = a_i.shape[0]
+    # The second-order pass holds roughly four dual chains in VMEM;
+    # shrink the tile accordingly.
+    block_b = max(1, min(block_b, batch) // 8)
+    d_feat = arrays[5].shape[1]
+    grid = (pl.cdiv(batch, block_b),)
+    in_specs, tile3, full, pair1, node4 = _specs(batch, block_b, n, feat,
+                                                 d_feat, False)
+    w_specs, w_shapes = _weight_specs_shapes(feat, d_feat, a_i.dtype, full)
+    group = [in_specs[0], in_specs[1], in_specs[2], *w_specs]
+    dtype = a_i.dtype
+
+    # Per-pair grads come back in the kernel layouts (node4/pair1).
+    tiled_specs = (node4(2), node4(1), pair1(),
+                   node4(2), node4(1), pair1())
+    tiled_shapes = (
+        jax.ShapeDtypeStruct((batch, n, 1, feat), dtype),
+        jax.ShapeDtypeStruct((batch, 1, n, feat), dtype),
+        jax.ShapeDtypeStruct((batch, n * n, 1), dtype),
+        jax.ShapeDtypeStruct((batch, n, 1, feat), dtype),
+        jax.ShapeDtypeStruct((batch, 1, n, feat), dtype),
+        jax.ShapeDtypeStruct((batch, n * n, 1), dtype),
+    )
+    cot_specs = [tile3(feat), pair1(), tile3(feat), pair1()]
+    g_nm, g_mag, g_dnm, g_dmag = cotangents
+    cots = (g_nm, g_mag.reshape(batch, n * n, 1),
+            g_dnm, g_dmag.reshape(batch, n * n, 1))
+
+    kernel = functools.partial(_jvp_bwd_kernel, n=n, feat=feat,
+                               r_cutoff=r_cutoff)
+    outs = pl.pallas_call(
+        kernel, grid=grid,
+        in_specs=group + group + cot_specs,
+        out_specs=tiled_specs + w_specs + w_specs,
+        out_shape=tiled_shapes + w_shapes + w_shapes,
+        compiler_params=_compiler_params(),
+        interpret=INTERPRET,
+    )(*_pack_args(arrays, n), *cots)
+
+    # Reorder back to argument order and restore original shapes.
+    tiled = outs[:6]
+    weights_p = outs[6:17]
+    weights_t = outs[17:28]
+    flat = ([tiled[0], tiled[1], tiled[2], *weights_p,
+             tiled[3], tiled[4], tiled[5], *weights_t])
+    return tuple(g.reshape(arg.shape)
+                 for g, arg in zip(flat, arrays))
+
+
+_jvp_op.defvjp(_jvp_op_fwd, _jvp_op_bwd)
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(14, 15, 16, 17))
 def fused_egnn_pairwise(a_i, a_j, dist, mu, log_gammas, w_e, b1, w_m2,
                         b_m2, w_att, b_att, w_x1, b_x1, w_x2,
                         n, feat, r_cutoff, block_b=DEFAULT_BLOCK_B):
     """Fused EGNN pairwise message block.
+
+    Differentiation contract: the op is a :func:`jax.custom_jvp` whose
+    rule expands a forward-mode probe into two first-order
+    ``custom_vjp`` kernel ops — exactly the pattern the CNF uses
+    (``jax.jvp`` for the Hutchinson trace, then one reverse pass for
+    training). Plain ``jax.grad`` *without* an enclosing ``jvp`` is not
+    supported (reverse-on-primal would require transposing the opaque
+    tangent kernel); call ``jax.jvp`` with zero tangents if you need
+    value+grad of the primal alone.
 
     Parameters
     ----------
@@ -279,13 +377,12 @@ def fused_egnn_pairwise(a_i, a_j, dist, mu, log_gammas, w_e, b1, w_m2,
     dist : jax.Array
         Safe pairwise distances (diagonal = 1), shape ``(batch, n, n)``.
     mu, log_gammas : jax.Array
-        Radial-expansion means / log inverse variances, shape
-        ``(d_feat,)``.
-    w_e : jax.Array
-        Embedding block of the message MLP's first weight, ``(feat,
-        d_feat)``.
-    b1, w_m2, b_m2 : jax.Array
-        First-layer bias; second message-MLP layer ``(feat, feat)`` + bias.
+        Radial-expansion means / log inverse variances, ``(d_feat,)``.
+    w_e, b1 : jax.Array
+        Embedding block ``(feat, d_feat)`` of the message MLP's first
+        weight and its bias.
+    w_m2, b_m2 : jax.Array
+        Second message-MLP layer ``(feat, feat)`` + bias.
     w_att, b_att : jax.Array
         Attention head: ``(feat,)`` weight row and scalar bias.
     w_x1, b_x1, w_x2 : jax.Array
@@ -312,6 +409,57 @@ def fused_egnn_pairwise(a_i, a_j, dist, mu, log_gammas, w_e, b1, w_m2,
                      block_b)
 
 
+@fused_egnn_pairwise.defjvp
+def _fused_jvp_rule(n, feat, r_cutoff, block_b, primals, tangents):
+    outs = _jvp_op(*primals, *tangents, n, feat, r_cutoff, block_b)
+    nm, mag, dnm, dmag = outs
+    return (nm, mag), (dnm, dmag)
+
+
+def _specs(batch, block_b, n, feat, d_feat, with_cotangents):
+    """(in_specs for the 14-arg group, spec builders).
+
+    Layout rule (see _forward_chain): a_i arrives as (B, N, 1, F), a_j
+    as (B, 1, N, F), dist/mag as (B, N*N, 1) — the lane dim of every
+    tensor survives all in-kernel reshapes.
+    """
+    def tile3(width):
+        return pl.BlockSpec((block_b, n, width), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def pair1():
+        return pl.BlockSpec((block_b, n * n, 1), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def node4(expand_axis):
+        shape = ((block_b, n, 1, feat) if expand_axis == 2
+                 else (block_b, 1, n, feat))
+        return pl.BlockSpec(shape, lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def full(shape):
+        ndim = len(shape)
+        return pl.BlockSpec(shape, lambda i: (0,) * ndim,
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [
+        node4(2), node4(1), pair1(),                   # a_i, a_j, dist
+        full((1, d_feat)), full((1, d_feat)),          # mu, log_gammas
+        full((feat, d_feat)), full((1, feat)),         # w_e, b1
+        full((feat, feat)), full((1, feat)),           # w_m2, b_m2
+        full((1, feat)), full((1, 1)),                 # w_att, b_att
+        full((feat, feat)), full((1, feat)),           # w_x1, b_x1
+        full((1, feat)),                               # w_x2
+    ]
+    if with_cotangents:
+        in_specs += [tile3(feat), pair1()]             # g_nm, g_mag
+    return in_specs, tile3, full, pair1, node4
+
+
+def _as_row(x):
+    return jnp.asarray(x).reshape(1, -1)
+
+
 def _compiler_params():
     if INTERPRET:
         return None
@@ -324,91 +472,19 @@ def _fwd_impl(a_i, a_j, dist, mu, log_gammas, w_e, b1, w_m2, b_m2, w_att,
     block_b = min(block_b, batch)
     d_feat = w_e.shape[1]
     grid = (pl.cdiv(batch, block_b),)
-    in_specs, tile3, _ = _specs(batch, block_b, n, feat, d_feat, False)
+    in_specs, tile3, _, pair1, _ = _specs(batch, block_b, n, feat,
+                                          d_feat, False)
 
     kernel = functools.partial(_forward_kernel, n=n, feat=feat,
                                r_cutoff=r_cutoff)
     node_msg, mag = pl.pallas_call(
         kernel, grid=grid,
         in_specs=in_specs,
-        out_specs=(tile3(feat), tile3(n)),
+        out_specs=(tile3(feat), pair1()),
         out_shape=(jax.ShapeDtypeStruct((batch, n, feat), a_i.dtype),
-                   jax.ShapeDtypeStruct((batch, n, n), a_i.dtype)),
+                   jax.ShapeDtypeStruct((batch, n * n, 1), a_i.dtype)),
         compiler_params=_compiler_params(),
         interpret=INTERPRET,
-    )(a_i, a_j, dist, _as_row(mu), _as_row(log_gammas), w_e, _as_row(b1),
-      w_m2, _as_row(b_m2), _as_row(w_att), _as_row(b_att), w_x1,
-      _as_row(b_x1), _as_row(w_x2))
-    return node_msg, mag
-
-
-def _fwd_rule(a_i, a_j, dist, mu, log_gammas, w_e, b1, w_m2, b_m2, w_att,
-              b_att, w_x1, b_x1, w_x2, n, feat, r_cutoff, block_b):
-    out = _fwd_impl(a_i, a_j, dist, mu, log_gammas, w_e, b1, w_m2, b_m2,
-                    w_att, b_att, w_x1, b_x1, w_x2, n, feat, r_cutoff,
-                    block_b)
-    residuals = (a_i, a_j, dist, mu, log_gammas, w_e, b1, w_m2, b_m2,
-                 w_att, b_att, w_x1, b_x1, w_x2)
-    return out, residuals
-
-
-def _bwd_rule(n, feat, r_cutoff, block_b, residuals, cotangents):
-    (a_i, a_j, dist, mu, log_gammas, w_e, b1, w_m2, b_m2, w_att, b_att,
-     w_x1, b_x1, w_x2) = residuals
-    g_nm, g_mag = cotangents
-    batch = a_i.shape[0]
-    block_b = min(block_b, batch)
-    d_feat = w_e.shape[1]
-    grid = (pl.cdiv(batch, block_b),)
-    in_specs, tile3, full = _specs(batch, block_b, n, feat, d_feat, True)
-
-    dtype = a_i.dtype
-    out_specs = (
-        tile3(feat), tile3(feat), tile3(n),
-        full((1, d_feat)), full((1, d_feat)),
-        full((feat, d_feat)), full((1, feat)),
-        full((feat, feat)), full((1, feat)),
-        full((1, feat)), full((1, 1)),
-        full((feat, feat)), full((1, feat)),
-        full((1, feat)),
-    )
-    out_shape = (
-        jax.ShapeDtypeStruct((batch, n, feat), dtype),
-        jax.ShapeDtypeStruct((batch, n, feat), dtype),
-        jax.ShapeDtypeStruct((batch, n, n), dtype),
-        jax.ShapeDtypeStruct((1, d_feat), dtype),
-        jax.ShapeDtypeStruct((1, d_feat), dtype),
-        jax.ShapeDtypeStruct((feat, d_feat), dtype),
-        jax.ShapeDtypeStruct((1, feat), dtype),
-        jax.ShapeDtypeStruct((feat, feat), dtype),
-        jax.ShapeDtypeStruct((1, feat), dtype),
-        jax.ShapeDtypeStruct((1, feat), dtype),
-        jax.ShapeDtypeStruct((1, 1), dtype),
-        jax.ShapeDtypeStruct((feat, feat), dtype),
-        jax.ShapeDtypeStruct((1, feat), dtype),
-        jax.ShapeDtypeStruct((1, feat), dtype),
-    )
-    kernel = functools.partial(_backward_kernel, n=n, feat=feat,
-                               r_cutoff=r_cutoff)
-    outs = pl.pallas_call(
-        kernel, grid=grid,
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        compiler_params=_compiler_params(),
-        interpret=INTERPRET,
-    )(a_i, a_j, dist, _as_row(mu), _as_row(log_gammas), w_e, _as_row(b1),
-      w_m2, _as_row(b_m2), _as_row(w_att), _as_row(b_att), w_x1,
-      _as_row(b_x1), _as_row(w_x2), g_nm, g_mag)
-
-    (g_a_i, g_a_j, g_dist, g_mu, g_lg, g_w_e, g_b1, g_w_m2, g_b_m2,
-     g_w_att, g_b_att, g_w_x1, g_b_x1, g_w_x2) = outs
-    return (g_a_i, g_a_j, g_dist,
-            g_mu.reshape(mu.shape), g_lg.reshape(log_gammas.shape),
-            g_w_e, g_b1.reshape(b1.shape), g_w_m2,
-            g_b_m2.reshape(b_m2.shape), g_w_att.reshape(w_att.shape),
-            g_b_att.reshape(b_att.shape), g_w_x1,
-            g_b_x1.reshape(b_x1.shape), g_w_x2.reshape(w_x2.shape))
-
-
-fused_egnn_pairwise.defvjp(_fwd_rule, _bwd_rule)
+    )(*_pack_args([a_i, a_j, dist, mu, log_gammas, w_e, b1, w_m2, b_m2,
+                   w_att, b_att, w_x1, b_x1, w_x2], n))
+    return node_msg, mag.reshape(batch, n, n)
