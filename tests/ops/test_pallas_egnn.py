@@ -213,6 +213,32 @@ def test_cnf_training_grads_pallas_matches_xla():
         np.testing.assert_allclose(g_p, g_x, rtol=2e-5, atol=1e-8)
 
 
+def test_non_dividing_batch():
+    """Odd batch sizes: tiles must divide the batch or padded garbage
+    rows would pollute the grid-accumulated weight gradients."""
+    p = _params(jax.random.key(30))
+    a_i, a_j, dist = _inputs(jax.random.key(31))
+    a_i, a_j, dist = a_i[:3], a_j[:3], dist[:3]     # batch 3, block_b 2
+    e_i = jax.random.normal(jax.random.key(32), a_i.shape)
+
+    def trace_like(fn):
+        def wrapped(p):
+            zp = jax.tree_util.tree_map(jnp.zeros_like, p)
+            (nm, mag), (dnm, dmag) = jax.jvp(
+                lambda q: fn(a_i, a_j, dist, q), (p,), (zp,))
+            _, (dnm2, _) = jax.jvp(
+                lambda x: fn(x, a_j, dist, p), (a_i,), (e_i,))
+            return jnp.sum(nm ** 2) + jnp.sum(mag) + jnp.sum(dnm2 ** 2)
+        return wrapped
+
+    val_f, grads_f = jax.value_and_grad(trace_like(_fused))(p)
+    val_r, grads_r = jax.value_and_grad(trace_like(reference))(p)
+    np.testing.assert_allclose(val_f, val_r, rtol=1e-6)
+    for name in grads_r:
+        np.testing.assert_allclose(grads_f[name], grads_r[name],
+                                   rtol=1e-5, atol=1e-8, err_msg=name)
+
+
 def test_mirror_matches_real_layer():
     """The test mirror (and hence the kernel) computes exactly the
     _EGLayer quantities it replaces."""

@@ -12,11 +12,19 @@ per-pair tensor in VMEM for one batch tile: HBM I/O reduces to the
 ``(batch, n, feat)`` inputs/outputs plus the small ``(batch, n, n)``
 distance/magnitude planes.
 
-The backward pass is a second kernel that recomputes the forward chain per
-tile and applies hand-derived analytic gradients (including the radial
-expansion's trainable widths), accumulating weight gradients across grid
-steps. Semantics match ``_EGLayer.__call__``'s XLA formulation exactly
-(verified against autodiff in tests/ops/test_pallas_egnn.py).
+Differentiation architecture: ``jax.custom_vjp`` is first-order only, but
+the CNF needs the Hutchinson-probe pattern (``jax.jvp`` through the
+dynamics, then one reverse pass for training). The op is therefore a
+``jax.custom_jvp`` whose rule expands every probe into two *first-order*
+``custom_vjp`` kernel ops — a fused (primal, tangent) JVP kernel and its
+VJP kernel — each derived by applying ``jax.jvp``/``jax.vjp`` to the pure
+forward chain *inside* the kernel body (in-kernel autodiff traces to the
+same elementwise + matmul ops Mosaic compiles anyway). Weight gradients
+accumulate across the batch-tile grid, so tiles must divide the batch
+(``_dividing_tile``). Mosaic rejects lane-changing reshapes, hence the
+layout rule documented on ``_forward_chain``. Semantics match
+``_EGLayer.__call__``'s XLA formulation exactly (values and training
+gradients verified against autodiff in tests/ops/test_pallas_egnn.py).
 
 Inputs are the *factored* per-node message-MLP terms ``a_i = h W_i^T`` and
 ``a_j = h W_j^T`` (computed in XLA — they are cheap per-node matmuls), the
@@ -269,7 +277,7 @@ def _jvp_op(*args):
     batch = a_i.shape[0]
     # The dual (value, tangent) chain doubles the live VMEM set vs the
     # plain forward; halve the batch tile.
-    block_b = max(1, min(block_b, batch) // 2)
+    block_b = _dividing_tile(batch, max(1, block_b // 2))
     d_feat = arrays[5].shape[1]
     grid = (pl.cdiv(batch, block_b),)
     in_specs, tile3, full, pair1, _ = _specs(batch, block_b, n, feat,
@@ -305,7 +313,7 @@ def _jvp_op_bwd(n, feat, r_cutoff, block_b, residuals, cotangents):
     batch = a_i.shape[0]
     # The second-order pass holds roughly four dual chains in VMEM;
     # shrink the tile accordingly.
-    block_b = max(1, min(block_b, batch) // 8)
+    block_b = _dividing_tile(batch, max(1, block_b // 8))
     d_feat = arrays[5].shape[1]
     grid = (pl.cdiv(batch, block_b),)
     in_specs, tile3, full, pair1, node4 = _specs(batch, block_b, n, feat,
@@ -460,6 +468,20 @@ def _as_row(x):
     return jnp.asarray(x).reshape(1, -1)
 
 
+def _dividing_tile(batch: int, want: int) -> int:
+    """Largest tile <= want that divides batch exactly.
+
+    Partial trailing blocks are padded by Pallas with undefined rows;
+    harmless for per-tile outputs (clipped on copy-back) but fatal for
+    the weight gradients accumulated across the grid — so tiles must
+    divide the batch.
+    """
+    want = max(1, min(want, batch))
+    while batch % want:
+        want -= 1
+    return want
+
+
 def _compiler_params():
     if INTERPRET:
         return None
@@ -469,7 +491,7 @@ def _compiler_params():
 def _fwd_impl(a_i, a_j, dist, mu, log_gammas, w_e, b1, w_m2, b_m2, w_att,
               b_att, w_x1, b_x1, w_x2, n, feat, r_cutoff, block_b):
     batch = a_i.shape[0]
-    block_b = min(block_b, batch)
+    block_b = _dividing_tile(batch, block_b)
     d_feat = w_e.shape[1]
     grid = (pl.cdiv(batch, block_b),)
     in_specs, tile3, _, pair1, _ = _specs(batch, block_b, n, feat,
