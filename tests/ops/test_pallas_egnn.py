@@ -239,6 +239,26 @@ def test_non_dividing_batch():
                                    rtol=1e-5, atol=1e-8, err_msg=name)
 
 
+def test_unsupported_combinations_raise():
+    """pallas mode rejects options it would otherwise silently ignore or
+    crash on deep inside a scan."""
+    from tfep_tpu.nn.dynamics import EGNNDynamics
+    from tfep_tpu.nn.flows import ContinuousFlow
+
+    with pytest.raises(ValueError, match='compute_dtype'):
+        EGNNDynamics.create(jax.random.key(0), node_types=[0, 1],
+                            r_cutoff=R_CUTOFF, pairwise='pallas',
+                            compute_dtype='bfloat16')
+
+    dynamics = EGNNDynamics.create(jax.random.key(0), node_types=[0, 1],
+                                   r_cutoff=R_CUTOFF, pairwise='pallas')
+    with pytest.raises(ValueError, match='pallas'):
+        ContinuousFlow.create(dynamics, trace_estimator='exact')
+    with pytest.raises(ValueError, match='pallas'):
+        ContinuousFlow.create(dynamics, n_hutchinson_samples=4)
+    ContinuousFlow.create(dynamics)  # the supported configuration
+
+
 def test_mirror_matches_real_layer():
     """The test mirror (and hence the kernel) computes exactly the
     _EGLayer quantities it replaces."""

@@ -160,6 +160,21 @@ class Trainer:
         step_fn = self._build_step_fn(tfep_map)
         pending_log = None  # (aux, epoch_idx, batch_idx) of the prior step.
 
+        try:
+            flow, opt_state, pending_log = self._fit_loop(
+                tfep_map, sampler, flow, opt_state, n_batches, step_fn,
+                pending_log)
+        finally:
+            self._stop_profiler()
+
+        if pending_log is not None:
+            self._consume_aux(tfep_map, *pending_log)
+
+        tfep_map.flow = flow
+        return flow
+
+    def _fit_loop(self, tfep_map, sampler, flow, opt_state, n_batches,
+                  step_fn, pending_log):
         stop = False
         while not stop:
             if self.max_epochs is not None and \
@@ -197,12 +212,7 @@ class Trainer:
                 continue
             break
 
-        if pending_log is not None:
-            self._consume_aux(tfep_map, *pending_log)
-        self._stop_profiler()
-
-        tfep_map.flow = flow
-        return flow
+        return flow, opt_state, pending_log
 
     # ------------------------------------------------------------------ #
     # Profiler hooks: capture an XPlane trace (+ synced per-step wall

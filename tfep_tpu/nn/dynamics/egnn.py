@@ -104,6 +104,11 @@ class _EGLayer(Module):
                compute_dtype=None, pairwise='xla'):
         if pairwise not in ('xla', 'pallas'):
             raise ValueError("pairwise must be 'xla' or 'pallas'.")
+        if pairwise == 'pallas' and compute_dtype is not None:
+            raise ValueError(
+                "pairwise='pallas' does not support compute_dtype: the "
+                'fused kernel runs in the storage dtype. Drop one of the '
+                'two options.')
         k1, k2, k3, k4 = jax.random.split(key, 4)
         layer = cls(
             distance_embedding=BehlerParrinelloRadialExpansion.from_range(

@@ -92,6 +92,18 @@ class ContinuousFlow(Flow):
         if trace_estimator not in ('exact', 'hutchinson'):
             raise ValueError(
                 "trace_estimator must be 'exact' or 'hutchinson'.")
+        # Pallas-backed dynamics cannot be vmapped (no batching rule for
+        # pallas calls): only the single-probe Hutchinson path avoids
+        # vmap. Fail here with a clear message instead of deep in a scan.
+        uses_pallas = any(
+            getattr(layer, 'pairwise', 'xla') == 'pallas'
+            for layer in getattr(dynamics, 'graph_layers', ()))
+        if uses_pallas and (trace_estimator == 'exact'
+                            or n_hutchinson_samples != 1):
+            raise ValueError(
+                "Dynamics with pairwise='pallas' support only "
+                "trace_estimator='hutchinson' with n_hutchinson_samples="
+                '1 (probe batching would vmap the fused kernel).')
         return cls(dynamics=dynamics,
                    hutchinson_key=jax.random.key_data(jax.random.key(seed)),
                    trace_estimator=trace_estimator, solver=solver,
@@ -162,21 +174,25 @@ class ContinuousFlow(Flow):
                 # trace = sum_i (J e_i)_i.
                 trace = jnp.einsum('ibi->b', jvs)
                 frobenius = jnp.sum(jvs ** 2, axis=(0, 2))
+            elif self.n_hutchinson_samples == 1:
+                # Single probe (the default) without vmap: Pallas-backed
+                # dynamics expand the jvp into first-order kernel ops via
+                # their custom_jvp rule, and pallas calls have no vmap
+                # batching rule.
+                vel, jv = jax.jvp(vel_fn, (xt,), (eps[0],))
+                # E[e . J e].
+                trace = jnp.sum(eps[0] * jv, axis=-1)
+                frobenius = jnp.sum(jv ** 2, axis=-1)
             else:
-                # A static Python loop over the (few, default 1) probes
-                # instead of vmap: the fused Pallas EGNN dynamics expands
-                # each jvp into first-order kernel ops via its custom_jvp
-                # rule, and pallas calls have no vmap batching rule.
-                vel = None
-                trace = jnp.zeros(xt.shape[0], dtype=xt.dtype)
-                frobenius = jnp.zeros(xt.shape[0], dtype=xt.dtype)
-                for k in range(self.n_hutchinson_samples):
-                    vel, jv = jax.jvp(vel_fn, (xt,), (eps[k],))
-                    # E[e . J e] over probes.
-                    trace = trace + jnp.sum(eps[k] * jv, axis=-1)
-                    frobenius = frobenius + jnp.sum(jv ** 2, axis=-1)
-                trace = trace / self.n_hutchinson_samples
-                frobenius = frobenius / self.n_hutchinson_samples
+                # Multiple probes: batch them with vmap (XLA dynamics
+                # only — see the pallas check in create()).
+                def jvp_eps(e):
+                    return jax.jvp(vel_fn, (xt,), (e,))
+
+                vels, jvs = jax.vmap(jvp_eps)(eps)
+                vel = vels[0]
+                trace = jnp.mean(jnp.sum(eps * jvs, axis=-1), axis=0)
+                frobenius = jnp.mean(jnp.sum(jvs ** 2, axis=-1), axis=0)
 
             if inverse:
                 vel = -vel

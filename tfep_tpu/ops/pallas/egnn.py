@@ -56,11 +56,6 @@ def _silu(x):
     return x * jax.nn.sigmoid(x)
 
 
-def _dsilu(x):
-    s = jax.nn.sigmoid(x)
-    return s * (1.0 + x * (1.0 - s))
-
-
 def _radial(dist, mu, log_gammas, r_cutoff):
     """BP radial expansion pieces for (P, 1) distances.
 
@@ -281,7 +276,7 @@ def _jvp_op(*args):
     d_feat = arrays[5].shape[1]
     grid = (pl.cdiv(batch, block_b),)
     in_specs, tile3, full, pair1, _ = _specs(batch, block_b, n, feat,
-                                             d_feat, False)
+                                             d_feat)
     w_specs, _ = _weight_specs_shapes(feat, d_feat, a_i.dtype, full)
     group = [in_specs[0], in_specs[1], in_specs[2], *w_specs]
     dtype = a_i.dtype
@@ -317,7 +312,7 @@ def _jvp_op_bwd(n, feat, r_cutoff, block_b, residuals, cotangents):
     d_feat = arrays[5].shape[1]
     grid = (pl.cdiv(batch, block_b),)
     in_specs, tile3, full, pair1, node4 = _specs(batch, block_b, n, feat,
-                                                 d_feat, False)
+                                                 d_feat)
     w_specs, w_shapes = _weight_specs_shapes(feat, d_feat, a_i.dtype, full)
     group = [in_specs[0], in_specs[1], in_specs[2], *w_specs]
     dtype = a_i.dtype
@@ -424,7 +419,7 @@ def _fused_jvp_rule(n, feat, r_cutoff, block_b, primals, tangents):
     return (nm, mag), (dnm, dmag)
 
 
-def _specs(batch, block_b, n, feat, d_feat, with_cotangents):
+def _specs(batch, block_b, n, feat, d_feat):
     """(in_specs for the 14-arg group, spec builders).
 
     Layout rule (see _forward_chain): a_i arrives as (B, N, 1, F), a_j
@@ -459,8 +454,6 @@ def _specs(batch, block_b, n, feat, d_feat, with_cotangents):
         full((feat, feat)), full((1, feat)),           # w_x1, b_x1
         full((1, feat)),                               # w_x2
     ]
-    if with_cotangents:
-        in_specs += [tile3(feat), pair1()]             # g_nm, g_mag
     return in_specs, tile3, full, pair1, node4
 
 
@@ -495,7 +488,7 @@ def _fwd_impl(a_i, a_j, dist, mu, log_gammas, w_e, b1, w_m2, b_m2, w_att,
     d_feat = w_e.shape[1]
     grid = (pl.cdiv(batch, block_b),)
     in_specs, tile3, _, pair1, _ = _specs(batch, block_b, n, feat,
-                                          d_feat, False)
+                                          d_feat)
 
     kernel = functools.partial(_forward_kernel, n=n, feat=feat,
                                r_cutoff=r_cutoff)
