@@ -226,3 +226,142 @@ def test_weak_scaling_smoke():
     for record in records:
         assert record['frames_per_s'] > 0
         assert record['virtual_devices'] is True
+
+
+# =============================================================================
+# Tensor parallelism over MADE conditioners
+# =============================================================================
+
+def _make_spline_maf(key, dim=24, n_layers=2, hidden_layers=(96, 96)):
+    from tfep_tpu.nn.conditioners.made import generate_degrees
+    from tfep_tpu.nn.flows import MAF, SequentialFlow
+    from tfep_tpu.nn.transformers import NeuralSplineTransformer
+
+    keys = jax.random.split(key, n_layers)
+    layers = []
+    for i in range(n_layers):
+        transformer = NeuralSplineTransformer.create(
+            x0=-3.0 * jnp.ones(dim, jnp.float32),
+            xf=3.0 * jnp.ones(dim, jnp.float32), n_bins=4)
+        layers.append(MAF.create(
+            keys[i],
+            generate_degrees(dim, order='ascending' if i % 2 == 0
+                             else 'descending'),
+            transformer=transformer, dtype=jnp.float32,
+            hidden_layers=list(hidden_layers)))
+    return SequentialFlow.create(*layers)
+
+
+def _train_losses(flow, x, n_steps=3):
+    import optax
+
+    from tfep_tpu.nn.module import (
+        apply_updates, filter_value_and_grad, partition,
+    )
+
+    optimizer = optax.adamw(1e-3)
+
+    @jax.jit
+    def train_step(flow, opt_state, x):
+        def loss_fn(f):
+            y, ldj = f.forward(x)
+            return jnp.mean(0.5 * jnp.sum(y ** 2, axis=-1) - ldj)
+
+        loss, grads = filter_value_and_grad(loss_fn)(flow)
+        trainable, _ = partition(flow)
+        updates, new_opt_state = optimizer.update(grads, opt_state, trainable)
+        return apply_updates(flow, updates), new_opt_state, loss
+
+    from tfep_tpu.nn.module import partition as _partition
+    opt_state = optimizer.init(_partition(flow)[0])
+    losses = []
+    for _ in range(n_steps):
+        flow, opt_state, loss = train_step(flow, opt_state, x)
+        losses.append(float(loss))
+    return flow, losses
+
+
+def test_tensor_parallel_matches_replicated():
+    """dp x tp training reproduces the single-device loss trajectory, and the
+    MADE weights are (and stay) split over the model axis."""
+    from jax.sharding import PartitionSpec as P
+
+    from tfep_tpu.parallel.sharding import shard_module
+
+    flow = _make_spline_maf(jax.random.key(0))
+    x = jax.random.normal(jax.random.key(1), (16, 24), jnp.float32)
+
+    _, losses_ref = _train_losses(flow, x)
+
+    mesh = make_mesh(8, model_axis_size=2)
+    assert mesh.axis_names == ('dp', 'tp')
+    flow_tp = shard_module(flow, mesh)
+
+    made = flow_tp.flows[0].conditioner
+    assert made.layers[0].weight.sharding.spec == P('tp', None)   # column
+    assert made.layers[-1].weight.sharding.spec == P(None, 'tp')  # row
+    assert made.layers[0].bias.sharding.spec == P('tp')
+
+    x_tp = shard_batch({'x': x}, mesh)['x']
+    flow_tp, losses_tp = _train_losses(flow_tp, x_tp)
+
+    np.testing.assert_allclose(losses_ref, losses_tp, rtol=2e-5)
+    # The optimizer update must not silently gather the weights back.
+    made = flow_tp.flows[0].conditioner
+    assert made.layers[0].weight.sharding.spec == P('tp', None)
+
+
+def test_tensor_parallel_forward_equals_replicated_forward():
+    """Same (y, log_det_J) from the TP-sharded and the unsharded flow."""
+    from tfep_tpu.parallel.sharding import shard_module
+
+    flow = _make_spline_maf(jax.random.key(2))
+    x = jax.random.normal(jax.random.key(3), (8, 24), jnp.float32)
+    y_ref, ldj_ref = jax.jit(lambda f, x: f.forward(x))(flow, x)
+
+    mesh = make_mesh(8, model_axis_size=4)
+    flow_tp = shard_module(flow, mesh)
+    x_tp = shard_batch({'x': x}, mesh)['x']
+    y_tp, ldj_tp = jax.jit(lambda f, x: f.forward(x))(flow_tp, x_tp)
+
+    np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_tp),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ldj_ref), np.asarray(ldj_tp),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_tensor_parallel_nondivisible_widths_fall_back_to_replication():
+    """Hidden widths not divisible by the model axis stay replicated
+    (device_put cannot pad uneven shards) instead of erroring out."""
+    from jax.sharding import PartitionSpec as P
+
+    from tfep_tpu.parallel.sharding import shard_module
+
+    flow = _make_spline_maf(jax.random.key(4), hidden_layers=(85,))
+    mesh = make_mesh(8, model_axis_size=2)
+    flow_tp = shard_module(flow, mesh)
+    made = flow_tp.flows[0].conditioner
+    assert made.layers[0].weight.sharding.spec == P()
+    # Output layer input axis (85) is equally non-divisible -> replicated.
+    assert made.layers[-1].weight.sharding.spec == P()
+    # Still trains.
+    x = shard_batch(
+        {'x': jax.random.normal(jax.random.key(5), (16, 24), jnp.float32)},
+        mesh)['x']
+    _, losses = _train_losses(flow_tp, x, n_steps=1)
+    assert np.isfinite(losses[0])
+
+
+def test_shard_module_on_data_only_mesh_replicates():
+    from tfep_tpu.parallel.sharding import shard_module
+
+    flow = _make_spline_maf(jax.random.key(6))
+    mesh = make_mesh(8)
+    flow_rep = shard_module(flow, mesh)
+    weight = flow_rep.flows[0].conditioner.layers[0].weight
+    assert weight.sharding.is_fully_replicated
+
+
+def test_make_mesh_model_axis_must_divide():
+    with pytest.raises(ValueError, match='must divide'):
+        make_mesh(6, model_axis_size=4)
