@@ -365,3 +365,40 @@ def test_shard_module_on_data_only_mesh_replicates():
 def test_make_mesh_model_axis_must_divide():
     with pytest.raises(ValueError, match='must divide'):
         make_mesh(6, model_axis_size=4)
+
+
+def test_tensor_parallel_trainer_fit(tmp_path):
+    """Trainer.fit composes with a TP-sharded flow: the user shards
+    ``tfep_map.flow`` on the 2-D mesh before ``fit`` and the trainer keeps
+    the placement (it never re-replicates the module)."""
+    from jax.sharding import PartitionSpec as P
+
+    from tests.app.test_maps import MockPotential, make_system
+    from tfep_tpu.app import CartesianMAFMap, Trainer
+    from tfep_tpu.nn.conditioners.made import MADE
+    from tfep_tpu.parallel.sharding import shard_module
+    from tfep_tpu.units import ureg
+
+    mesh = make_mesh(8, model_axis_size=2)
+    tfep_map = CartesianMAFMap(
+        potential_energy_func=MockPotential(),
+        temperature=300.0 * ureg.kelvin,
+        system=make_system(n_frames=8, n_atoms=4),
+        batch_size=8,
+        tfep_logger_dir_path=str(tmp_path / 'logs'),
+        n_maf_layers=2,
+        flow_kwargs={'hidden_layers': [32, 32]})
+    trainer = Trainer(save_dir=str(tmp_path / 'ckpt'), max_epochs=2,
+                      shuffle=False, sharding=batch_sharding(mesh))
+    tfep_map.setup()
+    tfep_map.flow = shard_module(tfep_map.flow, mesh)
+
+    flow = trainer.fit(tfep_map)
+
+    mades = [m for m in jax.tree_util.tree_leaves(
+                 flow, is_leaf=lambda x: isinstance(x, MADE))
+             if isinstance(m, MADE)]
+    assert mades
+    assert mades[0].layers[0].weight.sharding.spec == P('tp', None)
+    logged = tfep_map.tfep_logger.read_train_tensors(epoch_idx=1)
+    assert np.all(np.isfinite(logged['potential']))
