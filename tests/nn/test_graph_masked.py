@@ -211,3 +211,49 @@ def test_masked_linear_n_parameters():
     layer = MaskedLinear.create(jax.random.key(8), 3, 3, mask=mask)
     # 3 unmasked weights + 3 biases.
     assert layer.n_parameters() == int(mask.sum()) + 3
+
+
+def test_degree_based_masking_matches_explicit_mask():
+    """The lazy degree-based mask is exactly the materialized one: same
+    forward outputs, same parameter count, for both hidden- and
+    output-layer (strictly-less) connectivity."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tfep_tpu.nn.masked import MaskedLinear, create_autoregressive_mask
+
+    degrees_in = np.array([0, 1, 2, 0, 1, 2, 1])
+    degrees_out = np.array([0, 1, 2, 2, 1, 0, 2, 1, 0])
+    x = jax.random.normal(jax.random.key(1), (5, len(degrees_in)))
+
+    for strictly_less, weight_norm in [(False, True), (True, False),
+                                       (True, True), (False, False)]:
+        mask = create_autoregressive_mask(
+            degrees_in, degrees_out, strictly_less=strictly_less,
+            transpose=True)
+        explicit = MaskedLinear.create(
+            jax.random.key(0), len(degrees_in), len(degrees_out),
+            mask=mask, weight_norm=weight_norm)
+        lazy = MaskedLinear.create(
+            jax.random.key(0), len(degrees_in), len(degrees_out),
+            degrees_in=degrees_in, degrees_out=degrees_out,
+            strictly_less=strictly_less, weight_norm=weight_norm)
+        np.testing.assert_allclose(np.asarray(explicit(x)),
+                                   np.asarray(lazy(x)), rtol=1e-6)
+        assert explicit.n_parameters() == lazy.n_parameters()
+        np.testing.assert_array_equal(np.asarray(lazy._mask_array()), mask)
+
+
+def test_masked_linear_rejects_mask_and_degrees():
+    import jax
+    import numpy as np
+    import pytest
+
+    from tfep_tpu.nn.masked import MaskedLinear
+
+    with pytest.raises(ValueError, match='not both'):
+        MaskedLinear.create(jax.random.key(0), 3, 3,
+                            mask=np.ones((3, 3), bool),
+                            degrees_in=np.arange(3),
+                            degrees_out=np.arange(3))

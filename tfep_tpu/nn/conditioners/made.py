@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tfep_tpu.nn.conditioners.conditioner import Conditioner
-from tfep_tpu.nn.masked import MaskedLinear, create_autoregressive_mask
+from tfep_tpu.nn.masked import MaskedLinear
 from tfep_tpu.nn.module import static
 
 __all__ = ['MADE', 'generate_degrees']
@@ -133,14 +133,19 @@ class MADE(Conditioner):
         keys = jax.random.split(key, len(all_layer_degrees))
         for layer_idx, degrees_cur in enumerate(all_layer_degrees):
             is_output = layer_idx == len(all_layer_degrees) - 1
-            mask = create_autoregressive_mask(
-                degrees_prev, degrees_cur, strictly_less=is_output,
-                transpose=True)
+            # Degree-based (lazy) masking: the O(in x out) autoregressive
+            # mask is recomputed from the two degree vectors inside the
+            # matmul fusion instead of being materialized/stored — at
+            # solvated-system scale the output-layer mask alone is
+            # hundreds of MB (cf. create_autoregressive_mask for the
+            # explicit equivalent).
             layers.append(MaskedLinear.create(
                 keys[layer_idx], in_features=len(degrees_prev),
-                out_features=len(degrees_cur), mask=mask, bias=True,
+                out_features=len(degrees_cur), bias=True,
                 weight_norm=weight_norm, dtype=dtype,
-                compute_dtype=compute_dtype))
+                compute_dtype=compute_dtype,
+                degrees_in=degrees_prev, degrees_out=degrees_cur,
+                strictly_less=is_output))
             degrees_prev = degrees_cur
 
         return cls(layers=tuple(layers), embedding=embedding,

@@ -67,6 +67,9 @@ class MaskedLinear(Module):
     bias: Optional[jnp.ndarray]         # (out,)
     gain: Optional[jnp.ndarray]         # (out, 1) weight-norm g, or None
     mask: Optional[jnp.ndarray] = buffer()   # bool (out, in), or None (dense)
+    degrees_in: Optional[jnp.ndarray] = buffer(default=None)   # int32 (in,)
+    degrees_out: Optional[jnp.ndarray] = buffer(default=None)  # int32 (out,)
+    strictly_less: bool = static(default=False)
     use_weight_norm: bool = static(default=False)
     compute_dtype: Optional[str] = static(default=None)  # e.g. 'bfloat16'
 
@@ -74,8 +77,25 @@ class MaskedLinear(Module):
     def create(cls, key, in_features: int, out_features: int,
                mask: Optional[np.ndarray] = None, bias: bool = True,
                weight_norm: bool = False, dtype=None,
-               compute_dtype: Optional[str] = None):
-        """Initialize like torch.nn.Linear (Kaiming-uniform), masked."""
+               compute_dtype: Optional[str] = None,
+               degrees_in: Optional[np.ndarray] = None,
+               degrees_out: Optional[np.ndarray] = None,
+               strictly_less: bool = False):
+        """Initialize like torch.nn.Linear (Kaiming-uniform), masked.
+
+        Connectivity can be given either as an explicit ``mask`` (bool
+        ``(out, in)``) or — preferred for large layers — as the two degree
+        vectors ``degrees_in``/``degrees_out`` (+``strictly_less``), from
+        which the mask is recomputed on the fly at apply time. The lazy
+        form stores O(in + out) integers instead of an O(in x out) buffer:
+        at solvated-system scale the materialized output-layer mask is
+        hundreds of MB of host build time, host->device transfer, and
+        per-step HBM reads, while XLA fuses the on-the-fly comparison into
+        the matmul operand for free.
+        """
+        if mask is not None and degrees_in is not None:
+            raise ValueError('Pass either mask or degrees_in/degrees_out, '
+                             'not both.')
         if dtype is None:
             dtype = jnp.result_type(float)
         wkey, bkey = jax.random.split(key)
@@ -87,14 +107,30 @@ class MaskedLinear(Module):
         mask_arr = None
         if mask is not None:
             mask_arr = jnp.asarray(np.asarray(mask, dtype=bool))
-        gain = None
+        din = dout = None
+        if degrees_in is not None:
+            din = jnp.asarray(np.asarray(degrees_in, dtype=np.int32))
+            dout = jnp.asarray(np.asarray(degrees_out, dtype=np.int32))
+        layer = cls(weight=weight, bias=bias_arr, gain=None, mask=mask_arr,
+                    degrees_in=din, degrees_out=dout,
+                    strictly_less=strictly_less,
+                    use_weight_norm=weight_norm, compute_dtype=compute_dtype)
         if weight_norm:
-            masked_w = weight if mask_arr is None else jnp.where(
-                mask_arr, weight, 0.0)
+            eff_mask = layer._mask_array()
+            masked_w = weight if eff_mask is None else jnp.where(
+                eff_mask, weight, 0.0)
             norms = jnp.linalg.norm(masked_w, axis=1, keepdims=True)
-            gain = norms.astype(dtype)
-        return cls(weight=weight, bias=bias_arr, gain=gain, mask=mask_arr,
-                   use_weight_norm=weight_norm, compute_dtype=compute_dtype)
+            layer = layer.replace(gain=norms.astype(dtype))
+        return layer
+
+    def _mask_array(self) -> Optional[jnp.ndarray]:
+        """The (out, in) connectivity, materialized lazily if degree-based."""
+        if self.mask is not None:
+            return self.mask
+        if self.degrees_out is not None:
+            cmp = jnp.greater if self.strictly_less else jnp.greater_equal
+            return cmp(self.degrees_out[:, None], self.degrees_in[None, :])
+        return None
 
     @property
     def in_features(self) -> int:
@@ -106,8 +142,9 @@ class MaskedLinear(Module):
 
     def effective_weight(self) -> jnp.ndarray:
         w = self.weight
-        if self.mask is not None:
-            w = jnp.where(self.mask, w, 0.0)
+        mask = self._mask_array()
+        if mask is not None:
+            w = jnp.where(mask, w, 0.0)
         if self.use_weight_norm:
             norms = jnp.linalg.norm(w, axis=1, keepdims=True)
             safe = jnp.where(norms > 0.0, norms, 1.0)
@@ -133,8 +170,17 @@ class MaskedLinear(Module):
 
     def n_parameters(self) -> int:
         """Number of unmasked trainable parameters (reference parity)."""
-        n = (int(np.sum(np.asarray(self.mask)))
-             if self.mask is not None else self.weight.size)
+        if self.mask is not None:
+            n = int(np.sum(np.asarray(self.mask)))
+        elif self.degrees_out is not None:
+            # Count without materializing the mask: for each output row,
+            # the number of inputs with degree < (or <=) its degree.
+            din = np.sort(np.asarray(self.degrees_in))
+            dout = np.asarray(self.degrees_out)
+            side = 'left' if self.strictly_less else 'right'
+            n = int(np.searchsorted(din, dout, side=side).sum())
+        else:
+            n = self.weight.size
         if self.bias is not None:
             n += self.bias.size
         if self.gain is not None:

@@ -106,13 +106,17 @@ def _masked_linear_specs(layer, hidden: bool, axis_name: str,
 
     sharded_dim = layer.out_features if hidden else layer.in_features
     if axis_size is not None and sharded_dim % axis_size:
-        specs = {'weight': P(), 'bias': P(), 'gain': P(), 'mask': P()}
+        specs = {'weight': P(), 'bias': P(), 'gain': P(), 'mask': P(),
+                 'degrees_in': P(), 'degrees_out': P()}
     elif hidden:
+        # Degree vectors follow the axis they index: rows (out) are split.
         specs = {'weight': P(axis_name, None), 'bias': P(axis_name),
-                 'gain': P(axis_name, None), 'mask': P(axis_name, None)}
+                 'gain': P(axis_name, None), 'mask': P(axis_name, None),
+                 'degrees_in': P(), 'degrees_out': P(axis_name)}
     else:
         specs = {'weight': P(None, axis_name), 'bias': P(),
-                 'gain': P(), 'mask': P(None, axis_name)}
+                 'gain': P(), 'mask': P(None, axis_name),
+                 'degrees_in': P(axis_name), 'degrees_out': P()}
     children = tuple(
         None if getattr(layer, name) is None else specs[name]
         for name in MaskedLinear.__tfep_dynamic_fields__)
