@@ -64,7 +64,7 @@ def main():
     parser.add_argument('--batch', type=int, default=256)
     parser.add_argument('--n-maf-layers', type=int, default=2)
     parser.add_argument('--hidden', type=int, default=2048,
-                        help='explicit MADE hidden width (2 layers)')
+                        help='explicit MADE hidden width (one hidden layer)')
     parser.add_argument('--n-bins', type=int, default=5)
     parser.add_argument('--timed-steps', type=int, default=5)
     parser.add_argument('--rounds', type=int, default=3)

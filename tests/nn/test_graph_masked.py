@@ -257,3 +257,15 @@ def test_masked_linear_rejects_mask_and_degrees():
                             mask=np.ones((3, 3), bool),
                             degrees_in=np.arange(3),
                             degrees_out=np.arange(3))
+
+
+def test_masked_linear_rejects_one_sided_degrees():
+    import jax
+    import numpy as np
+    import pytest
+
+    from tfep_tpu.nn.masked import MaskedLinear
+
+    with pytest.raises(ValueError, match='together'):
+        MaskedLinear.create(jax.random.key(0), 3, 3,
+                            degrees_in=np.arange(3))

@@ -402,3 +402,69 @@ def test_tensor_parallel_trainer_fit(tmp_path):
     assert mades[0].layers[0].weight.sharding.spec == P('tp', None)
     logged = tfep_map.tfep_logger.read_train_tensors(epoch_idx=1)
     assert np.all(np.isfinite(logged['potential']))
+
+
+def test_tensor_parallel_sharding_survives_resume(tmp_path):
+    """Checkpoint resume restores leaves onto the live pytree's shardings:
+    a TP-split flow stays split after ``fit(..., resume=True)``."""
+    from jax.sharding import PartitionSpec as P
+
+    from tests.app.test_maps import MockPotential, make_system
+    from tfep_tpu.app import CartesianMAFMap, Trainer
+    from tfep_tpu.nn.conditioners.made import MADE
+    from tfep_tpu.parallel.sharding import shard_module
+    from tfep_tpu.units import ureg
+
+    mesh = make_mesh(8, model_axis_size=2)
+
+    def build():
+        tfep_map = CartesianMAFMap(
+            potential_energy_func=MockPotential(),
+            temperature=300.0 * ureg.kelvin,
+            system=make_system(n_frames=8, n_atoms=4),
+            batch_size=8,
+            tfep_logger_dir_path=str(tmp_path / 'logs'),
+            n_maf_layers=2,
+            flow_kwargs={'hidden_layers': [32, 32]})
+        tfep_map.setup()
+        tfep_map.flow = shard_module(tfep_map.flow, mesh)
+        trainer = Trainer(save_dir=str(tmp_path / 'ckpt'), max_epochs=1,
+                          shuffle=False, sharding=batch_sharding(mesh))
+        return tfep_map, trainer
+
+    tfep_map, trainer = build()
+    trainer.fit(tfep_map)
+
+    tfep_map, trainer = build()
+    flow = trainer.fit(tfep_map, resume=True)
+    mades = [m for m in jax.tree_util.tree_leaves(
+                 flow, is_leaf=lambda x: isinstance(x, MADE))
+             if isinstance(m, MADE)]
+    assert mades[0].layers[0].weight.sharding.spec == P('tp', None)
+
+
+def test_incompatible_checkpoint_raises_clear_error(tmp_path):
+    """A checkpoint from a different model configuration fails with a
+    message naming the checkpoint, not a deep tree_unflatten error."""
+    from tests.app.test_maps import MockPotential, make_system
+    from tfep_tpu.app import CartesianMAFMap, Trainer
+    from tfep_tpu.units import ureg
+
+    def build(n_maf_layers):
+        tfep_map = CartesianMAFMap(
+            potential_energy_func=MockPotential(),
+            temperature=300.0 * ureg.kelvin,
+            system=make_system(n_frames=8, n_atoms=4),
+            batch_size=8,
+            tfep_logger_dir_path=str(tmp_path / f'logs{n_maf_layers}'),
+            n_maf_layers=n_maf_layers)
+        trainer = Trainer(save_dir=str(tmp_path / 'ckpt'), max_epochs=1,
+                          shuffle=False)
+        return tfep_map, trainer
+
+    tfep_map, trainer = build(2)
+    trainer.fit(tfep_map)
+
+    tfep_map, trainer = build(3)   # different architecture, same save_dir
+    with pytest.raises(ValueError, match='incompatible'):
+        trainer.fit(tfep_map, resume=True)

@@ -428,19 +428,44 @@ class Trainer:
             pickle.dump(state, f)
         os.replace(tmp_path, self.checkpoint_path)
 
+    @staticmethod
+    def _restore_leaves(current, saved_leaves, what: str):
+        """Rebuild ``current``'s pytree from checkpointed leaves, keeping
+        each live leaf's device placement (a TP/replicated sharding set up
+        before ``fit`` must survive resume — loading onto the default
+        device would undo the sharding or OOM at exactly the model sizes
+        sharding exists for)."""
+        leaves, treedef = jax.tree_util.tree_flatten(current)
+        if len(leaves) != len(saved_leaves):
+            raise ValueError(
+                f'Checkpoint is incompatible with the current {what}: it '
+                f'holds {len(saved_leaves)} arrays, the live pytree has '
+                f'{len(leaves)}. This usually means the checkpoint was '
+                'written by a different model configuration or an older '
+                'version of the library.')
+        restored = []
+        for live, saved in zip(leaves, saved_leaves):
+            if (isinstance(live, jax.Array)
+                    and isinstance(live.sharding,
+                                   jax.sharding.NamedSharding)):
+                # Mesh-placed (replicated or TP-split) parameters keep
+                # their placement. Plain single-device arrays stay
+                # uncommitted so jit remains free to place them with the
+                # batch.
+                restored.append(jax.device_put(saved, live.sharding))
+            else:
+                restored.append(jnp.asarray(saved))
+        return jax.tree_util.tree_unflatten(treedef, restored)
+
     def _load_checkpoint(self, flow, opt_state, sampler):
         path = self.checkpoint_path
         if path is None or not os.path.isfile(path):
             return flow, opt_state
         with open(path, 'rb') as f:
             state = pickle.load(f)
-        flow_leaves, flow_treedef = jax.tree_util.tree_flatten(flow)
-        new_flow = jax.tree_util.tree_unflatten(
-            flow_treedef,
-            [jnp.asarray(l) for l in state['flow_leaves']])
-        opt_leaves, opt_treedef = jax.tree_util.tree_flatten(opt_state)
-        new_opt_state = jax.tree_util.tree_unflatten(
-            opt_treedef, [jnp.asarray(l) for l in state['opt_leaves']])
+        new_flow = self._restore_leaves(flow, state['flow_leaves'], 'flow')
+        new_opt_state = self._restore_leaves(
+            opt_state, state['opt_leaves'], 'optimizer state')
         self.global_step = state['global_step']
         self.current_epoch = state['current_epoch']
         sampler.load_state_dict(state['sampler_state'])

@@ -96,6 +96,9 @@ class MaskedLinear(Module):
         if mask is not None and degrees_in is not None:
             raise ValueError('Pass either mask or degrees_in/degrees_out, '
                              'not both.')
+        if (degrees_in is None) != (degrees_out is None):
+            raise ValueError('degrees_in and degrees_out must be passed '
+                             'together.')
         if dtype is None:
             dtype = jnp.result_type(float)
         wkey, bkey = jax.random.split(key)

@@ -133,7 +133,11 @@ def tensor_parallel_specs(tree, axis_name: str = MODEL_AXIS,
     :class:`~jax.sharding.PartitionSpec`: MADE conditioner layers get the
     column-/row-parallel specs of :func:`_masked_linear_specs`; every other
     array (transformer parameters, buffers, pre-flow frames, ...) stays
-    replicated (``P()``). Feed the result to :func:`shard_module`.
+    replicated (``P()``). Prefer :func:`shard_module`, which builds these
+    specs and places the module in one step. When calling this directly,
+    pass ``axis_size`` (the ``tp`` mesh-axis size): without it the
+    non-divisible-width replication fallback is skipped and ``device_put``
+    will reject layers whose sharded axis does not divide evenly.
     """
     from tfep_tpu.nn.conditioners.made import MADE
     from tfep_tpu.nn.module import Module, _unflatten_module, _wrap_static
