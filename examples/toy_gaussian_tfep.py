@@ -91,6 +91,15 @@ boot = bootstrap(jnp.asarray(work),
                  n_resamples=500, seed=1)
 lo, hi = float(boot['confidence_interval']['low']), \
          float(boot['confidence_interval']['high'])
+
+# The one-call API assembles the same work values from the logger.
+from tfep_tpu.analysis import estimate_from_logger
+u_a_full = np.sum(positions.reshape(N_FRAMES, -1) ** 2,
+                  axis=-1) / (2 * SIGMA_A ** 2)
+one_call = estimate_from_logger(
+    tfep_map.tfep_logger, epoch_idx=trainer.current_epoch - 1,
+    reference_potentials=u_a_full, n_resamples=500, seed=1)
+assert abs(one_call['df'] - df_tfep) < 1e-6, (one_call['df'], df_tfep)
 print(f'analytic df  = {DF_ANALYTIC:.4f} kT')
 print(f'TFEP df      = {df_tfep:.4f} kT   CI=[{lo:.4f}, {hi:.4f}]')
 

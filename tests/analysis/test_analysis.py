@@ -187,3 +187,74 @@ def test_bootstrapped_fep_estimate_brackets_analytic():
     analytic = mu - sigma ** 2 / 2
     assert float(result['confidence_interval']['low']) < analytic \
         < float(result['confidence_interval']['high'])
+
+
+# =============================================================================
+# estimate_from_logger
+# =============================================================================
+
+def _write_logger(tmp_path, potential, log_det_j, n_batches=2):
+    from tfep_tpu.io.log import TFEPLogger
+
+    n = len(potential)
+    batch = n // n_batches
+    logger = TFEPLogger(save_dir_path=str(tmp_path / 'logs'),
+                        batch_size=batch, n_samples_per_epoch=n)
+    for b in range(n_batches):
+        sl = slice(b * batch, (b + 1) * batch)
+        logger.save_train_tensors({
+            'dataset_sample_index': np.arange(n)[sl],
+            'potential': potential[sl],
+            'log_det_J': log_det_j[sl],
+        }, epoch_idx=0, batch_idx=b)
+    return logger
+
+
+def test_estimate_from_logger_matches_manual(tmp_path):
+    from tfep_tpu.analysis import estimate_from_logger
+
+    n = 200
+    potential = rng.normal(3.0, 0.5, size=n)
+    log_det_j = rng.normal(0.0, 0.1, size=n)
+    u_a = rng.normal(1.0, 0.2, size=n)
+    logger = _write_logger(tmp_path, potential, log_det_j)
+
+    result = estimate_from_logger(logger, epoch_idx=0,
+                                  reference_potentials=u_a,
+                                  n_resamples=200, seed=3)
+    work = potential - log_det_j - u_a
+    df_manual = float(fep_estimator(jnp.asarray(work)))
+    assert result['df'] == pytest.approx(df_manual, rel=1e-6)
+    assert result['n_samples'] == n
+    np.testing.assert_allclose(np.sort(result['work']), np.sort(work),
+                               rtol=1e-6)
+    ci = result['confidence_interval']
+    assert ci['low'] < df_manual < ci['high']
+
+
+def test_estimate_from_logger_biased(tmp_path):
+    from tfep_tpu.analysis import estimate_from_logger
+
+    n = 100
+    potential = rng.normal(2.0, 0.3, size=n)
+    log_det_j = np.zeros(n)
+    bias = rng.normal(0.0, 0.5, size=n)
+    logger = _write_logger(tmp_path, potential, log_det_j)
+
+    result = estimate_from_logger(logger, epoch_idx=0,
+                                  bias_potentials=bias,
+                                  n_resamples=100, seed=5)
+    df_manual = float(fep_estimator(jnp.stack([potential, bias])))
+    assert result['df'] == pytest.approx(df_manual, rel=1e-6)
+    ci = result['confidence_interval']
+    assert ci['low'] <= result['df'] <= ci['high']
+
+
+def test_estimate_from_logger_requires_one_channel(tmp_path):
+    from tfep_tpu.analysis import estimate_from_logger
+
+    logger = _write_logger(tmp_path, np.ones(4), np.zeros(4), n_batches=1)
+    with pytest.raises(ValueError, match='exactly one'):
+        estimate_from_logger(logger)
+    with pytest.raises(ValueError, match='exactly one'):
+        estimate_from_logger(logger, epoch_idx=0, step_idx=0)

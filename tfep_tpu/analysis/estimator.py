@@ -14,8 +14,9 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-__all__ = ['fep_estimator']
+__all__ = ['fep_estimator', 'estimate_from_logger']
 
 
 def fep_estimator(data, kT: float = 1.0, weights: Optional[jnp.ndarray] = None,
@@ -67,3 +68,110 @@ def fep_estimator(data, kT: float = 1.0, weights: Optional[jnp.ndarray] = None,
 
     return -kT * jax.scipy.special.logsumexp(-work / kT + log_weights,
                                              axis=-1)
+
+
+def estimate_from_logger(
+        logger,
+        *,
+        epoch_idx: Optional[int] = None,
+        step_idx: Optional[int] = None,
+        reference_potentials=None,
+        bias_potentials=None,
+        kT: float = 1.0,
+        n_resamples: int = 2000,
+        confidence_level: float = 0.95,
+        method: str = 'percentile',
+        seed: int = 0,
+) -> dict:
+    """One-call TFEP estimate from a :class:`~tfep_tpu.io.log.TFEPLogger`.
+
+    Assembles the per-sample generalized work
+    ``w_i = u_B(M(x_i)) - u_A(x_i) - log|det J_M(x_i)|`` from the logged
+    ``potential``/``log_det_J`` columns (kT units, the training-step logging
+    contract) and runs :func:`fep_estimator` plus a bootstrap confidence
+    interval — the post-hoc recipe of the reference's multimap tutorial
+    (/root/reference/docs/intro_to_MTFEP.ipynb) as a single call.
+
+    Parameters
+    ----------
+    logger : TFEPLogger
+        The logger a map trained with (``tfep_map.tfep_logger``). For
+        multi-host runs merge first with
+        :func:`tfep_tpu.parallel.distributed.all_hosts_work_values`.
+    epoch_idx : int, optional
+        Read the train channel of this epoch. Exactly one of ``epoch_idx``
+        and ``step_idx`` must be given.
+    step_idx : int, optional
+        Read the eval channel of this step instead (held-out frames —
+        preferred for expressive maps, whose train-frame work is
+        overfitting-biased).
+    reference_potentials : array, optional
+        Reduced reference potentials ``u_A/kT`` indexed by **dataset sample
+        index** (full dataset length; the logged rows select their own
+        entries). Omit only when the logged potential already is the work's
+        potential term (e.g. ``ref_potentials`` were given to the loss).
+    bias_potentials : array, optional
+        Bias potentials ``V(x_i)`` (kT units when ``kT=1``) indexed by
+        dataset sample index, for frames from a biased simulation; enters
+        as log-softmax weights (reference estimator.py:56-66).
+    kT : float, optional
+        Unit of the logged values; estimates come back in the same unit.
+    n_resamples, confidence_level, method, seed :
+        Passed to :func:`tfep_tpu.analysis.bootstrap.bootstrap`.
+
+    Returns
+    -------
+    result : dict
+        ``df`` (point estimate), ``confidence_interval`` ({'low','high'}),
+        ``n_samples``, and the assembled per-sample ``work`` array (sorted
+        by dataset sample index, NaN rows dropped by the logger read).
+    """
+    from tfep_tpu.analysis.bootstrap import bootstrap
+
+    if (epoch_idx is None) == (step_idx is None):
+        raise ValueError('Pass exactly one of epoch_idx or step_idx.')
+    names = ['dataset_sample_index', 'potential', 'log_det_J']
+    if epoch_idx is not None:
+        data = logger.read_train_tensors(names=names, epoch_idx=epoch_idx,
+                                         remove_nans=True)
+    else:
+        data = logger.read_eval_tensors(names=names, step_idx=step_idx,
+                                        remove_nans=True)
+
+    sample_idx = np.asarray(data['dataset_sample_index']).astype(int)
+    work = np.asarray(data['potential']) - np.asarray(data['log_det_J'])
+    if reference_potentials is not None:
+        work = work - np.asarray(reference_potentials)[sample_idx]
+
+    if bias_potentials is None:
+        stat_data = jnp.asarray(work)
+
+        def statistic(d, vectorized=False, weights=None):
+            return fep_estimator(d, kT=kT, weights=weights,
+                                 vectorized=vectorized)
+    else:
+        bias = np.asarray(bias_potentials)[sample_idx]
+        stat_data = jnp.asarray(np.stack([work, bias], axis=-1))
+
+        def statistic(d, vectorized=False, weights=None):
+            if weights is not None:
+                raise NotImplementedError(
+                    'Bayesian bootstrapping is not supported with biased '
+                    'data.')
+            if not vectorized:
+                d = d.T     # (n, 2) -> (2, n) of fep_estimator's API
+            return fep_estimator(d, kT=kT, vectorized=vectorized)
+
+    df = float(statistic(stat_data))
+    boot = bootstrap(stat_data, statistic, n_resamples=n_resamples,
+                     confidence_level=confidence_level, method=method,
+                     seed=seed)
+    return {
+        'df': df,
+        'confidence_interval': {
+            'low': float(boot['confidence_interval']['low']),
+            'high': float(boot['confidence_interval']['high']),
+        },
+        'n_samples': int(work.shape[0]),
+        'work': work,
+    }
