@@ -92,3 +92,69 @@ def test_gradients_through_reconstruction():
     g = jax.grad(loss)(bonds)
     assert np.all(np.isfinite(np.asarray(g)))
     assert np.any(np.asarray(g) != 0)
+
+
+# =============================================================================
+# Randomized-topology fuzz
+# =============================================================================
+
+def _random_z_matrix(rng, n_atoms):
+    """A valid random Z-matrix over atoms 3..n-1 (0, 1, 2 are Cartesian).
+
+    Each atom bonds to a random already-placed parent, with two further
+    distinct placed atoms as angle/torsion references — random trees with
+    arbitrary branching, so the level scheduler sees non-chain DAGs."""
+    rows = []
+    for i in range(3, n_atoms):
+        placed = np.arange(i)
+        parent = int(rng.choice(placed))
+        others = rng.choice(placed[placed != parent], size=2, replace=False)
+        rows.append([i, parent, int(others[0]), int(others[1])])
+    return np.array(rows)
+
+
+@pytest.mark.parametrize('seed', [0, 1, 2])
+@pytest.mark.parametrize('n_atoms', [5, 9])
+def test_fuzz_random_topology_roundtrip(seed, n_atoms):
+    """Round trip + log-det antisymmetry + oracle over random trees with
+    geometry generated from safe internal-coordinate ranges."""
+    rng = np.random.default_rng(seed)
+    z_matrix = _random_z_matrix(rng, n_atoms)
+    n_ic = len(z_matrix)
+    batch = 3
+
+    # Non-degenerate Cartesian reference triangle per sample.
+    ref = np.array([[0.0, 0.0, 0.0], [1.3, 0.0, 0.0], [0.6, 1.1, 0.2]])
+    ref = ref[None] + 0.05 * rng.normal(size=(batch, 3, 3))
+
+    # Sample ICs in collinearity-safe ranges and build the geometry.
+    bonds = jnp.asarray(rng.uniform(0.9, 1.6, size=(batch, n_ic)))
+    angles = jnp.asarray(rng.uniform(0.6, 2.5, size=(batch, n_ic)))
+    torsions = jnp.asarray(rng.uniform(-3.0, 3.0, size=(batch, n_ic)))
+    positions_init = jnp.zeros((batch, n_atoms, 3)).at[:, :3].set(ref)
+    x, ldj_build = internal_to_cartesian(
+        bonds, angles, torsions, positions_init, z_matrix,
+        normalize_angles=False)
+
+    # Measure back: identical ICs (up to torsion wrap), antisymmetric ldj.
+    b2, a2, t2, ldj_measure = cartesian_to_internal(
+        x, z_matrix, normalize_angles=False)
+    np.testing.assert_allclose(np.asarray(b2), np.asarray(bonds), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(angles), atol=1e-8)
+    dt = (np.asarray(t2) - np.asarray(torsions) + np.pi) % (2 * np.pi) - np.pi
+    np.testing.assert_allclose(dt, 0.0, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(ldj_build + ldj_measure), 0.0,
+                               atol=1e-8)
+
+    # Oracle on the first sample: analytic log-det == jacfwd + slogdet.
+    ic_atoms = z_matrix[:, 0]
+
+    def single(xi):
+        x_full = x[:1].at[:, ic_atoms].set(xi.reshape(1, n_ic, 3))
+        b, a, t, _ = cartesian_to_internal(x_full, z_matrix)
+        return jnp.concatenate([b, a, t], axis=-1)[0]
+
+    jac = jax.jacfwd(single)(x[0, ic_atoms].reshape(-1))
+    oracle_ldj = jnp.linalg.slogdet(jac)[1]
+    _, _, _, ldj = cartesian_to_internal(x[:1], z_matrix)
+    np.testing.assert_allclose(float(ldj[0]), float(oracle_ldj), atol=1e-7)
