@@ -258,3 +258,44 @@ def test_estimate_from_logger_requires_one_channel(tmp_path):
         estimate_from_logger(logger)
     with pytest.raises(ValueError, match='exactly one'):
         estimate_from_logger(logger, epoch_idx=0, step_idx=0)
+
+
+def test_estimate_from_logger_multimap(tmp_path):
+    """A sequence of epochs concatenates per-map work and bootstraps with
+    one-epoch blocks (take_first_only), matching the hand-rolled recipe."""
+    from tfep_tpu.analysis import estimate_from_logger
+    from tfep_tpu.io.log import TFEPLogger
+
+    n, n_epochs = 60, 3
+    logger = TFEPLogger(save_dir_path=str(tmp_path / 'logs'),
+                        batch_size=n, n_samples_per_epoch=n)
+    all_work = []
+    for epoch in range(n_epochs):
+        potential = rng.normal(2.0 + 0.1 * epoch, 0.4, size=n)
+        ldj = rng.normal(0.0, 0.05, size=n)
+        logger.save_train_tensors({
+            'dataset_sample_index': np.arange(n),
+            'potential': potential,
+            'log_det_J': ldj,
+        }, epoch_idx=epoch, batch_idx=0)
+        all_work.append(potential - ldj)
+
+    result = estimate_from_logger(logger, epoch_idx=range(n_epochs),
+                                  n_resamples=150, seed=7)
+    work = np.concatenate(all_work)
+    assert result['n_samples'] == n * n_epochs
+    np.testing.assert_allclose(np.sort(result['work']), np.sort(work),
+                               rtol=1e-6)
+    assert result['df'] == pytest.approx(
+        float(fep_estimator(jnp.asarray(work))), rel=1e-6)
+    manual = bootstrap(
+        jnp.asarray(work),
+        lambda d, weights=None, vectorized=False:
+            fep_estimator(d, weights=weights, vectorized=vectorized),
+        bootstrap_sample_size=n, take_first_only=True,
+        n_resamples=150, seed=7)
+    ci = result['confidence_interval']
+    assert ci['low'] == pytest.approx(
+        float(manual['confidence_interval']['low']), rel=1e-6)
+    assert ci['high'] == pytest.approx(
+        float(manual['confidence_interval']['high']), rel=1e-6)

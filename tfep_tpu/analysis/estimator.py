@@ -98,9 +98,14 @@ def estimate_from_logger(
         The logger a map trained with (``tfep_map.tfep_logger``). For
         multi-host runs merge first with
         :func:`tfep_tpu.parallel.distributed.all_hosts_work_values`.
-    epoch_idx : int, optional
+    epoch_idx : int or sequence of int, optional
         Read the train channel of this epoch. Exactly one of ``epoch_idx``
-        and ``step_idx`` must be given.
+        and ``step_idx`` must be given. A sequence of epochs selects the
+        **multimap** estimate (arXiv:2302.07683): each epoch's map
+        contributes its own work values, the per-epoch blocks are
+        concatenated, and the bootstrap resamples within one epoch-sized
+        block (``take_first_only``), mirroring the reference tutorial's
+        multimap analysis.
     step_idx : int, optional
         Read the eval channel of this step instead (held-out frames —
         preferred for expressive maps, whose train-frame work is
@@ -131,17 +136,34 @@ def estimate_from_logger(
     if (epoch_idx is None) == (step_idx is None):
         raise ValueError('Pass exactly one of epoch_idx or step_idx.')
     names = ['dataset_sample_index', 'potential', 'log_det_J']
-    if epoch_idx is not None:
-        data = logger.read_train_tensors(names=names, epoch_idx=epoch_idx,
-                                         remove_nans=True)
-    else:
-        data = logger.read_eval_tensors(names=names, step_idx=step_idx,
-                                        remove_nans=True)
 
-    sample_idx = np.asarray(data['dataset_sample_index']).astype(int)
-    work = np.asarray(data['potential']) - np.asarray(data['log_det_J'])
-    if reference_potentials is not None:
-        work = work - np.asarray(reference_potentials)[sample_idx]
+    multimap = epoch_idx is not None and np.ndim(epoch_idx) > 0
+    if step_idx is not None:
+        datas = [logger.read_eval_tensors(names=names, step_idx=step_idx,
+                                          remove_nans=True)]
+    else:
+        epochs = list(np.atleast_1d(epoch_idx)) if multimap else [epoch_idx]
+        datas = [logger.read_train_tensors(names=names, epoch_idx=int(e),
+                                           remove_nans=True)
+                 for e in epochs]
+
+    def block_work(data):
+        sample_idx = np.asarray(data['dataset_sample_index']).astype(int)
+        w = np.asarray(data['potential']) - np.asarray(data['log_det_J'])
+        if reference_potentials is not None:
+            w = w - np.asarray(reference_potentials)[sample_idx]
+        return w, sample_idx
+
+    blocks = [block_work(d) for d in datas]
+    work = np.concatenate([w for w, _ in blocks])
+    sample_idx = np.concatenate([s for _, s in blocks])
+    bootstrap_kwargs = {}
+    if multimap:
+        # Resample within one epoch-sized block: each epoch is a distinct
+        # map, so a bootstrap draw must hold the number of per-map samples
+        # fixed (reference tutorial's multimap analysis).
+        bootstrap_kwargs = {'bootstrap_sample_size': len(blocks[0][0]),
+                            'take_first_only': True}
 
     if bias_potentials is None:
         stat_data = jnp.asarray(work)
@@ -165,7 +187,7 @@ def estimate_from_logger(
     df = float(statistic(stat_data))
     boot = bootstrap(stat_data, statistic, n_resamples=n_resamples,
                      confidence_level=confidence_level, method=method,
-                     seed=seed)
+                     seed=seed, **bootstrap_kwargs)
     return {
         'df': df,
         'confidence_interval': {
