@@ -398,3 +398,82 @@ def test_tblite_task_failure_policies(monkeypatch):
         'GFN2-xTB', [8, 1], True, 0, True, positions)
     assert np.isnan(energy)
     np.testing.assert_array_equal(gradient, np.zeros((2, 3)))
+
+
+# =============================================================================
+# Functional APIs (reference's *_potential_energy forms)
+# =============================================================================
+
+def test_tblite_potential_energy_functional(fake_tblite, monkeypatch):
+    import jax
+    import jax.numpy as jnp
+
+    import tfep_tpu.potentials.tblite as tblite_backend
+    from tfep_tpu.potentials import tblite_potential_energy
+
+    monkeypatch.setattr(tblite_backend, 'TBLITE_INSTALLED', True)
+    positions = jnp.asarray(np.arange(12, dtype=np.float64).reshape(2, 6))
+    energies = tblite_potential_energy(positions, 'GFN2-xTB', [8, 1])
+    np.testing.assert_allclose(np.asarray(energies), -5.5)
+
+    # Differentiable: backward = -forces * g = +gradient (tblite returns
+    # gradients, forces = -gradient = -0.25 everywhere).
+    grad = jax.grad(
+        lambda p: tblite_potential_energy(p, 'GFN2-xTB', [8, 1]).sum()
+    )(positions)
+    np.testing.assert_allclose(np.asarray(grad), 0.25)
+
+
+def test_ase_potential_energy_functional(monkeypatch):
+    import types as _types
+
+    import jax
+    import jax.numpy as jnp
+
+    import tfep_tpu.potentials.ase as ase_backend
+    from tfep_tpu.potentials import ase_potential_energy
+
+    fake_ase = _types.ModuleType('ase')
+    fake_ase.Atoms = object
+    monkeypatch.setitem(sys.modules, 'ase', fake_ase)
+    monkeypatch.setattr(ase_backend, 'ASE_INSTALLED', True)
+
+    template = FakeAtoms()
+    positions = jnp.asarray(np.arange(6, dtype=np.float64).reshape(1, 6))
+    energies = ase_potential_energy(positions, template)
+    np.testing.assert_allclose(np.asarray(energies),
+                               [float(np.sum(np.arange(6.0) ** 2))])
+    # d(sum x^2)/dx = 2x (engine forces are -2x; backward flips the sign).
+    grad = jax.grad(
+        lambda p: ase_potential_energy(p, template).sum())(positions)
+    np.testing.assert_allclose(np.asarray(grad),
+                               2.0 * np.asarray(positions), rtol=1e-12)
+
+
+def test_ase_template_atoms_exclusive(monkeypatch):
+    import types as _types
+
+    import tfep_tpu.potentials.ase as ase_backend
+    from tfep_tpu.potentials.ase import ASEPotential
+
+    fake_ase = _types.ModuleType('ase')
+    fake_ase.Atoms = object
+    monkeypatch.setitem(sys.modules, 'ase', fake_ase)
+    monkeypatch.setattr(ase_backend, 'ASE_INSTALLED', True)
+
+    with pytest.raises(ValueError, match='not both'):
+        ASEPotential(atoms=FakeAtoms(), symbols='OH')
+    with pytest.raises(ValueError, match='calculator is required'):
+        ASEPotential()
+
+
+def test_openmm_potential_energy_functional(fake_openmm, monkeypatch):
+    import jax.numpy as jnp
+
+    from tfep_tpu.potentials import openmm_potential_energy
+
+    monkeypatch.setattr(openmm_backend, 'OPENMM_INSTALLED', True)
+    positions = jnp.asarray(np.arange(6, dtype=np.float64).reshape(1, 6))
+    energies = openmm_potential_energy(positions, system=object(),
+                                       system_name='sys-func')
+    assert np.asarray(energies).shape == (1,)

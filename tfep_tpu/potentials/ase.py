@@ -14,7 +14,7 @@ import numpy as np
 
 from tfep_tpu.potentials.engine import EnginePotential
 
-__all__ = ['ASEPotential']
+__all__ = ['ASEPotential', 'ase_potential_energy']
 
 try:
     import ase  # noqa: F401
@@ -53,10 +53,10 @@ class ASEPotential(EnginePotential):
     ENGINE_ENERGY_UNIT = 'eV'
     ENGINE_POSITIONS_UNIT = 'angstrom'
 
-    def __init__(self, calculator, symbols=None, numbers=None, pbc=None,
+    def __init__(self, calculator=None, symbols=None, numbers=None, pbc=None,
                  positions_unit=None, energy_unit=None,
                  parallelization_strategy=None, precompute_gradient=True,
-                 **atoms_kwargs):
+                 atoms=None, **atoms_kwargs):
         if not ASE_INSTALLED:
             raise ImportError(
                 'ASEPotential requires the ase package to be installed.')
@@ -66,8 +66,24 @@ class ASEPotential(EnginePotential):
                          energy_unit=energy_unit,
                          parallelization_strategy=parallelization_strategy,
                          precompute_gradient=precompute_gradient)
-        self.atoms = Atoms(symbols=symbols, numbers=numbers, pbc=pbc,
-                           calculator=calculator, **atoms_kwargs)
+        if atoms is not None:
+            # Pre-built template (the reference's calling convention,
+            # /root/reference/tfep/potentials/ase.py:323-330): use it as-is,
+            # attaching the calculator when one is given separately.
+            if (symbols is not None or numbers is not None
+                    or pbc is not None or atoms_kwargs):
+                raise ValueError(
+                    'Pass either a template "atoms" object or the ase.Atoms '
+                    'constructor arguments, not both.')
+            if calculator is not None:
+                atoms.calc = calculator
+            self.atoms = atoms
+        else:
+            if calculator is None:
+                raise ValueError('A calculator is required when no template '
+                                 '"atoms" object is given.')
+            self.atoms = Atoms(symbols=symbols, numbers=numbers, pbc=pbc,
+                               calculator=calculator, **atoms_kwargs)
 
     def _compute_batch(self, positions: np.ndarray,
                        cell: Optional[np.ndarray], compute_forces: bool):
@@ -96,3 +112,23 @@ def _run_ase_task(template_atoms, positions, cell, compute_forces):
         forces = atoms.get_forces().reshape(-1)
         return energy, forces
     return energy, None
+
+
+def ase_potential_energy(batch_positions, atoms, batch_cell=None,
+                         positions_unit=None, energy_unit=None,
+                         parallelization_strategy=None,
+                         precompute_gradient=True):
+    """Functional form of :class:`ASEPotential`.
+
+    ``atoms`` is a template ``ase.Atoms`` with a calculator attached;
+    returns differentiable per-sample energies (the backward pass is
+    ``-forces * g`` through the callback bridge). For repeated evaluation
+    inside a jitted step, construct an :class:`ASEPotential` once instead —
+    each call here builds a fresh callback, which retraces under jit.
+    Reference: /root/reference/tfep/potentials/ase.py:323-351.
+    """
+    potential = ASEPotential(
+        atoms=atoms, positions_unit=positions_unit, energy_unit=energy_unit,
+        parallelization_strategy=parallelization_strategy,
+        precompute_gradient=precompute_gradient)
+    return potential(batch_positions, batch_cell)

@@ -25,7 +25,8 @@ from tfep_tpu.parallel.launcher import Launcher
 from tfep_tpu.potentials.engine import EnginePotential
 from tfep_tpu.utils.misc import clear_directory
 
-__all__ = ['GROMACSPotential', 'GmxGrompp', 'GmxMdrun', 'GmxTraj',
+__all__ = ['GROMACSPotential', 'gromacs_potential_energy',
+           'GmxGrompp', 'GmxMdrun', 'GmxTraj',
            'GmxEnergy']
 
 GMX_INSTALLED = shutil.which('gmx') is not None
@@ -269,3 +270,28 @@ def _run_gromacs_task(tpr_file_path, return_forces, cleanup_working_dir,
             forces = np.zeros_like(positions_nm) if return_forces else None
 
     return energy, forces
+
+
+def gromacs_potential_energy(batch_positions, tpr_file_path, batch_cell=None,
+                             launcher=None, positions_unit=None,
+                             energy_unit=None, precompute_gradient=True,
+                             working_dir_path=None,
+                             cleanup_working_dir=False,
+                             parallelization_strategy=None,
+                             launcher_kwargs=None, mdrun_kwargs=None,
+                             on_mdrun_error='raise'):
+    """Functional form of :class:`GROMACSPotential`.
+
+    Returns differentiable per-sample energies via ``gmx mdrun -rerun``.
+    Prefer the class for repeated jitted evaluation. Reference:
+    /root/reference/tfep/potentials/gromacs.py.
+    """
+    potential = GROMACSPotential(
+        tpr_file_path, launcher=launcher, positions_unit=positions_unit,
+        energy_unit=energy_unit, precompute_gradient=precompute_gradient,
+        working_dir_path=working_dir_path,
+        cleanup_working_dir=cleanup_working_dir,
+        parallelization_strategy=parallelization_strategy,
+        launcher_kwargs=launcher_kwargs, mdrun_kwargs=mdrun_kwargs,
+        on_mdrun_error=on_mdrun_error)
+    return potential(batch_positions, batch_cell)

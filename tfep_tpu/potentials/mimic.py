@@ -38,7 +38,7 @@ from tfep_tpu.potentials.gromacs import (
 from tfep_tpu.units import Quantity, ureg
 from tfep_tpu.utils.misc import clear_directory, temporary_cd
 
-__all__ = ['MiMiCPotential', 'Cpmd']
+__all__ = ['MiMiCPotential', 'mimic_potential_energy', 'Cpmd']
 
 # bohr -> nm conversion for the grompp .g96 input.
 _BOHR_TO_NM = float(Quantity(1.0, ureg.bohr).to(ureg.nanometer).magnitude)
@@ -419,3 +419,31 @@ def _run_mimic_task(cpmd_cmd, mdrun_cmd, grompp_cmd, grompp_launcher,
         clear_directory(working_dir_path)
 
     return energy, forces
+
+
+def mimic_potential_energy(batch_positions, cpmd_cmd, mdrun_cmd, grompp_cmd,
+                           batch_cell=None, launcher=None,
+                           positions_unit=None, energy_unit=None,
+                           precompute_gradient=True, working_dir_path=None,
+                           cleanup_working_dir=False,
+                           parallelization_strategy=None,
+                           launcher_kwargs=None, grompp_launcher=None,
+                           grompp_launcher_kwargs=None, n_attempts=1,
+                           on_unconverged='raise', on_local_error='raise'):
+    """Functional form of :class:`MiMiCPotential`.
+
+    Returns differentiable per-sample energies from a coupled CPMD+GROMACS
+    (MiMiC) QM/MM evaluation. Prefer the class for repeated jitted
+    evaluation. Reference: /root/reference/tfep/potentials/mimic.py.
+    """
+    potential = MiMiCPotential(
+        cpmd_cmd, mdrun_cmd, grompp_cmd, launcher=launcher,
+        positions_unit=positions_unit, energy_unit=energy_unit,
+        precompute_gradient=precompute_gradient,
+        working_dir_path=working_dir_path,
+        cleanup_working_dir=cleanup_working_dir,
+        parallelization_strategy=parallelization_strategy,
+        launcher_kwargs=launcher_kwargs, grompp_launcher=grompp_launcher,
+        grompp_launcher_kwargs=grompp_launcher_kwargs, n_attempts=n_attempts,
+        on_unconverged=on_unconverged, on_local_error=on_local_error)
+    return potential(batch_positions, batch_cell)

@@ -16,7 +16,8 @@ import numpy as np
 
 from tfep_tpu.potentials.engine import EnginePotential
 
-__all__ = ['OpenMMPotential', 'global_context_cache']
+__all__ = ['OpenMMPotential', 'openmm_potential_energy',
+           'global_context_cache']
 
 try:
     import openmm  # noqa: F401
@@ -136,3 +137,23 @@ def _run_single_point_calculation(system, platform_name, platform_properties,
     if return_forces:
         return energy, state.getForces(asNumpy=True)._value
     return energy, None
+
+
+def openmm_potential_energy(batch_positions, system, batch_cell=None,
+                            positions_unit=None, energy_unit=None,
+                            platform_name=None, platform_properties=None,
+                            system_name=None, parallelization_strategy=None,
+                            precompute_gradient=True):
+    """Functional form of :class:`OpenMMPotential`.
+
+    Returns differentiable per-sample energies for an ``openmm.System``.
+    Prefer the class for repeated jitted evaluation (one callback, one
+    trace). Reference: /root/reference/tfep/potentials/openmm.py.
+    """
+    potential = OpenMMPotential(
+        system, positions_unit=positions_unit, energy_unit=energy_unit,
+        platform_name=platform_name, platform_properties=platform_properties,
+        system_name=system_name,
+        parallelization_strategy=parallelization_strategy,
+        precompute_gradient=precompute_gradient)
+    return potential(batch_positions, batch_cell)

@@ -26,7 +26,8 @@ import numpy as np
 from tfep_tpu.potentials.engine import EnginePotential
 from tfep_tpu.units import Quantity, ureg
 
-__all__ = ['Psi4Potential', 'create_psi4_molecule', 'configure_psi4']
+__all__ = ['Psi4Potential', 'psi4_potential_energy',
+           'create_psi4_molecule', 'configure_psi4']
 
 try:
     import psi4  # noqa: F401
@@ -204,3 +205,25 @@ def _run_psi4_task(name, molecule, positions, return_forces, write_orbitals,
             zeros = np.zeros_like(positions)
             return (np.nan, zeros) if return_forces else (np.nan, None)
         raise
+
+
+def psi4_potential_energy(batch_positions, name, molecule=None,
+                          positions_unit=None, energy_unit=None,
+                          write_orbitals=False, restart_file=None,
+                          restart_dir=None, parallelization_strategy=None,
+                          precompute_gradient=True, on_unconverged='raise',
+                          sample_keys=None, **psi4_kwargs):
+    """Functional form of :class:`Psi4Potential`.
+
+    Returns differentiable per-sample energies via ``psi4.energy``/
+    ``psi4.gradient``. Prefer the class for repeated jitted evaluation.
+    Reference: /root/reference/tfep/potentials/psi4.py:766-810.
+    """
+    potential = Psi4Potential(
+        name, molecule=molecule, positions_unit=positions_unit,
+        energy_unit=energy_unit, write_orbitals=write_orbitals,
+        restart_file=restart_file, restart_dir=restart_dir,
+        parallelization_strategy=parallelization_strategy,
+        precompute_gradient=precompute_gradient,
+        on_unconverged=on_unconverged, **psi4_kwargs)
+    return potential(batch_positions, sample_keys=sample_keys)

@@ -15,7 +15,7 @@ import numpy as np
 
 from tfep_tpu.potentials.engine import EnginePotential
 
-__all__ = ['TBLitePotential']
+__all__ = ['TBLitePotential', 'tblite_potential_energy']
 
 try:
     import tblite  # noqa: F401
@@ -116,3 +116,23 @@ def _run_single_point(method, numbers, return_gradients, verbosity,
     if return_gradients:
         return energy, res.get('gradient')
     return energy, None
+
+
+def tblite_potential_energy(batch_positions, method, numbers,
+                            positions_unit=None, energy_unit=None,
+                            parallelization_strategy=None,
+                            precompute_gradient=True, verbosity=0,
+                            return_nan_on_failure=False):
+    """Functional form of :class:`TBLitePotential`.
+
+    Returns differentiable per-sample energies for a tblite method (e.g.
+    ``'GFN2-xTB'``). Prefer the class for repeated jitted evaluation.
+    Reference: /root/reference/tfep/potentials/tblite.py.
+    """
+    potential = TBLitePotential(
+        method, numbers, positions_unit=positions_unit,
+        energy_unit=energy_unit,
+        parallelization_strategy=parallelization_strategy,
+        precompute_gradient=precompute_gradient, verbosity=verbosity,
+        return_nan_on_failure=return_nan_on_failure)
+    return potential(batch_positions)
