@@ -206,3 +206,84 @@ def test_polar_log_det_vs_autograd():
     np.testing.assert_allclose(np.asarray(x), np.asarray(xy[:, 0]),
                                atol=1e-10)
     np.testing.assert_allclose(np.asarray(ldj + ldj_inv), 0.0, atol=1e-10)
+
+
+# =============================================================================
+# Math helpers (cf. reference tests/utils/test_math.py)
+# =============================================================================
+
+def test_batchwise_dot_outer():
+    from tfep_tpu.utils.math import batchwise_dot, batchwise_outer
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(4, 3))
+    y = rng.normal(size=(4, 3))
+    np.testing.assert_allclose(
+        np.asarray(batchwise_dot(jnp.asarray(x), jnp.asarray(y))),
+        np.einsum('bi,bi->b', x, y), atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(batchwise_dot(jnp.asarray(x), jnp.asarray(y),
+                                 keepdim=True)),
+        np.einsum('bi,bi->b', x, y)[:, None], atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(batchwise_outer(jnp.asarray(x), jnp.asarray(y))),
+        np.einsum('bi,bj->bij', x, y), atol=1e-12)
+
+
+def test_cov_matches_numpy():
+    from tfep_tpu.utils.math import cov
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(50, 4))
+    np.testing.assert_allclose(np.asarray(cov(jnp.asarray(x))),
+                               np.cov(x.T), atol=1e-10)
+    # Sample axis last (dim_sample=1) == numpy's default row-variable layout.
+    np.testing.assert_allclose(
+        np.asarray(cov(jnp.asarray(x.T), dim_sample=1)),
+        np.cov(x.T), atol=1e-10)
+    # Biased estimator.
+    np.testing.assert_allclose(np.asarray(cov(jnp.asarray(x), ddof=0)),
+                               np.cov(x.T, ddof=0), atol=1e-10)
+
+
+def test_vector_plane_angle_axes():
+    from tfep_tpu.utils.geometry import vector_plane_angle
+
+    plane = jnp.asarray([0.0, 0.0, 1.0])  # xy-plane (normal = z)
+    # A vector in the plane has angle 0; parallel to the normal, pi/2.
+    v = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 0.0, 2.0],
+                     [0.0, 1.0, 1.0]])
+    angles = np.asarray(vector_plane_angle(v, plane))
+    np.testing.assert_allclose(angles, [0.0, np.pi / 2, np.pi / 4],
+                               atol=1e-12)
+
+
+def test_get_axis_from_name():
+    from tfep_tpu.utils.geometry import get_axis_from_name
+
+    np.testing.assert_array_equal(np.asarray(get_axis_from_name('x')),
+                                  [1.0, 0.0, 0.0])
+    np.testing.assert_array_equal(np.asarray(get_axis_from_name('y')),
+                                  [0.0, 1.0, 0.0])
+    np.testing.assert_array_equal(np.asarray(get_axis_from_name('z')),
+                                  [0.0, 0.0, 1.0])
+
+
+def test_energies_forces_array_to_numpy():
+    from tfep_tpu.units import ureg
+    from tfep_tpu.utils.misc import (
+        energies_array_to_numpy, forces_array_to_numpy,
+    )
+
+    energies = np.array([1.0, 2.0]) * ureg.hartree
+    out = energies_array_to_numpy(energies, energy_unit=ureg.hartree)
+    np.testing.assert_allclose(out, [1.0, 2.0])
+
+    forces = np.ones((2, 3, 3)) * ureg.hartree / ureg.bohr
+    out = forces_array_to_numpy(forces, distance_unit=ureg.bohr,
+                                energy_unit=ureg.hartree)
+    assert out.shape == (2, 9)
+    np.testing.assert_allclose(out, 1.0)
+
+    with pytest.raises(ValueError, match='Both or neither'):
+        forces_array_to_numpy(forces, energy_unit=ureg.hartree)

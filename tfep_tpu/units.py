@@ -48,6 +48,11 @@ class Unit:
 
     __slots__ = ('scale', 'dims', 'name')
 
+    # Make numpy defer to __rmul__/__rtruediv__ for ``ndarray * unit`` (the
+    # standard pint idiom) instead of broadcasting the Unit over elements
+    # into an object array of per-element Quantities.
+    __array_ufunc__ = None
+
     def __init__(self, scale: float, dims: tuple, name: str = ''):
         self.scale = float(scale)
         self.dims = tuple(dims)
@@ -100,6 +105,10 @@ class Quantity:
     """Magnitude (scalar or numpy array) with a unit."""
 
     __slots__ = ('magnitude', 'units')
+
+    # ``ndarray * quantity`` must route through __rmul__ (keeping the unit),
+    # not through __array__ (which would silently drop it).
+    __array_ufunc__ = None
 
     def __init__(self, magnitude, units: Unit):
         self.magnitude = magnitude
