@@ -11,6 +11,7 @@ from tfep_tpu.nn.transformers.spline import (  # noqa: F401
 )
 from tfep_tpu.nn.transformers.sos import (  # noqa: F401
     SOSPolynomialTransformer, sos_polynomial_transformer,
+    sos_polynomial_transformer_inverse,
 )
 from tfep_tpu.nn.transformers.moebius import (  # noqa: F401
     MoebiusTransformer, SymmetrizedMoebiusTransformer,

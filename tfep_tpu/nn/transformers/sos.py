@@ -17,7 +17,8 @@ import numpy as np
 from tfep_tpu.nn.module import static
 from tfep_tpu.nn.transformers.transformer import MAFTransformer
 
-__all__ = ['SOSPolynomialTransformer', 'sos_polynomial_transformer']
+__all__ = ['SOSPolynomialTransformer', 'sos_polynomial_transformer',
+           'sos_polynomial_transformer_inverse']
 
 
 class SOSPolynomialTransformer(MAFTransformer):
@@ -50,9 +51,17 @@ class SOSPolynomialTransformer(MAFTransformer):
         return sos_polynomial_transformer(x, parameters)
 
     def inverse(self, y, parameters):
-        raise NotImplementedError(
-            'Inversion of SOS polynomial transformer has not been '
-            'implemented yet.')
+        """Analytic inverse (beyond reference parity).
+
+        The reference raises ``NotImplementedError`` here
+        (/root/reference/tfep/nn/transformers/sos.py:113); the degree-1 SOS
+        integrates to a *monotone cubic*, which has a unique real root with
+        a closed form — see :func:`sos_polynomial_transformer_inverse`.
+        """
+        batch_size = parameters.shape[0]
+        parameters = parameters.reshape(
+            batch_size, self.n_parameters_per_feature, -1)
+        return sos_polynomial_transformer_inverse(y, parameters)
 
     def get_identity_parameters(self, n_features: int) -> np.ndarray:
         params = np.zeros((self.n_parameters_per_feature, n_features))
@@ -86,3 +95,58 @@ def sos_polynomial_transformer(x, parameters):
     grad_x = c1 + 2 * c2 * x + 3 * c3 * x ** 2
     log_det_J = jnp.sum(jnp.log(grad_x), axis=1)
     return y, log_det_J
+
+
+def sos_polynomial_transformer_inverse(y, parameters):
+    """Invert the degree-1 SOS transformer analytically.
+
+    The forward map is the monotone cubic
+    ``y = a0 + c1 x + c2 x^2 + c3 x^3`` whose derivative
+    ``sum_k (a_k0 + a_k1 x)^2`` is non-negative everywhere, so exactly one
+    real root exists: Cardano's formula on the depressed cubic (the
+    discriminant is non-negative for monotone cubics), followed by three
+    Newton steps to polish float conditioning when ``c3`` is small. When
+    every linear coefficient is zero the map is affine and inverted
+    directly. ``parameters``: (batch, 1 + 2*K, n_features). Returns
+    ``(x, log_det_J)`` with ``log_det_J = -sum log dy/dx`` evaluated at the
+    recovered ``x``.
+    """
+    a0 = parameters[:, 0]
+    zeroth = parameters[:, 1::2]
+    first = parameters[:, 2::2]
+    c1 = jnp.sum(zeroth ** 2, axis=1)
+    c2 = jnp.sum(zeroth * first, axis=1)
+    c3 = jnp.sum(first ** 2, axis=1) / 3.0
+
+    d = a0 - y                      # c3 x^3 + c2 x^2 + c1 x + d = 0
+    eps = jnp.finfo(y.dtype).tiny ** 0.5
+    is_cubic = c3 > eps
+
+    # Affine branch (all a_k1 = 0 implies c2 = 0 as well): x = -d / c1.
+    x_linear = -d / jnp.maximum(c1, eps)
+
+    # Cardano branch on the monic cubic x^3 + b x^2 + c x + e = 0.
+    safe_c3 = jnp.where(is_cubic, c3, 1.0)
+    b = c2 / safe_c3
+    c = c1 / safe_c3
+    e = d / safe_c3
+    shift = b / 3.0
+    p = c - b * b / 3.0
+    q = 2.0 * b ** 3 / 27.0 - b * c / 3.0 + e
+    # Monotonicity guarantees a single real root => discriminant >= 0
+    # (clamped against float round-off).
+    disc = jnp.maximum((q / 2.0) ** 2 + (p / 3.0) ** 3, 0.0)
+    s = jnp.sqrt(disc)
+    t = jnp.cbrt(-q / 2.0 + s) + jnp.cbrt(-q / 2.0 - s)
+    x = jnp.where(is_cubic, t - shift, x_linear)
+
+    # Newton polish: cheap, vectorized, and repairs the cancellation-prone
+    # Cardano cube roots near triple roots / tiny c3.
+    for _ in range(3):
+        f = a0 + x * (c1 + x * (c2 + x * c3)) - y
+        fp = c1 + 2.0 * c2 * x + 3.0 * c3 * x ** 2
+        x = x - f / jnp.maximum(fp, eps)
+
+    grad_x = c1 + 2.0 * c2 * x + 3.0 * c3 * x ** 2
+    log_det_J = -jnp.sum(jnp.log(grad_x), axis=1)
+    return x, log_det_J
