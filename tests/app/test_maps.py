@@ -295,3 +295,83 @@ def test_continuous_map_trains(tmp_path):
     # Per-sample logging worked for the CNF map too.
     logged = tfep_map.tfep_logger.read_train_tensors(epoch_idx=0)
     assert set(logged['dataset_sample_index'].tolist()) == set(range(N_FRAMES))
+
+
+def test_reference_frame_index_arithmetic(tmp_path):
+    """get_mapped/conditioning_indices with remove_reference: the origin
+    atom loses 3 DOFs, the axis atom 2 (x,y), the plane atom 1 (y) —
+    mirrors the reference's _remove_reference_indices arithmetic
+    (/root/reference/tfep/app/cartesianmaf.py:324-367)."""
+    tfep_map = make_map(tmp_path, mapped_atoms=[0, 1, 2],
+                        conditioning_atoms=[3, 4, 5],
+                        origin_atom=3, axes_atoms=[4, 5])
+    tfep_map.setup()
+
+    # Atom indices (remove_fixed=True is a no-op here: nothing is fixed).
+    np.testing.assert_array_equal(
+        tfep_map.get_mapped_indices(idx_type='atom'), [0, 1, 2])
+    np.testing.assert_array_equal(
+        tfep_map.get_conditioning_indices(idx_type='atom'), [3, 4, 5])
+
+    # DOF indices without reference removal: straight x3 expansion.
+    np.testing.assert_array_equal(
+        tfep_map.get_mapped_indices(idx_type='dof'), np.arange(9))
+    np.testing.assert_array_equal(
+        tfep_map.get_conditioning_indices(idx_type='dof'),
+        np.arange(9, 18))
+
+    # With remove_reference: origin atom 3 loses DOFs 9-11 entirely; axis
+    # atom 4 loses x,y (12, 13); plane atom 5 loses y (16). Remaining
+    # conditioning DOFs shift down by the removals before them.
+    np.testing.assert_array_equal(
+        tfep_map.get_mapped_indices(idx_type='dof', remove_reference=True),
+        np.arange(9))
+    np.testing.assert_array_equal(
+        tfep_map.get_conditioning_indices(idx_type='dof',
+                                          remove_reference=True),
+        [9, 10, 11])
+
+    # Atom indices with remove_reference: the three reference atoms are
+    # removed; only the mapped atoms remain (shifted by nothing here).
+    np.testing.assert_array_equal(
+        tfep_map.get_mapped_indices(idx_type='atom', remove_reference=True),
+        [0, 1, 2])
+    cond = tfep_map.get_conditioning_indices(idx_type='atom',
+                                             remove_reference=True)
+    assert len(cond) == 0
+
+
+def test_reference_frame_flow_dof_count(tmp_path):
+    """The wrapped flow must see n_dofs - 6 features when origin+axes atoms
+    are set (3 origin + 2 axis + 1 plane constrained DOFs)."""
+    tfep_map = make_map(tmp_path, mapped_atoms=[0, 1, 2],
+                        conditioning_atoms=[3, 4, 5],
+                        origin_atom=3, axes_atoms=[4, 5])
+    tfep_map.setup()
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, N_ATOMS * 3)))
+    out = tfep_map.forward({'positions': x})
+    y, ldj = out['positions'], out['log_det_J']
+    assert y.shape == x.shape
+    # The constrained frame makes exactly 6 DOFs non-learnable: moving the
+    # whole system rigidly changes y only through the frame restore.
+    assert np.all(np.isfinite(np.asarray(ldj)))
+
+
+def test_app_forward_inverse_round_trip(tmp_path):
+    """map.inverse(map.forward(x)) == x through the full app stack
+    (PartialFlow + Oriented + Centroid wrapping), with cancelling
+    log-dets — the reference forward/inverse dict contract
+    (/root/reference/tfep/app/base.py:731-778)."""
+    tfep_map = make_map(tmp_path, mapped_atoms=[0, 1, 2],
+                        conditioning_atoms=[3, 4, 5],
+                        origin_atom=3, axes_atoms=[4, 5])
+    tfep_map.setup()
+    x = jnp.asarray(np.random.default_rng(3).normal(
+        size=(4, N_ATOMS * 3)))
+    fwd = tfep_map.forward({'positions': x})
+    back = tfep_map.inverse({'positions': fwd['positions']})
+    np.testing.assert_allclose(np.asarray(back['positions']),
+                               np.asarray(x), atol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(fwd['log_det_J'] + back['log_det_J']), 0.0, atol=1e-8)

@@ -147,3 +147,37 @@ def test_cnf_with_egnn_trains():
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
     # At least some parameter receives signal.
     assert any(np.any(np.asarray(l) != 0) for l in leaves)
+
+
+def test_egnn_node_type_symmetry():
+    """Same-type atoms are treated symmetrically: permuting two atoms of
+    the same type permutes the velocity field accordingly (cf. the
+    reference's node-embedding test, tests/nn/dynamics/test_egnn.py)."""
+    import jax
+
+    from tfep_tpu.nn.dynamics import EGNNDynamics
+
+    # Atoms 0 and 2 share a type; atom 1 differs.
+    dynamics = EGNNDynamics.create(
+        jax.random.key(0), node_types=[0, 1, 0], r_cutoff=10.0,
+        node_feat_dim=8, distance_feat_dim=8, n_layers=2,
+        initialize_identity=False)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 9)))
+    t = jnp.asarray(0.3)
+    v = np.asarray(dynamics(t, x)).reshape(2, 3, 3)
+
+    # Swap atoms 0 and 2 (same type): the field must swap with them.
+    perm = np.array([2, 1, 0])
+    x_swapped = jnp.asarray(
+        np.asarray(x).reshape(2, 3, 3)[:, perm].reshape(2, 9))
+    v_swapped = np.asarray(dynamics(t, x_swapped)).reshape(2, 3, 3)
+    np.testing.assert_allclose(v_swapped, v[:, perm], atol=1e-10)
+
+    # One-hot encoding: one column per type, one 1 per row.
+    one_hot = np.asarray(dynamics.node_types_one_hot)
+    assert one_hot.shape == (3, 2)
+    np.testing.assert_array_equal(one_hot.sum(axis=1), 1.0)
+    np.testing.assert_array_equal(one_hot[0], one_hot[2])
+    assert not np.array_equal(one_hot[0], one_hot[1])

@@ -149,3 +149,85 @@ def test_pca_whitened_flow():
     oracle_nb = batch_log_abs_det_J(lambda z: flow_nb.forward(z)[0], x)
     np.testing.assert_allclose(np.asarray(ldj_nb), np.asarray(oracle_nb),
                                atol=1e-6)
+
+
+# =============================================================================
+# Error paths and option behaviors (cf. reference test_oriented.py error
+# tests and test_centroid.py configuration tests)
+# =============================================================================
+
+def test_oriented_flow_error_paths():
+    inner = make_inner(N_DOFS - 3)
+    # Same atom for axis and plane.
+    with pytest.raises(ValueError, match='different'):
+        OrientedFlow.create(inner, n_features=N_DOFS,
+                            axis_point_idx=1, plane_point_idx=1)
+    # Axis not contained in the plane.
+    with pytest.raises(ValueError, match='plane'):
+        OrientedFlow.create(inner, n_features=N_DOFS, axis='z', plane='xy')
+    # return_partial requires rotate_back=False.
+    with pytest.raises(ValueError, match='rotate_back'):
+        OrientedFlow.create(inner, n_features=N_DOFS, return_partial=True,
+                            rotate_back=True)
+
+
+def test_oriented_flow_automatic_reference_points():
+    """Defaults pick atoms 0/1, avoiding whichever the caller pinned."""
+    inner = make_inner(N_DOFS - 3)
+    flow = OrientedFlow.create(inner, n_features=N_DOFS)
+    assert {flow.axis_point_idx, flow.plane_point_idx} == {0, 1}
+
+    flow = OrientedFlow.create(inner, n_features=N_DOFS, plane_point_idx=0)
+    assert flow.axis_point_idx == 1 and flow.plane_point_idx == 0
+
+    flow = OrientedFlow.create(inner, n_features=N_DOFS, axis_point_idx=0)
+    assert flow.axis_point_idx == 0 and flow.plane_point_idx == 1
+
+
+def test_oriented_flow_return_partial():
+    """return_partial exposes only the propagated (unconstrained) DOFs."""
+    inner = make_inner(N_DOFS - 3)
+    flow = OrientedFlow.create(inner, n_features=N_DOFS,
+                               rotate_back=False, return_partial=True)
+    x = jax.random.normal(jax.random.key(9), (BATCH, N_DOFS), jnp.float64)
+    out = flow.forward(x)
+    y = out[0]
+    assert y.shape == (BATCH, N_DOFS - 3)
+
+
+def test_centered_centroid_error_paths():
+    inner = make_inner(N_DOFS - 3)
+    with pytest.raises(ValueError, match='translate_back'):
+        CenteredCentroidFlow.create(inner, space_dimension=3,
+                                    n_features=N_DOFS, return_partial=True,
+                                    translate_back=True)
+    with pytest.raises(ValueError, match='origin'):
+        CenteredCentroidFlow.create(inner, space_dimension=3,
+                                    n_features=N_DOFS, origin=[0.0, 1.0])
+    with pytest.raises(ValueError, match='weights'):
+        CenteredCentroidFlow.create(
+            inner, space_dimension=3, n_features=N_DOFS,
+            subset_point_indices=[0, 1, 2], weights=[1.0, 2.0])
+    # Inverse requires translate_back=True.
+    flow = CenteredCentroidFlow.create(inner, space_dimension=3,
+                                       n_features=N_DOFS,
+                                       translate_back=False)
+    x = jax.random.normal(jax.random.key(10), (BATCH, N_DOFS), jnp.float64)
+    y, _ = flow.forward(x)
+    with pytest.raises(ValueError, match='translate_back'):
+        flow.inverse(y)
+
+
+def test_centered_centroid_custom_origin():
+    """A custom origin places the (internal) centroid there; with
+    translate_back the output centroid still matches the input's."""
+    inner = make_inner(N_DOFS - 3)
+    origin = [1.0, -2.0, 0.5]
+    flow = CenteredCentroidFlow.create(inner, space_dimension=3,
+                                       n_features=N_DOFS, origin=origin,
+                                       translate_back=False)
+    x = jax.random.normal(jax.random.key(11), (BATCH, N_DOFS), jnp.float64)
+    y, _ = flow.forward(x)
+    cent_y = np.asarray(y).reshape(BATCH, -1, 3).mean(axis=1)
+    np.testing.assert_allclose(cent_y, np.tile(origin, (BATCH, 1)),
+                               atol=1e-8)

@@ -280,3 +280,175 @@ def test_mixed_transformer():
     degrees = np.array([0, 1, 2, 3, 4, 5])
     expected = np.concatenate([np.tile([0, 2, 4], 2), [1, 3, 5]])
     np.testing.assert_array_equal(t.get_degrees_out(degrees), expected)
+
+
+# =============================================================================
+# Reference-value and equivariance tests (cf. the reference's
+# test_sos/test_moebius/test_quatprod/test_mixed behavior coverage)
+# =============================================================================
+
+def test_sos_polynomial_reference_values():
+    """The SOS output matches an independent numpy evaluation of the
+    integrated polynomial y = a0 + c1 x + c2 x^2 + c3 x^3."""
+    t = SOSPolynomialTransformer.create(n_polynomials=2)
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(3, 2))
+    p = rng.normal(size=(3, t.n_parameters_per_feature, 2))
+
+    # Independent evaluation: y(x) = a0 + int_0^x sum_k (a_k0 + a_k1 z)^2 dz.
+    a0, a10, a11, a20, a21 = p[:, 0], p[:, 1], p[:, 2], p[:, 3], p[:, 4]
+    c1 = a10 ** 2 + a20 ** 2
+    c2 = a10 * a11 + a20 * a21           # *2 / 2 from the integral
+    c3 = (a11 ** 2 + a21 ** 2) / 3.0
+    y_want = a0 + c1 * x + c2 * x ** 2 + c3 * x ** 3
+    dydx = c1 + 2 * c2 * x + 3 * c3 * x ** 2
+    ldj_want = np.sum(np.log(np.abs(dydx)), axis=1)
+
+    y, ldj = t.forward(jnp.asarray(x), jnp.asarray(p.reshape(3, -1)))
+    np.testing.assert_allclose(np.asarray(y), y_want, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(ldj), ldj_want, atol=1e-10)
+
+
+def test_sos_affine_equivalence():
+    """With zero linear coefficients the SOS transformer reduces to an
+    affine map y = shift + scale*x (scale = sum of squared constants)."""
+    t = SOSPolynomialTransformer.create(n_polynomials=3)
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(4, 3))
+    p = np.zeros((4, t.n_parameters_per_feature, 3))
+    p[:, 0] = rng.normal(size=(4, 3))            # shift a0
+    p[:, 1::2] = rng.normal(size=(4, 3, 3))      # constant terms a_k0
+
+    scale = np.sum(p[:, 1::2] ** 2, axis=1)
+    y, ldj = t.forward(jnp.asarray(x), jnp.asarray(p.reshape(4, -1)))
+    np.testing.assert_allclose(np.asarray(y), p[:, 0] + scale * x, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(ldj),
+                               np.sum(np.log(scale), axis=1), atol=1e-10)
+
+
+def test_symmetrized_moebius_flip_equivariance():
+    """f(-x, w) = -f(x, w) for the symmetrized Moebius transformer."""
+    dim = 3
+    t = SymmetrizedMoebiusTransformer(dimension=dim)
+    x = jax.random.normal(jax.random.key(2), (BATCH, 2 * dim))
+    w = 0.4 * jax.random.normal(jax.random.key(3), (BATCH, 2 * dim))
+    y, _ = t.forward(x, w)
+    y_neg, _ = t.forward(-x, w)
+    np.testing.assert_allclose(np.asarray(y), -np.asarray(y_neg), atol=1e-10)
+
+
+def test_moebius_zero_w_is_identity_per_vector():
+    """w = 0 for one vector leaves that vector unchanged even when other
+    vectors transform (per-sphere independence)."""
+    dim = 3
+    t = MoebiusTransformer(dimension=dim)
+    x = jax.random.normal(jax.random.key(4), (BATCH, 2 * dim))
+    w = np.array(0.5 * jax.random.normal(jax.random.key(5), (BATCH, 2, dim)))
+    w[:, 0] = 0.0
+    y, _ = t.forward(x, jnp.asarray(w.reshape(BATCH, -1)))
+    np.testing.assert_allclose(np.asarray(y).reshape(BATCH, 2, dim)[:, 0],
+                               np.asarray(x).reshape(BATCH, 2, dim)[:, 0],
+                               atol=1e-10)
+
+
+def test_quaternion_product_flip_equivariance():
+    """f(-q, w) = -f(q, w): both lifts of a rotation map consistently."""
+    t = QuaternionProductTransformer()
+    q = jax.random.normal(jax.random.key(6), (BATCH, 2, 4))
+    q = (q / jnp.linalg.norm(q, axis=-1, keepdims=True)).reshape(BATCH, 8)
+    w = jax.random.normal(jax.random.key(7), (BATCH, 8))
+    y, _ = t.forward(q, w)
+    y_neg, _ = t.forward(-q, w)
+    np.testing.assert_allclose(np.asarray(y), -np.asarray(y_neg), atol=1e-12)
+
+
+def test_mixed_transformer_get_degrees_out():
+    t = MixedTransformer.create(
+        [AffineTransformer(), VolumePreservingShiftTransformer(
+            periodic_indices=None, periodic_limits=None)],
+        indices=[[0, 2], [1, 3]])
+    degrees_in = np.array([5, 6, 7, 8])
+    degrees_out = t.get_degrees_out(degrees_in)
+    # Affine: 2 params/feature for features {0, 2}; shift: 1 param/feature
+    # for features {1, 3}; parameter blocks are per-transformer.
+    assert len(degrees_out) == 2 * 2 + 2
+    assert sorted(degrees_out.tolist()) == [5, 5, 6, 7, 7, 8]
+
+
+def test_mixed_transformer_identity_parameters():
+    t = MixedTransformer.create(
+        [AffineTransformer(), VolumePreservingShiftTransformer(
+            periodic_indices=None, periodic_limits=None)],
+        indices=[[0, 2], [1, 3]])
+    x = jax.random.normal(jax.random.key(8), (BATCH, 4))
+    identity_check(t, x)
+
+
+def test_mixed_transformer_errors():
+    with pytest.raises(ValueError):
+        MixedTransformer.create([AffineTransformer()], indices=[[0, 1]])
+    with pytest.raises(ValueError):
+        MixedTransformer.create(
+            [AffineTransformer(), AffineTransformer()], indices=[[0, 1]])
+
+
+def test_sos_polynomial_inverse_round_trip():
+    """The analytic (Cardano + Newton) inverse recovers x to float64
+    precision — beyond the reference, which raises NotImplementedError."""
+    t = SOSPolynomialTransformer.create(n_polynomials=3)
+    x = jax.random.normal(jax.random.key(20), (64, N_FEATURES))
+    n_params = t.n_parameters_per_feature * N_FEATURES
+    params = jax.random.normal(jax.random.key(21), (64, n_params))
+    roundtrip_check(t, x, params, atol=1e-9)
+
+
+def test_sos_polynomial_inverse_affine_branch():
+    """All-zero linear coefficients degrade to an affine map; the inverse
+    must take the linear branch without NaNs."""
+    t = SOSPolynomialTransformer.create(n_polynomials=2)
+    rng = np.random.default_rng(6)
+    x = rng.normal(size=(8, 3))
+    p = np.zeros((8, t.n_parameters_per_feature, 3))
+    p[:, 0] = rng.normal(size=(8, 3))
+    p[:, 1::2] = rng.normal(size=(8, 2, 3))
+    params = jnp.asarray(p.reshape(8, -1))
+    roundtrip_check(t, jnp.asarray(x), params, atol=1e-9)
+
+
+def test_sos_polynomial_inverse_near_triple_root():
+    """Cardano is ill-conditioned near triple roots (x ~ -shift); the
+    Newton polish must still recover the input."""
+    t = SOSPolynomialTransformer.create(n_polynomials=2)
+    # Parameters making the derivative nearly vanish at one point:
+    # a_10 = -a_11 * x0 makes (a_10 + a_11 x)^2 zero at x = x0.
+    x0 = 0.7
+    p = np.zeros((1, t.n_parameters_per_feature, 1))
+    p[:, 1] = -1.0 * x0   # a_10
+    p[:, 2] = 1.0         # a_11
+    p[:, 3] = -0.5 * x0   # a_20
+    p[:, 4] = 0.5         # a_21
+    params = jnp.asarray(p.reshape(1, -1))
+    x = jnp.asarray([[x0 + 1e-3]])
+    y, _ = t.forward(x, params)
+    x_back, _ = t.inverse(y, params)
+    np.testing.assert_allclose(np.asarray(x_back), np.asarray(x), atol=1e-6)
+
+
+@pytest.mark.parametrize('dimension', [2, 3, 5])
+@pytest.mark.parametrize('unit_sphere', [False, True])
+def test_moebius_dimensions_and_unit_sphere(dimension, unit_sphere):
+    """Round trip + norm preservation across vector dimensions, with and
+    without the unit-sphere fast path."""
+    t = MoebiusTransformer(dimension=dimension, unit_sphere=unit_sphere)
+    x = jax.random.normal(jax.random.key(12), (BATCH, 2 * dimension))
+    if unit_sphere:
+        xv = x.reshape(BATCH, 2, dimension)
+        xv = xv / jnp.linalg.norm(xv, axis=-1, keepdims=True)
+        x = xv.reshape(BATCH, 2 * dimension)
+    w = 0.4 * jax.random.normal(jax.random.key(13), (BATCH, 2 * dimension))
+    y, ldj = t.forward(x, w)
+    yv = np.asarray(y).reshape(BATCH, 2, dimension)
+    xv = np.asarray(x).reshape(BATCH, 2, dimension)
+    np.testing.assert_allclose(np.linalg.norm(yv, axis=-1),
+                               np.linalg.norm(xv, axis=-1), atol=1e-9)
+    roundtrip_check(t, x, w, atol=1e-8)
