@@ -413,3 +413,113 @@ def test_mixedmaf_trains_from_xtc_prmtop(tmp_path):
     assert trainer.global_step == 2
     logged = tfep_map.tfep_logger.read_train_tensors(epoch_idx=0)
     assert np.all(np.isfinite(logged['potential']))
+
+
+# =============================================================================
+# Writers (tfep_tpu/io/writers.py): round trips through our own readers
+# =============================================================================
+
+def _writer_system(n_frames=3, n_atoms=5, seed=7, triclinic=False):
+    from tfep_tpu.io.topology import Topology
+    from tfep_tpu.io.traj import System
+
+    rng = np.random.default_rng(seed)
+    topology = Topology(
+        names=['C1', 'O1', 'H1', 'H2', 'N1'][:n_atoms],
+        elements=['C', 'O', 'H', 'H', 'N'][:n_atoms],
+        resnames=['MOL'] * n_atoms,
+        resids=[1] * n_atoms,
+        bonds=[(0, 1), (0, 2), (1, 3)],
+    )
+    positions = rng.uniform(0.0, 9.0, size=(n_frames, n_atoms, 3))
+    if triclinic:
+        dims = np.tile([20.0, 22.0, 25.0, 80.0, 95.0, 100.0], (n_frames, 1))
+    else:
+        dims = np.tile([20.0, 22.0, 25.0, 90.0, 90.0, 90.0], (n_frames, 1))
+    return System(topology, positions, dims)
+
+
+def test_write_pdb_round_trip(tmp_path):
+    from tfep_tpu.io.traj import read_pdb
+    from tfep_tpu.io.writers import write_pdb
+
+    system = _writer_system()
+    path = str(tmp_path / 'out.pdb')
+    write_pdb(path, system)
+    back = read_pdb(path)
+    assert back.n_frames == system.n_frames
+    np.testing.assert_allclose(back.positions, system.positions, atol=1e-3)
+    np.testing.assert_array_equal(back.topology.names, system.topology.names)
+    np.testing.assert_array_equal(back.topology.elements,
+                                  system.topology.elements)
+    # CONECT bonds survive (order-normalized).
+    got = {tuple(sorted(b)) for b in back.topology.bonds.tolist()}
+    want = {tuple(sorted(b)) for b in system.topology.bonds.tolist()}
+    assert got == want
+    np.testing.assert_allclose(back.dimensions[0], system.dimensions[0],
+                               atol=1e-2)
+
+
+@pytest.mark.parametrize('triclinic', [False, True])
+def test_write_gro_round_trip(tmp_path, triclinic):
+    from tfep_tpu.io.traj import read_gro
+    from tfep_tpu.io.writers import write_gro
+
+    system = _writer_system(triclinic=triclinic)
+    path = str(tmp_path / 'out.gro')
+    write_gro(path, system)
+    back = read_gro(path)
+    assert back.n_frames == system.n_frames
+    # GRO stores nm at 1e-3 precision -> 1e-2 angstrom tolerance.
+    np.testing.assert_allclose(back.positions, system.positions, atol=2e-2)
+    np.testing.assert_array_equal(back.topology.names, system.topology.names)
+    np.testing.assert_allclose(back.dimensions, system.dimensions, atol=0.3)
+
+
+def test_write_xyz_round_trip(tmp_path):
+    from tfep_tpu.io.traj import read_xyz
+    from tfep_tpu.io.writers import write_xyz
+
+    system = _writer_system()
+    path = str(tmp_path / 'out.xyz')
+    write_xyz(path, system)
+    back = read_xyz(path)
+    assert back.n_frames == system.n_frames
+    np.testing.assert_allclose(back.positions, system.positions, atol=1e-6)
+    np.testing.assert_array_equal(back.topology.elements,
+                                  system.topology.elements)
+
+
+def test_system_save_dispatch_and_mapped_override(tmp_path):
+    """System.save writes any extension; a flattened positions override
+    (the flow's output layout) is reshaped and written."""
+    from tfep_tpu.io.traj import System, read_xyz
+
+    system = _writer_system()
+    mapped = np.asarray(system.positions, np.float64).reshape(
+        system.n_frames, -1) + 1.5
+    path = str(tmp_path / 'mapped.xyz')
+    system.save(path, positions=mapped)
+    back = read_xyz(path)
+    np.testing.assert_allclose(
+        back.positions, mapped.reshape(system.n_frames, -1, 3), atol=1e-6)
+
+    with pytest.raises(ValueError, match='Unsupported'):
+        system.save(str(tmp_path / 'out.nope'))
+
+
+def test_write_xtc_via_save(tmp_path):
+    from tfep_tpu.io.traj import System
+
+    system = _writer_system()
+    path = str(tmp_path / 'out.xtc')
+    system.save(path)
+    # XTC needs a topology to re-load as a System; read raw instead.
+    from tfep_tpu.io.xdr import read_xtc
+    positions_nm, boxes_nm, _ = read_xtc(path)
+    np.testing.assert_allclose(positions_nm * 10.0, system.positions,
+                               atol=2e-2)
+    from tfep_tpu.io.traj import box_vectors_to_dimensions
+    np.testing.assert_allclose(
+        box_vectors_to_dimensions(boxes_nm * 10.0), system.dimensions,
+        atol=0.2)

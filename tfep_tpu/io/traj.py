@@ -177,6 +177,17 @@ class System:
                              f'({sorted(_BINARY_FORMATS)}), not {ext}.')
         return readers[ext](path)
 
+    def save(self, path: str, positions=None, **kwargs) -> None:
+        """Write this system's frames (PDB/GRO/XYZ/XTC/TRR by extension).
+
+        ``positions`` overrides the stored coordinates — pass the
+        flow-mapped ensemble ``M(x)`` (flattened ``(n_frames, n_atoms*3)``
+        accepted) to export it for engines/visualizers. See
+        :func:`tfep_tpu.io.writers.write_frames`.
+        """
+        from tfep_tpu.io.writers import write_frames
+        write_frames(path, self, positions=positions, **kwargs)
+
 
 def load_topology(path: str) -> Topology:
     """Load atom attributes from a structure or topology file."""
