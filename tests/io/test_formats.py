@@ -523,3 +523,59 @@ def test_write_xtc_via_save(tmp_path):
     np.testing.assert_allclose(
         box_vectors_to_dimensions(boxes_nm * 10.0), system.dimensions,
         atol=0.2)
+
+
+def test_write_pdb_four_char_resname(tmp_path):
+    """4-character residue names (e.g. lipids) survive the round trip."""
+    from tfep_tpu.io.topology import Topology
+    from tfep_tpu.io.traj import System, read_pdb
+    from tfep_tpu.io.writers import write_pdb
+
+    topology = Topology(names=['C1', 'C2'], elements=['C', 'C'],
+                        resnames=['POPC', 'POPC'], resids=[1, 1])
+    system = System(topology, np.ones((1, 2, 3)))
+    path = str(tmp_path / 'lipid.pdb')
+    write_pdb(path, system)
+    back = read_pdb(path)
+    np.testing.assert_array_equal(back.topology.resnames, ['POPC', 'POPC'])
+
+
+def test_write_single_frame_2d_positions(tmp_path):
+    """A (n_atoms, 3) positions override is one frame (the System
+    convention), not n_atoms frames of flattened triples."""
+    from tfep_tpu.io.traj import read_xyz
+
+    system = _writer_system(n_frames=1)
+    one_frame = np.asarray(system.positions[0], np.float64)  # (n_atoms, 3)
+    path = str(tmp_path / 'one.xyz')
+    system.save(path, positions=one_frame + 0.5)
+    back = read_xyz(path)
+    assert back.n_frames == 1
+    assert back.n_atoms == system.n_atoms
+    np.testing.assert_allclose(back.positions[0], one_frame + 0.5,
+                               atol=1e-6)
+
+    with pytest.raises(ValueError, match='positions'):
+        system.save(str(tmp_path / 'bad.xyz'),
+                    positions=np.ones((7, 11)))
+
+
+def test_write_single_box_many_frames(tmp_path):
+    """A single-structure system's one box pairs with every frame of a
+    mapped batch (the documented mapped-ensemble export)."""
+    from tfep_tpu.io.traj import read_gro
+
+    system = _writer_system(n_frames=1)
+    assert system.dimensions.shape == (1, 6)
+    mapped = np.tile(np.asarray(system.positions[0]).reshape(1, -1),
+                     (3, 1)) + np.arange(3)[:, None]
+    path = str(tmp_path / 'mapped.gro')
+    system.save(path, positions=mapped)
+    back = read_gro(path)
+    assert back.n_frames == 3
+    np.testing.assert_allclose(back.dimensions,
+                               np.tile(system.dimensions, (3, 1)), atol=0.3)
+
+    with pytest.raises(ValueError, match='boxes'):
+        system.save(str(tmp_path / 'bad.gro'), positions=mapped,
+                    dimensions=np.tile(system.dimensions, (2, 1)))

@@ -452,3 +452,21 @@ def test_moebius_dimensions_and_unit_sphere(dimension, unit_sphere):
     np.testing.assert_allclose(np.linalg.norm(yv, axis=-1),
                                np.linalg.norm(xv, axis=-1), atol=1e-9)
     roundtrip_check(t, x, w, atol=1e-8)
+
+
+def test_sos_polynomial_inverse_tiny_linear_terms_f32():
+    """Near-identity parameters (tiny a_k1, the regime right after identity
+    init) must not overflow Cardano's intermediates in float32."""
+    t = SOSPolynomialTransformer.create(n_polynomials=2)
+    p = np.zeros((1, t.n_parameters_per_feature, 3), np.float32)
+    p[:, 1::2] = np.sqrt(0.5, dtype=np.float32)
+    x = jnp.asarray(np.array([[0.3, -1.2, 2.0]], np.float32))
+    for a_k1 in (1e-8, 1e-7, 1e-5, 1e-3):
+        p[:, 2::2] = a_k1
+        params = jnp.asarray(p.reshape(1, -1))
+        y, _ = t.forward(x, params)
+        x_back, ldj_inv = t.inverse(y, params)
+        assert not np.any(np.isnan(np.asarray(x_back))), f'NaN at {a_k1}'
+        np.testing.assert_allclose(np.asarray(x_back), np.asarray(x),
+                                   atol=1e-5)
+        assert np.all(np.isfinite(np.asarray(ldj_inv)))

@@ -477,3 +477,23 @@ def test_openmm_potential_energy_functional(fake_openmm, monkeypatch):
     energies = openmm_potential_energy(positions, system=object(),
                                        system_name='sys-func')
     assert np.asarray(energies).shape == (1,)
+
+
+def test_ase_template_not_mutated(monkeypatch):
+    """Attaching a calculator to a user-supplied template Atoms must not
+    clobber the template's own calculator."""
+    import types as _types
+
+    import tfep_tpu.potentials.ase as ase_backend
+    from tfep_tpu.potentials.ase import ASEPotential
+
+    fake_ase = _types.ModuleType('ase')
+    fake_ase.Atoms = object
+    monkeypatch.setitem(sys.modules, 'ase', fake_ase)
+    monkeypatch.setattr(ase_backend, 'ASE_INSTALLED', True)
+
+    template = FakeAtoms()
+    template.calc = 'users-own-calculator'
+    pot = ASEPotential(calculator='potentials-calculator', atoms=template)
+    assert template.calc == 'users-own-calculator'
+    assert pot.atoms.calc == 'potentials-calculator'

@@ -287,3 +287,26 @@ def test_energies_forces_array_to_numpy():
 
     with pytest.raises(ValueError, match='Both or neither'):
         forces_array_to_numpy(forces, energy_unit=ureg.hartree)
+
+
+def test_units_division_idioms():
+    """ndarray / unit and scalar-or-array / Quantity produce inverse-unit
+    Quantities (symmetric with the multiplication idiom)."""
+    from tfep_tpu.units import Quantity, ureg
+
+    arr = np.array([2.0, 4.0])
+    q = arr / ureg.nanometer
+    assert isinstance(q, Quantity)
+    np.testing.assert_allclose(
+        q.to(1.0 / ureg.angstrom).magnitude, arr / 10.0)
+
+    t = Quantity(np.array([2.0, 4.0]), ureg.picosecond)
+    inv = 1.0 / t
+    assert isinstance(inv, Quantity)
+    np.testing.assert_allclose(inv.magnitude, [0.5, 0.25])
+    np.testing.assert_allclose(
+        inv.to(1.0 / ureg.femtosecond).magnitude, [0.0005, 0.00025])
+
+    inv_arr = np.array([1.0, 2.0]) / t
+    assert isinstance(inv_arr, Quantity)
+    np.testing.assert_allclose(inv_arr.magnitude, [0.5, 0.5])

@@ -22,19 +22,44 @@ __all__ = ['write_pdb', 'write_gro', 'write_xyz', 'write_frames']
 
 
 def _frames_and_boxes(system, positions, dimensions):
-    """Resolve (n_frames, n_atoms, 3) positions + per-frame dimensions."""
+    """Resolve (n_frames, n_atoms, 3) positions + per-frame dimensions.
+
+    A 2D positions override is disambiguated against the topology: a
+    ``(n_frames, n_atoms*3)`` array is the flow's flattened layout, a
+    ``(n_atoms, 3)`` array a single frame (the ``System`` convention).
+    """
+    n_atoms = system.topology.n_atoms
     if positions is None:
         positions = system.positions[:]
     positions = np.asarray(positions, dtype=np.float64)
     if positions.ndim == 2:
-        # Accept flattened (n_frames, n_atoms*3) — the flow's layout.
-        positions = positions.reshape(positions.shape[0], -1, 3)
+        if positions.shape[1] == n_atoms * 3:
+            positions = positions.reshape(positions.shape[0], n_atoms, 3)
+        elif positions.shape == (n_atoms, 3):
+            positions = positions[None]
+        else:
+            raise ValueError(
+                f'2D positions must be ({n_atoms}, 3) (one frame) or '
+                f'(n_frames, {n_atoms * 3}) (flattened); got '
+                f'{positions.shape}.')
+    if positions.shape[1:] != (n_atoms, 3):
+        raise ValueError(
+            f'positions shape {positions.shape} does not match the '
+            f'topology ({n_atoms} atoms).')
     if dimensions is None:
         dimensions = system.dimensions
     if dimensions is not None:
         dimensions = np.asarray(dimensions, dtype=np.float64)
         if dimensions.ndim == 1:
             dimensions = np.tile(dimensions, (positions.shape[0], 1))
+        elif dimensions.shape[0] == 1:
+            # One box for the whole trajectory (e.g. a single-frame
+            # structure file's CRYST1 paired with a mapped batch).
+            dimensions = np.tile(dimensions, (positions.shape[0], 1))
+        elif dimensions.shape[0] != positions.shape[0]:
+            raise ValueError(
+                f'{dimensions.shape[0]} boxes for {positions.shape[0]} '
+                'frames; pass matching dimensions or a single box.')
     return positions, dimensions
 
 
@@ -77,23 +102,29 @@ def write_pdb(path: str, system, positions=None, dimensions=None) -> None:
                 resname = str(top.resnames[i])[:4]
                 resid = int(top.resids[i]) % 10000
                 element = str(top.elements[i])[:2].rjust(2)
-                f.write(f'ATOM  {(i + 1) % 100000:5d} {name_field:<4s}'
-                        f'{resname:>4s}  {resid:4d}    '
+                # Columns (0-indexed): serial 6:11, name 12:16, altLoc 16,
+                # resName 17:21, resSeq 22:26, xyz 30:54, element 76:78 —
+                # matching read_pdb and the PDB standard.
+                f.write(f'ATOM  {(i + 1) % 100000:5d} {name_field:<4s} '
+                        f'{resname:<4s} {resid:4d}    '
                         f'{x:8.3f}{y:8.3f}{z:8.3f}{1.0:6.2f}{0.0:6.2f}'
                         f'          {element}\n')
             f.write('ENDMDL\n')
-        # CONECT records once, after the coordinate blocks.
-        neighbors: dict = {}
-        for a, b in np.asarray(top.bonds).reshape(-1, 2) \
-                if len(top.bonds) else []:
-            neighbors.setdefault(int(a), []).append(int(b))
-            neighbors.setdefault(int(b), []).append(int(a))
-        for a in sorted(neighbors):
-            for chunk_start in range(0, len(neighbors[a]), 4):
-                chunk = neighbors[a][chunk_start:chunk_start + 4]
-                f.write('CONECT' + f'{a + 1:5d}'
-                        + ''.join(f'{b + 1:5d}' for b in sorted(chunk))
-                        + '\n')
+        # CONECT records once, after the coordinate blocks. The fixed
+        # 5-column serial field cannot represent atoms >= 100000, so bonds
+        # are omitted (not wrapped into colliding serials) beyond that.
+        if n_atoms < 100000:
+            neighbors: dict = {}
+            for a, b in np.asarray(top.bonds).reshape(-1, 2) \
+                    if len(top.bonds) else []:
+                neighbors.setdefault(int(a), []).append(int(b))
+                neighbors.setdefault(int(b), []).append(int(a))
+            for a in sorted(neighbors):
+                for chunk_start in range(0, len(neighbors[a]), 4):
+                    chunk = neighbors[a][chunk_start:chunk_start + 4]
+                    f.write('CONECT' + f'{a + 1:5d}'
+                            + ''.join(f'{b + 1:5d}' for b in sorted(chunk))
+                            + '\n')
         f.write('END\n')
 
 

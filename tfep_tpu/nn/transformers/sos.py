@@ -80,21 +80,25 @@ def sos_polynomial_transformer(x, parameters):
     ``parameters``: (batch, 1 + 2*K, n_features), ordered ``a_0, a_10, a_11,
     ..., a_K0, a_K1``. Returns (y, log_det_J).
     """
-    a0 = parameters[:, 0]
-    zeroth = parameters[:, 1::2]   # (batch, K, n_features)
-    first = parameters[:, 2::2]
-
-    # Coefficients of the integrated polynomial:
-    # y = a0 + c1*x + c2*x^2 + c3*x^3 with
-    c1 = jnp.sum(zeroth ** 2, axis=1)
-    c2 = jnp.sum(zeroth * first, axis=1)
-    c3 = jnp.sum(first ** 2, axis=1) / 3.0
-
+    a0, c1, c2, c3 = _sos_coefficients(parameters)
     y = a0 + x * (c1 + x * (c2 + x * c3))
     # dy/dx = c1 + 2 c2 x + 3 c3 x^2 = sum_k (a_k0 + a_k1 x)^2 >= 0.
     grad_x = c1 + 2 * c2 * x + 3 * c3 * x ** 2
     log_det_J = jnp.sum(jnp.log(grad_x), axis=1)
     return y, log_det_J
+
+
+def _sos_coefficients(parameters):
+    """Coefficients of the integrated polynomial y = a0 + c1 x + c2 x^2
+    + c3 x^3 from the packed (batch, 1 + 2*K, n_features) parameters —
+    the single place encoding the interleaved a_k0/a_k1 layout."""
+    a0 = parameters[:, 0]
+    zeroth = parameters[:, 1::2]   # (batch, K, n_features)
+    first = parameters[:, 2::2]
+    c1 = jnp.sum(zeroth ** 2, axis=1)
+    c2 = jnp.sum(zeroth * first, axis=1)
+    c3 = jnp.sum(first ** 2, axis=1) / 3.0
+    return a0, c1, c2, c3
 
 
 def sos_polynomial_transformer_inverse(y, parameters):
@@ -111,16 +115,18 @@ def sos_polynomial_transformer_inverse(y, parameters):
     ``(x, log_det_J)`` with ``log_det_J = -sum log dy/dx`` evaluated at the
     recovered ``x``.
     """
-    a0 = parameters[:, 0]
-    zeroth = parameters[:, 1::2]
-    first = parameters[:, 2::2]
-    c1 = jnp.sum(zeroth ** 2, axis=1)
-    c2 = jnp.sum(zeroth * first, axis=1)
-    c3 = jnp.sum(first ** 2, axis=1) / 3.0
+    a0, c1, c2, c3 = _sos_coefficients(parameters)
 
     d = a0 - y                      # c3 x^3 + c2 x^2 + c1 x + d = 0
-    eps = jnp.finfo(y.dtype).tiny ** 0.5
-    is_cubic = c3 > eps
+    eps = jnp.finfo(y.dtype).eps
+    # Cardano's intermediates involve (c2/c3)^6 and (d/c3)^2, which overflow
+    # when c3 is small but nonzero (e.g. near-identity parameters where the
+    # linear coefficients are ~1e-7). Take the cubic branch only when c3 is
+    # non-negligible against the other coefficients: by Cauchy-Schwarz
+    # c2^2 <= 3*c1*c3, so below this threshold the quadratic term is
+    # negligible too and the linear start is within sqrt(eps) relative
+    # error — which the Newton polish then squares away.
+    is_cubic = c3 > eps * (c1 + jnp.abs(c2) + jnp.abs(d))
 
     # Affine branch (all a_k1 = 0 implies c2 = 0 as well): x = -d / c1.
     x_linear = -d / jnp.maximum(c1, eps)

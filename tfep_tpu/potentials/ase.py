@@ -76,6 +76,9 @@ class ASEPotential(EnginePotential):
                     'Pass either a template "atoms" object or the ase.Atoms '
                     'constructor arguments, not both.')
             if calculator is not None:
+                # Attach on a copy: the caller's template must not lose its
+                # own calculator as a side effect.
+                atoms = copy.copy(atoms)
                 atoms.calc = calculator
             self.atoms = atoms
         else:

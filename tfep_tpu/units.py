@@ -79,6 +79,10 @@ class Unit:
         if isinstance(other, (int, float)):
             dims = tuple(-d for d in self.dims)
             return Unit(other / self.scale, dims, f'1/{self.name}')
+        if isinstance(other, np.ndarray):
+            # array / unit -> array-valued Quantity with the inverse unit
+            # (the pint idiom, symmetric with array * unit).
+            return Quantity(other, 1.0 / self)
         return NotImplemented
 
     def __pow__(self, exp):
@@ -157,6 +161,10 @@ class Quantity:
             return Quantity(self.magnitude / other.magnitude,
                             self.units / other.units)
         return Quantity(self.magnitude / other, self.units)
+
+    def __rtruediv__(self, other):
+        # scalar-or-array / quantity -> inverse-unit Quantity.
+        return Quantity(other / self.magnitude, 1.0 / self.units)
 
     def __add__(self, other):
         if isinstance(other, Quantity):
