@@ -27,7 +27,7 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 __all__ = ['read_xtc', 'write_xtc', 'read_trr', 'write_trr',
-           'scan_xtc_offsets', 'XTC_MAGIC', 'TRR_MAGIC']
+           'iter_trr_frames', 'scan_xtc_offsets', 'XTC_MAGIC', 'TRR_MAGIC']
 
 XTC_MAGIC = 1995
 TRR_MAGIC = 1993
@@ -606,6 +606,31 @@ def read_trr(path: str):
     return (np.asarray(frames),
             np.asarray(boxes) if has_box else None,
             np.asarray(times, dtype=np.float64))
+
+
+def iter_trr_frames(path: str):
+    """Yield every TRR frame as a dict, including coordinate-less ones.
+
+    ``read_trr`` returns only frames carrying coordinates; this generator
+    exposes the full record — notably force-only frames, which is what
+    ``gmx mdrun -rerun`` writes when asked for forces alone (the form the
+    reference's MiMiC test data ships in).
+
+    Yields
+    ------
+    frame : dict
+        Keys ``positions``, ``velocities``, ``forces`` (each an
+        ``(n_atoms, 3)`` float64 array in GROMACS units, or None when the
+        block is absent), ``box`` (``(3, 3)`` nm or None), ``time`` (ps)
+        and ``step``.
+    """
+    with open(path, 'rb') as f:
+        data = f.read()
+    offset = 0
+    while offset < len(data):
+        x, v, forces, box, time, step, offset = _read_trr_frame(data, offset)
+        yield {'positions': x, 'velocities': v, 'forces': forces,
+               'box': box, 'time': time, 'step': step}
 
 
 def scan_trr_offsets(path: str) -> Tuple[np.ndarray, int]:
