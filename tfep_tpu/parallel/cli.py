@@ -43,21 +43,21 @@ class CLIOption:
       unassigned / ``None`` value renders to nothing).
     """
 
-    def __init__(self, option_name: str):
-        self.option_name = option_name
-        self.public_name = None  # filled by __set_name__
+    def __init__(self, flag: str):
+        self.flag = flag          # the literal command-line token
+        self.attr = None          # attribute name, filled by __set_name__
 
     def __set_name__(self, owner, name):
-        self.public_name = name
+        self.attr = name
 
     # -- descriptor protocol backed by the instance's value dict -------- #
     def __get__(self, tool, owner=None):
         if tool is None:
             return self
-        return tool.option_values.get(self.public_name)
+        return tool.option_values.get(self.attr)
 
     def __set__(self, tool, value):
-        tool.option_values[self.public_name] = self.coerce(value)
+        tool.option_values[self.attr] = self.coerce(value)
 
     # -- customization hooks -------------------------------------------- #
     def coerce(self, value):
@@ -73,7 +73,7 @@ class KeyValueOption(CLIOption):
     """An option rendered as ``<name> <value>`` (value stringified)."""
 
     def render(self, value):
-        yield self.option_name
+        yield self.flag
         yield str(value)
 
 
@@ -98,23 +98,23 @@ class FlagOption(CLIOption):
     after the leading dashes (GROMACS-style ``-fp`` / ``-nofp`` pairs).
     """
 
-    def __init__(self, option_name: str, prepend_to_false: str = None):
-        super().__init__(option_name)
+    def __init__(self, flag: str, prepend_to_false: str = None):
+        super().__init__(flag)
         self.prepend_to_false = prepend_to_false
 
     def coerce(self, value):
         if value is not None and not isinstance(value, bool):
             raise ValueError(
-                f'{self.public_name} must be either a boolean or None')
+                f'{self.attr} must be either a boolean or None')
         return value
 
     def render(self, value):
         if value:
-            yield self.option_name
+            yield self.flag
         elif self.prepend_to_false is not None:
-            name = self.option_name
-            dashes = len(name) - len(name.lstrip('-'))
-            yield name[:dashes] + self.prepend_to_false + name[dashes:]
+            dashes = len(self.flag) - len(self.flag.lstrip('-'))
+            yield (self.flag[:dashes] + self.prepend_to_false
+                   + self.flag[dashes:])
 
 
 class CLITool:
