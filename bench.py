@@ -36,7 +36,12 @@ def _setup_jax_cache():
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
 
-def bench_jax():
+def build_spline_maf_train_step():
+    """Build the headline model/step: returns (train_step, flow, opt_state, x).
+
+    Shared by the throughput bench (below) and benchmarks/roofline.py, which
+    feeds the same compiled step through XLA's cost analysis.
+    """
     import jax
     import jax.numpy as jnp
     import optax
@@ -83,6 +88,14 @@ def bench_jax():
         tr, _ = partition(flow)
         updates, new_opt_state = optimizer.update(grads, opt_state, tr)
         return apply_updates(flow, updates), new_opt_state, loss
+
+    return train_step, flow, opt_state, x
+
+
+def bench_jax():
+    import jax
+
+    train_step, flow, opt_state, x = build_spline_maf_train_step()
 
     flow, opt_state, loss = train_step(flow, opt_state, x)
     jax.block_until_ready(loss)
