@@ -30,6 +30,30 @@ def boltzmann_kl_div_loss(
     With ``log_weights``, computes ``sum(softmax(log_weights) * work)``;
     otherwise the plain mean. ``ignore_nan`` switches to NaN-ignoring
     reductions so failed potential evaluations don't poison the batch.
+
+    Parameters
+    ----------
+    target_potentials : ndarray, shape (batch,)
+        Reduced target potentials ``u_B(M(x_i)) / kT`` of the mapped samples.
+    log_det_J : ndarray, shape (batch,), optional
+        Log absolute determinant of the map's Jacobian at each sample,
+        subtracted from the work. ``None`` means a volume-preserving map.
+    log_weights : ndarray, shape (batch,), optional
+        Per-sample log-weights for biased/reweighted sampling (e.g. a
+        metadynamics bias over kT). The loss becomes the
+        softmax(log_weights)-weighted sum instead of the mean.
+    ref_potentials : ndarray, shape (batch,), optional
+        Reduced reference potentials ``u_A(x_i) / kT``. They do not affect
+        gradients (constant in the map parameters) but shift the loss to the
+        actual KL divergence value.
+    ignore_nan : bool, optional
+        If ``True``, NaN work values (failed engine evaluations) are ignored
+        by the reduction (``nanmean``/``nansum``) instead of propagating.
+
+    Returns
+    -------
+    loss : ndarray, shape ()
+        The scalar KL-divergence loss in kT units.
     """
     reduced_work = target_potentials
     if log_det_J is not None:
@@ -49,7 +73,19 @@ def boltzmann_kl_div_loss(
 
 
 class BoltzmannKLDivLoss(Module):
-    """Module wrapper over :func:`boltzmann_kl_div_loss`."""
+    """Module wrapper over :func:`boltzmann_kl_div_loss`.
+
+    Drop-in counterpart of the reference's ``tfep.loss.BoltzmannKLDivLoss``
+    (/root/reference/tfep/loss.py:26): calling the instance with per-sample
+    reduced potentials, log-det-Jacobians, and optional log-weights returns
+    the scalar TFEP loss.
+
+    Parameters
+    ----------
+    ignore_nan : bool, optional
+        If ``True``, NaN work values are ignored by the batch reduction
+        (default ``False``).
+    """
 
     ignore_nan: bool = static(default=False)
 

@@ -35,6 +35,29 @@ def generate_degrees(
 
     Host-side numpy mirror of /root/reference/tfep/nn/conditioners/made.py:32-145.
 
+    Parameters
+    ----------
+    n_features : int
+        Total number of nodes (including conditioning slots).
+    order : {'ascending', 'descending', 'random'}, optional
+        Direction of the degree ramp (alternating it across MAF layers
+        prevents a fixed autoregressive ordering bias).
+    max_value : int, optional
+        Highest degree; defaults so each degree appears once (after
+        ``repeats``). Degrees repeat round-robin when ``n_features``
+        exceeds the ramp length.
+    conditioning_indices : sequence of int, optional
+        Slots assigned degree -1 (visible to every output).
+    repeats : int or sequence of int, optional
+        How many consecutive nodes share each degree (per-degree when a
+        sequence; coupling-style blocks when > 1).
+    seed : int, optional
+        RNG seed for ``order='random'``.
+
+    Returns
+    -------
+    degrees : ndarray of int, shape (n_features,)
+
     Examples
     --------
     >>> generate_degrees(n_features=3).tolist()
@@ -121,6 +144,31 @@ class MADE(Conditioner):
         ``degrees_in`` refers to the *embedded* input when ``embedding`` is
         given (callers lift degrees via ``embedding.get_degrees_out`` first,
         as the reference MAF does, tfep/nn/flows/maf.py:145-149).
+
+        Parameters
+        ----------
+        key : jax.random.PRNGKey
+            Initialization key.
+        degrees_in : ndarray of int
+            Degree of each (embedded) input node; -1 marks conditioning.
+        degrees_out : ndarray of int
+            Degree of each output parameter (from the transformer's
+            ``get_degrees_out``).
+        hidden_layers : int or sequence, optional
+            Number of hidden layers (widths chosen automatically), a list
+            of widths, or a list of explicit per-layer degree arrays.
+        weight_norm : bool, optional
+            Apply masked weight normalization to every layer.
+        embedding : MAFEmbedding, optional
+            Input lifting applied before the first masked layer.
+        dtype, compute_dtype : optional
+            Parameter storage dtype and matmul operand dtype (pass
+            ``compute_dtype='bfloat16'`` for bf16 MXU matmuls with f32
+            accumulation and f32 master weights).
+
+        Returns
+        -------
+        MADE
         """
         degrees_in = np.asarray(degrees_in)
         degrees_out = np.asarray(degrees_out)

@@ -78,6 +78,17 @@ class PeriodicEmbedding(MAFEmbedding):
     def create(cls, n_features_in: int, limits: Sequence[float],
                periodic_indices: Optional[Sequence[int]] = None
                ) -> 'PeriodicEmbedding':
+        """Build a periodic embedding.
+
+        Parameters
+        ----------
+        n_features_in : int
+            Total input features.
+        limits : sequence of 2 floats
+            Values identified with each other (one period).
+        periodic_indices : sequence of int, optional
+            Which features are periodic (default: all).
+        """
         if periodic_indices is None:
             periodic_indices = np.arange(n_features_in)
         else:
@@ -141,6 +152,26 @@ class FlipInvariantEmbedding(MAFEmbedding):
                embedded_indices: Optional[Sequence[int]] = None,
                vector_dimension: int = 4, hidden_layer_width: int = 32,
                dtype=None) -> 'FlipInvariantEmbedding':
+        """Build a flip-invariant embedding.
+
+        Parameters
+        ----------
+        key : jax.random.PRNGKey
+            Initialization key for the two MLPs.
+        n_features_in : int
+            Total input features.
+        embedding_dimension : int
+            Output features per embedded vector.
+        embedded_indices : sequence of int, optional
+            Features forming the embedded vectors, in groups of
+            ``vector_dimension`` consecutive indices (default: all).
+        vector_dimension : int, optional
+            Components per vector (4 for quaternions).
+        hidden_layer_width : int, optional
+            Width of the MLPs' single hidden layer.
+        dtype : optional
+            Parameter dtype.
+        """
         if embedded_indices is None:
             embedded_indices = np.arange(n_features_in)
         else:
@@ -220,6 +251,18 @@ class MixedEmbedding(MAFEmbedding):
     def create(cls, n_features_in: int,
                embedding_layers: Sequence[MAFEmbedding],
                embedded_indices: Sequence[Sequence[int]]) -> 'MixedEmbedding':
+        """Build a mixed embedding.
+
+        Parameters
+        ----------
+        n_features_in : int
+            Total input features.
+        embedding_layers : sequence of MAFEmbedding
+            The sub-embeddings.
+        embedded_indices : sequence of sequence of int
+            For each sub-embedding, the (disjoint) input features it
+            receives; unassigned features pass through unchanged.
+        """
         if len(embedding_layers) != len(embedded_indices):
             raise ValueError('Different number of layers and indices.')
         embedded_indices = [np.asarray(ind) for ind in embedded_indices]

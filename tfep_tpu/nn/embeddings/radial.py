@@ -45,6 +45,17 @@ class GaussianBasisExpansion(Module):
     @classmethod
     def create(cls, means, stds, trainable_means: bool = False,
                trainable_stds: bool = False) -> 'GaussianBasisExpansion':
+        """Build a Gaussian basis from explicit centers and widths.
+
+        Parameters
+        ----------
+        means : array_like, shape (n_gaussians,)
+            Gaussian centers.
+        stds : array_like, shape (n_gaussians,)
+            Gaussian standard deviations (stored as ``log(1/std^2)``).
+        trainable_means, trainable_stds : bool, optional
+            Whether each is a trained parameter or a frozen buffer.
+        """
         means = jnp.asarray(np.asarray(means, dtype=float))
         log_gammas = jnp.log(1.0 / jnp.asarray(
             np.asarray(stds, dtype=float)) ** 2)
@@ -87,7 +98,23 @@ class GaussianBasisExpansion(Module):
 
 def behler_parrinello_cosine_switching_function(
         r_cutoff: float, r, force_zero_after_cutoff: bool = True):
-    """``0.5 cos(pi r / rc) + 0.5``, optionally zeroed beyond the cutoff."""
+    """``0.5 cos(pi r / rc) + 0.5``, optionally zeroed beyond the cutoff.
+
+    Parameters
+    ----------
+    r_cutoff : float
+        Cutoff radius ``rc``.
+    r : ndarray
+        Distances to switch.
+    force_zero_after_cutoff : bool, optional
+        Clamp the (otherwise oscillating) cosine to exactly 0 for
+        ``r > rc``.
+
+    Returns
+    -------
+    ndarray
+        Switching values in [0, 1], same shape as ``r``.
+    """
     switching = 0.5 * jnp.cos(jnp.pi / r_cutoff * r) + 0.5
     if force_zero_after_cutoff:
         switching = jnp.where(r > r_cutoff, 0.0, switching)

@@ -25,13 +25,23 @@ def default_float():
 
 
 class Flow(Module):
-    """Abstract base class for invertible maps."""
+    """Abstract base class for invertible maps.
+
+    Subclasses implement :meth:`forward` and :meth:`inverse`, both mapping
+    a ``(batch, n_features)`` array to ``(output, log_det_J)`` with
+    ``log_det_J`` of shape ``(batch,)`` and
+    ``forward_log_det_J(x) + inverse_log_det_J(forward(x)) == 0``.
+    Flows are pytrees: pass them straight into ``jax.jit``/``jax.grad``.
+    """
 
     def __call__(self, x):
+        """Alias for :meth:`forward` (the training direction)."""
         return self.forward(x)
 
     def forward(self, x):
+        """Map ``x`` to ``(y, log_det_J)``."""
         raise NotImplementedError
 
     def inverse(self, y):
+        """Exact inverse of :meth:`forward`; returns ``(x, log_det_J)``."""
         raise NotImplementedError

@@ -18,7 +18,27 @@ __all__ = ['PartialFlow']
 
 
 class PartialFlow(Flow):
-    """Wrap a flow so that ``fixed_indices`` DOFs are held constant."""
+    """Wrap a flow so that ``fixed_indices`` DOFs are held constant.
+
+    Parameters
+    ----------
+    flow : Flow
+        The wrapped flow; it sees only the propagated (non-fixed) features.
+    fixed_indices_buf : ndarray of int
+        Sorted fixed feature indices (held constant, never conditioning).
+    propagated_indices : ndarray of int
+        Complement of the fixed indices over ``n_features``.
+    return_partial : bool, optional
+        If ``True``, return only the propagated features (without
+        re-inserting the fixed ones) — used by the mixed map's dataset
+        analysis pass.
+
+    Notes
+    -----
+    The fixed DOFs contribute nothing to ``log_det_J`` (identity block).
+    Build with :meth:`create`, which resolves the index complement
+    host-side so device shapes are static.
+    """
 
     flow: object
     fixed_indices_buf: jnp.ndarray = buffer()       # (n_fixed,)

@@ -36,6 +36,24 @@ def create_autoregressive_mask(
     degree when ``strictly_less`` (MADE output layer), else lower-or-equal
     (hidden layers). Host-side, numpy; reference behavior:
     /root/reference/tfep/nn/masked.py:36-108.
+
+    Parameters
+    ----------
+    degrees_in : ndarray of int, shape (n_in,)
+        Autoregressive degree of each input node (-1 marks conditioning
+        inputs every output may see).
+    degrees_out : ndarray of int, shape (n_out,)
+        Degree of each output node.
+    strictly_less : bool, optional
+        Use ``>`` (output layer) instead of ``>=`` (hidden layers).
+    transpose : bool, optional
+        Return the ``(n_out, n_in)`` layout used by the weight matrix
+        instead of ``(n_in, n_out)``.
+
+    Returns
+    -------
+    mask : ndarray of bool
+        The connectivity mask.
     """
     degrees_in = np.asarray(degrees_in)
     degrees_out = np.asarray(degrees_out)

@@ -147,7 +147,23 @@ class _ModuleMeta(type):
 
 
 class Module(metaclass=_ModuleMeta):
-    """Base class for all pytree modules."""
+    """Base class for all pytree modules.
+
+    Subclassing automatically (a) freezes the class as an immutable
+    dataclass whose fields come from the annotations, and (b) registers it
+    as a JAX pytree, so instances flow through
+    ``jit``/``grad``/``vmap``/``pjit`` directly. Field kinds:
+
+    - plain annotated fields: pytree children; inexact arrays among them
+      are the *trainable parameters* seen by :func:`partition`;
+    - ``buffer()`` fields: pytree children excluded from differentiation
+      (masks, index tables, constant domains);
+    - ``static()`` fields: hashable config hashed into the treedef (jit
+      re-traces when they change).
+
+    Instances are immutable — use :meth:`replace` to derive modified
+    copies.
+    """
 
     def replace(self: T, **changes) -> T:
         """Return a copy of the module with the given fields replaced."""
@@ -219,7 +235,12 @@ def partition(tree):
 
 
 def combine(trainable, frozen):
-    """Inverse of :func:`partition`."""
+    """Inverse of :func:`partition`: merge the twin pytrees back.
+
+    Each leaf position takes the trainable leaf if present, else the
+    frozen one; the result is structurally identical to the original
+    module tree.
+    """
     t_leaves, treedef = jax.tree_util.tree_flatten(
         trainable, is_leaf=lambda x: x is None
     )
@@ -229,7 +250,11 @@ def combine(trainable, frozen):
 
 
 def tree_replace(module_tree: T, fn: Callable[[Any], Any]) -> T:
-    """Map ``fn`` over trainable leaves only, keeping buffers/statics intact."""
+    """Map ``fn`` over trainable leaves only, keeping buffers/statics intact.
+
+    Useful for dtype casts or parameter re-initialization that must not
+    touch index buffers, e.g. ``tree_replace(flow, lambda p: p * 0)``.
+    """
     trainable, frozen = partition(module_tree)
     trainable = jax.tree_util.tree_map(fn, trainable)
     return combine(trainable, frozen)
@@ -255,7 +280,12 @@ def filter_value_and_grad(fn: Callable, has_aux: bool = False) -> Callable:
 
 
 def apply_updates(module_tree: T, updates) -> T:
-    """Apply optax-style updates (None where frozen) to a module pytree."""
+    """Apply optax-style updates (None where frozen) to a module pytree.
+
+    ``updates`` must be the gradient-shaped pytree produced by
+    :func:`filter_value_and_grad` after an ``optimizer.update`` call; each
+    trainable leaf becomes ``param + update`` and every other leaf is kept.
+    """
     leaves, treedef = jax.tree_util.tree_flatten(
         updates, is_leaf=lambda x: x is None
     )

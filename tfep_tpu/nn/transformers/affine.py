@@ -26,7 +26,21 @@ __all__ = [
 
 
 class AffineTransformer(MAFTransformer):
-    """Affine transformer: ``y_i = exp(a_i) * x_i + b_i``."""
+    """Affine transformer: ``y_i = exp(a_i) * x_i + b_i``.
+
+    The conditioner supplies two parameters per feature — the shift ``b``
+    followed by the log-scale ``a`` — flattened as
+    ``parameters[:, :n_features] = shifts`` and
+    ``parameters[:, n_features:] = log_scales`` (same layout as the
+    reference, /root/reference/tfep/nn/transformers/affine.py:28-141, so
+    :meth:`get_degrees_out` lifts MADE degrees identically). Stateless:
+    create with ``AffineTransformer()``.
+
+    Methods follow the :class:`~tfep_tpu.nn.transformers.MAFTransformer`
+    contract: ``forward(x, parameters) -> (y, log_det_J)`` with
+    ``log_det_J = sum_i a_i``, the analytic inverse, identity parameters
+    (all zeros), and degree lifting by tiling.
+    """
 
     n_parameters_per_feature = 2
 
@@ -56,6 +70,20 @@ class VolumePreservingShiftTransformer(MAFTransformer):
     Used for constant roto-translational DOFs in the mixed map (reference:
     affine.py:148-274). ``periodic_indices`` selects features wrapped into
     ``[periodic_limits[0], periodic_limits[1])`` after shifting.
+
+    Parameters
+    ----------
+    periodic_indices : ndarray of int, optional
+        Feature indices treated as periodic: after shifting they are wrapped
+        back into the periodic interval (and likewise on inversion).
+    periodic_limits : ndarray, shape (2,), optional
+        Lower and upper limit of the periodic interval. Required when
+        ``periodic_indices`` is given.
+
+    Notes
+    -----
+    The Jacobian is the identity, so ``log_det_J`` is exactly zero in both
+    directions regardless of wrapping.
     """
 
     n_parameters_per_feature = 1
@@ -83,13 +111,34 @@ class VolumePreservingShiftTransformer(MAFTransformer):
 # =============================================================================
 
 def affine_transformer(x, shift, log_scale):
-    """``y = exp(log_scale) * x + shift``; log_det_J = sum(log_scale)."""
+    """``y = exp(log_scale) * x + shift``; log_det_J = sum(log_scale).
+
+    Functional counterpart of :class:`AffineTransformer` (reference:
+    /root/reference/tfep/nn/transformers/affine.py:281).
+
+    Parameters
+    ----------
+    x : ndarray, shape (batch, n_features)
+        Input features.
+    shift, log_scale : ndarray, shape (batch, n_features)
+        Per-feature shift ``b`` and log-scale ``a``.
+
+    Returns
+    -------
+    y : ndarray, shape (batch, n_features)
+        Transformed features.
+    log_det_J : ndarray, shape (batch,)
+        ``sum_i log_scale_i``.
+    """
     y = x * jnp.exp(log_scale) + shift
     return y, jnp.sum(log_scale, axis=-1)
 
 
 def affine_transformer_inverse(y, shift, log_scale):
-    """Inverse of :func:`affine_transformer`."""
+    """Inverse of :func:`affine_transformer`: ``x = (y - b) * exp(-a)``.
+
+    Returns ``(x, -sum(log_scale, axis=-1))``.
+    """
     x = (y - shift) * jnp.exp(-log_scale)
     return x, -jnp.sum(log_scale, axis=-1)
 
@@ -109,6 +158,24 @@ def volume_preserving_shift_transformer(x, shift, periodic_indices=None,
     Note: the reference wraps with ``y % period + lo`` (affine.py:410) which
     is only a true wrap into ``[lo, hi)`` when ``lo == 0``; here the wrap is
     done relative to ``lo`` so any interval is handled correctly.
+
+    Parameters
+    ----------
+    x : ndarray, shape (batch, n_features)
+        Input features.
+    shift : ndarray, shape (batch, n_features)
+        Per-feature shift.
+    periodic_indices : ndarray of int, optional
+        Features to wrap into the periodic interval after shifting.
+    periodic_limits : ndarray, shape (2,), optional
+        ``(lo, hi)`` of the periodic interval.
+
+    Returns
+    -------
+    y : ndarray, shape (batch, n_features)
+        Shifted (and wrapped) features.
+    log_det_J : ndarray, shape (batch,)
+        Always zero (unit Jacobian).
     """
     y = _periodic_wrap(x + shift, periodic_indices, periodic_limits)
     return y, jnp.zeros(x.shape[0], dtype=x.dtype)

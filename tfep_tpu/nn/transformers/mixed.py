@@ -53,6 +53,21 @@ class MixedTransformer(MAFTransformer):
     @classmethod
     def create(cls, transformers: Sequence[MAFTransformer],
                indices: Sequence[Sequence[int]]) -> 'MixedTransformer':
+        """Build a mixed transformer.
+
+        Parameters
+        ----------
+        transformers : sequence of MAFTransformer
+            At least two sub-transformers.
+        indices : sequence of sequence of int
+            For each transformer, the feature indices it transforms. Groups
+            must be disjoint and together cover every transformed feature.
+
+        Returns
+        -------
+        MixedTransformer
+            With per-transformer parameter split offsets precomputed.
+        """
         if len(transformers) < 2:
             raise ValueError(
                 'The number of transformers must be greater than 1.')

@@ -79,6 +79,23 @@ class MoebiusTransformer(MAFTransformer):
 class SymmetrizedMoebiusTransformer(MAFTransformer):
     """Symmetrized Moebius transformer (closed-form inverse, analytic log-det).
 
+    Symmetrizing the Moebius transform over ``+w``/``-w`` (Köhler et al.,
+    "Rigid body flows", arXiv:2301.11355) makes the inverse available in
+    closed form with an analytic volume element, avoiding the plain
+    transformer's slogdet (reference: moebius.py:193-373).
+
+    Parameters
+    ----------
+    dimension : int, optional
+        Size of each transformed vector (default 3).
+    max_radius : float, optional
+        Invertibility margin: the conditioner's ``w`` is rescaled below
+        ``max_radius * |x|`` (default 0.99).
+    identity_eps, identity_seed : float, int, optional
+        Scale and seed of the near-zero random identity parameters.
+
+    Notes
+    -----
     ``get_identity_parameters`` returns a tiny random vector instead of exact
     zeros: at ``w = 0`` the parameter gradient vanishes and training stalls
     (reference rationale: moebius.py:211-217).
@@ -122,8 +139,27 @@ def moebius_transformer(x, w, max_radius: float = 0.99,
                         return_log_det_J: bool = True):
     """``y = (|x|^2 - |w|^2) / |x - w|^2 * (x - w) - w`` with ``|w| < |x|``.
 
-    ``x``, ``w``: (batch, n_vectors, dimension). The log-det is computed via
-    slogdet of the per-vector Jacobian blocks.
+    Functional Moebius transform (reference: moebius.py:374-480).
+
+    Parameters
+    ----------
+    x : ndarray, shape (batch, n_vectors, dimension)
+        Input vectors; each is transformed on the sphere of its own norm.
+    w : ndarray, shape (batch, n_vectors, dimension)
+        Raw parameter vectors; rescaled to ``max_radius * |x|`` internally.
+    max_radius : float, optional
+        Invertibility margin for the rescaling.
+    unit_sphere : bool, optional
+        Assume ``|x| = 1`` (skips the radial projection factor).
+    return_log_det_J : bool, optional
+        If ``False``, return only ``y``.
+
+    Returns
+    -------
+    y : ndarray, shape (batch, n_vectors, dimension)
+        Transformed vectors (same norms as ``x``).
+    log_det_J : ndarray, shape (batch,)
+        Via slogdet of the per-vector Jacobian blocks (only if requested).
     """
     batch_size, n_vectors, dimension = x.shape
 
@@ -164,7 +200,12 @@ def moebius_transformer(x, w, max_radius: float = 0.99,
 
 
 def symmetrized_moebius_transformer(x, w, max_radius: float = 0.99):
-    """``y = |f(x;w)| * (f(x;w) + f(x;-w)) / |f(x;w) + f(x;-w)|``."""
+    """``y = |x| * (f(x;w) + f(x;-w)) / |f(x;w) + f(x;-w)|``.
+
+    Same shapes/rescaling as :func:`moebius_transformer`; returns
+    ``(y, log_det_J)`` with the analytic spherical volume element
+    (reference: moebius.py:481-553).
+    """
     batch_size, n_vectors, dimension = x.shape
 
     f_w = moebius_transformer(x, w, max_radius, unit_sphere=False,
@@ -186,7 +227,14 @@ def symmetrized_moebius_transformer(x, w, max_radius: float = 0.99):
 
 
 def symmetrized_moebius_transformer_inverse(x, w, max_radius: float = 0.99):
-    """Closed-form inverse (Köhler et al., arXiv:2301.11355)."""
+    """Closed-form inverse (Köhler et al., arXiv:2301.11355).
+
+    Solves for the pre-image in the 2D plane spanned by ``w`` and the
+    orthogonal component of ``x``; same shapes as
+    :func:`symmetrized_moebius_transformer`, returning ``(x, log_det_J)``
+    with the negated volume element evaluated at the recovered point
+    (reference: moebius.py:554-607).
+    """
     x_norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
     x_unit = x / x_norm
 

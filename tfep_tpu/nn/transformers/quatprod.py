@@ -29,7 +29,18 @@ def quat_conjugate(q):
 
 
 def quat_product(p, q):
-    """Hamilton product p*q in xyzw layout (vector first, scalar last)."""
+    """Hamilton product ``p * q`` in xyzw layout (vector first, scalar last).
+
+    Parameters
+    ----------
+    p, q : ndarray, shape (..., 4)
+        Quaternions, broadcastable against each other.
+
+    Returns
+    -------
+    ndarray, shape (..., 4)
+        The composed rotation quaternion (rotating by ``q`` then ``p``).
+    """
     pv, pw = p[..., :3], p[..., 3:]
     qv, qw = q[..., :3], q[..., 3:]
     vector = pw * qv + qw * pv + jnp.cross(pv, qv)
@@ -38,7 +49,17 @@ def quat_product(p, q):
 
 
 class QuaternionProductTransformer(MAFTransformer):
-    """Rotate each input quaternion by a (normalized) parameter quaternion."""
+    """Rotate each input quaternion by a (normalized) parameter quaternion.
+
+    Features are grouped in fours (xyzw quaternions); each group is
+    left-multiplied by the conditioner's quaternion after normalization.
+    Rotations of unit quaternions preserve volume, so ``log_det_J`` is
+    exactly zero in both directions, and the inverse multiplies by the
+    conjugate. One parameter per feature (4 per quaternion). Stateless:
+    create with ``QuaternionProductTransformer()``. Reference:
+    /root/reference/tfep/nn/transformers/quatprod.py:26-130 (roma replaced
+    by native quaternion algebra).
+    """
 
     n_parameters_per_feature = 1
 

@@ -22,7 +22,25 @@ __all__ = ['SOSPolynomialTransformer', 'sos_polynomial_transformer',
 
 
 class SOSPolynomialTransformer(MAFTransformer):
-    """SOS polynomial transformer with K squared first-degree polynomials."""
+    """SOS polynomial transformer with K squared first-degree polynomials.
+
+    Each feature is mapped by ``y = a_0 + int_0^x sum_k (a_k0 + a_k1 z)^2 dz``
+    — monotone by construction for *any* conditioner output, so no parameter
+    constraints are needed (reference:
+    /root/reference/tfep/nn/transformers/sos.py:28-162). Consumes
+    ``1 + 2 * n_polynomials`` parameters per feature, ordered
+    ``a_0, a_10, a_11, ..., a_K0, a_K1``.
+
+    Parameters
+    ----------
+    n_polynomials : int, optional
+        Number K >= 2 of squared degree-1 polynomials summed (default 2).
+
+    Notes
+    -----
+    Unlike the reference, :meth:`inverse` is implemented (analytically —
+    Cardano on the monotone cubic plus a Newton polish).
+    """
 
     n_polynomials: int = static(default=2)
 
@@ -75,10 +93,22 @@ class SOSPolynomialTransformer(MAFTransformer):
 
 
 def sos_polynomial_transformer(x, parameters):
-    """Functional SOS transformer.
+    """Functional SOS transformer (reference: sos.py:163-306).
 
-    ``parameters``: (batch, 1 + 2*K, n_features), ordered ``a_0, a_10, a_11,
-    ..., a_K0, a_K1``. Returns (y, log_det_J).
+    Parameters
+    ----------
+    x : ndarray, shape (batch, n_features)
+        Input features.
+    parameters : ndarray, shape (batch, 1 + 2*K, n_features)
+        Polynomial coefficients ordered ``a_0, a_10, a_11, ..., a_K0, a_K1``.
+
+    Returns
+    -------
+    y : ndarray, shape (batch, n_features)
+        ``a_0 + c_1 x + c_2 x^2 + c_3 x^3`` with the c's induced by the
+        squared polynomials (monotone increasing in ``x``).
+    log_det_J : ndarray, shape (batch,)
+        ``sum_i log dy_i/dx_i``.
     """
     a0, c1, c2, c3 = _sos_coefficients(parameters)
     y = a0 + x * (c1 + x * (c2 + x * c3))

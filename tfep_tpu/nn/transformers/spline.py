@@ -84,6 +84,36 @@ class NeuralSplineTransformer(MAFTransformer):
                min_bin_size: float = 1e-4,
                min_slope: float = 1e-4,
                fused: str = 'auto') -> 'NeuralSplineTransformer':
+        """Build a spline transformer (validates the option combinations).
+
+        Parameters
+        ----------
+        x0, xf : array_like, shape (n_features,)
+            Lower/upper input-domain bound of each feature's spline.
+        n_bins : int
+            Number of rational-quadratic bins K.
+        y0, yf : array_like, shape (n_features,), optional
+            Output-domain bounds; default to ``x0``/``xf``.
+        circular : bool, optional
+            Periodic spline (torsions): ties the boundary slopes and adds a
+            learned phase shift. Requires ``y0 == x0`` and ``yf == xf``.
+        identity_boundary_slopes : bool, optional
+            Pin the boundary slopes to 1 (C1 continuity with the linear
+            extrapolation tails).
+        learn_lower_bound, learn_upper_bound : bool, optional
+            Make the domain bounds conditioner outputs. Incompatible with
+            ``circular``.
+        min_bin_size, min_slope : float, optional
+            Positivity floors on bin sizes and knot slopes.
+        fused : {'auto', 'always', 'never'}, optional
+            Pallas fused-kernel policy ('auto' currently selects the XLA
+            path, which ties the kernel in measured throughput).
+
+        Returns
+        -------
+        NeuralSplineTransformer
+            The validated transformer (a pytree; safe to close over in jit).
+        """
         x0 = jnp.asarray(x0)
         xf = jnp.asarray(xf)
         y0 = x0 if y0 is None else jnp.asarray(y0)
@@ -322,8 +352,28 @@ def _log_dy_dx(slopes_k, slopes_k1, s, eps, eps_1meps, eps2):
 def neural_spline_transformer(x, x0, y0, widths, heights, slopes):
     """Monotonic rational-quadratic spline; linear outside the domain.
 
-    ``x``: (batch, n_features); ``widths``/``heights``: (batch, K,
-    n_features); ``slopes``: (batch, K+1, n_features). Returns (y, log_det_J).
+    Functional core (reference: spline.py:424-503). All knot quantities
+    must already be positive and normalized (see
+    ``NeuralSplineTransformer._get_parameters``).
+
+    Parameters
+    ----------
+    x : ndarray, shape (batch, n_features)
+        Inputs; values outside ``[x0, x0 + sum(widths)]`` are transformed
+        linearly with the boundary slopes.
+    x0, y0 : ndarray, shape (n_features,) or (batch, n_features)
+        Lower input/output domain bounds.
+    widths, heights : ndarray, shape (batch, K, n_features)
+        Positive bin widths/heights (they define the knots cumulatively).
+    slopes : ndarray, shape (batch, K+1, n_features)
+        Positive derivative at each knot.
+
+    Returns
+    -------
+    y : ndarray, shape (batch, n_features)
+        Spline values.
+    log_det_J : ndarray, shape (batch,)
+        Sum over features of ``log dy/dx``.
     """
     (widths_b_f, heights_b_f, lower_knot_x, lower_knot_y,
      slopes_k, slopes_k1, s) = _assign_bins(
@@ -343,7 +393,14 @@ def neural_spline_transformer(x, x0, y0, widths, heights, slopes):
 
 
 def neural_spline_transformer_inverse(y, x0, y0, widths, heights, slopes):
-    """Analytic inverse (quadratic solve) of the rational-quadratic spline."""
+    """Analytic inverse (quadratic solve) of the rational-quadratic spline.
+
+    Same arguments as :func:`neural_spline_transformer` with ``y`` in place
+    of ``x``; returns ``(x, log_det_J)`` where ``log_det_J`` is the inverse
+    map's Jacobian (the negative of the forward one at ``x``). The
+    quadratic is solved in the numerically stable ``2c / (-b - sqrt(...))``
+    form (reference: spline.py:504-545).
+    """
     (widths_b_f, heights_b_f, lower_knot_x, lower_knot_y,
      slopes_k, slopes_k1, s) = _assign_bins(
         y, x0, y0, widths, heights, slopes, inverse=True)

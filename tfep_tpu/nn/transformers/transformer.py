@@ -20,12 +20,24 @@ __all__ = ['Transformer', 'MAFTransformer']
 
 
 class Transformer(Module):
-    """Abstract base class for transformers."""
+    """Abstract base class for transformers.
+
+    A transformer is a parametric elementwise bijection used as the second
+    half of an autoregressive flow: the conditioner produces ``parameters``
+    autoregressively from the input and the transformer applies them.
+    Subclasses implement :meth:`forward`, :meth:`inverse` (both returning
+    ``(output, log_det_J)``) and :meth:`get_identity_parameters`.
+    Reference: /root/reference/tfep/nn/transformers/transformer.py:26.
+    """
 
     def forward(self, x: jnp.ndarray, parameters: jnp.ndarray):
+        """Map ``x`` of shape ``(batch, n_features)`` with per-sample
+        ``parameters`` of shape ``(batch, n_parameters)``; returns
+        ``(y, log_det_J)`` with ``log_det_J`` of shape ``(batch,)``."""
         raise NotImplementedError
 
     def inverse(self, y: jnp.ndarray, parameters: jnp.ndarray):
+        """Exact inverse of :meth:`forward`; returns ``(x, -log_det_J)``."""
         raise NotImplementedError
 
     def get_identity_parameters(self, n_features: int) -> np.ndarray:
@@ -34,7 +46,15 @@ class Transformer(Module):
 
 
 class MAFTransformer(Transformer):
-    """A transformer usable inside a MAF (adds conditioner degree mapping)."""
+    """A transformer usable inside a MAF (adds conditioner degree mapping).
+
+    Besides the :class:`Transformer` contract, a MAF transformer declares
+    how many conditioner parameters each feature consumes
+    (``n_parameters_per_feature`` or an overridden
+    :meth:`get_degrees_out`), so :class:`~tfep_tpu.nn.flows.MAF` can build
+    a MADE conditioner whose output degrees preserve the autoregressive
+    property. Reference: transformer.py:76-127.
+    """
 
     def get_degrees_out(self, degrees_in: np.ndarray) -> np.ndarray:
         """Degrees of each conditioner output parameter (host-side numpy)."""

@@ -44,7 +44,28 @@ _CAL_J = 4.184                     # J (thermochemical calorie)
 
 
 class Unit:
-    """A physical unit: an SI scale factor plus a tuple of dimension exponents."""
+    """A physical unit: an SI scale factor plus a tuple of dimension exponents.
+
+    Units form an algebra: ``unit * unit``, ``unit / unit`` and ``unit ** n``
+    combine scales and dimension exponents; ``number * unit`` (or
+    ``array * unit``) builds a :class:`Quantity`, exactly like pint.
+
+    Parameters
+    ----------
+    scale : float
+        Conversion factor to the coherent SI unit of the same dimensions
+        (e.g. ``1e-10`` for angstrom, whose SI unit is the meter).
+    dims : tuple of int
+        Exponents over the base dimensions
+        ``(mass, length, time, temperature, amount)``.
+    name : str, optional
+        Display name used by ``repr``.
+
+    Examples
+    --------
+    >>> round((2.0 * ureg.angstrom).to(ureg.nanometer).magnitude, 12)
+    0.2
+    """
 
     __slots__ = ('scale', 'dims', 'name')
 
@@ -106,7 +127,20 @@ class Unit:
 
 
 class Quantity:
-    """Magnitude (scalar or numpy array) with a unit."""
+    """Magnitude (scalar or numpy array) with a unit.
+
+    Supports the pint subset the framework uses: arithmetic that tracks
+    dimensions, :meth:`to`/:meth:`m_as` conversion (including the automatic
+    per-particle <-> per-mole conversion via Avogadro's number), and
+    ``np.asarray(quantity)`` to strip units.
+
+    Parameters
+    ----------
+    magnitude : float or numpy.ndarray
+        The numeric value(s).
+    units : Unit
+        The unit the magnitude is expressed in.
+    """
 
     __slots__ = ('magnitude', 'units')
 
@@ -200,7 +234,16 @@ class Quantity:
 
 
 class UnitRegistry:
-    """Registry of common molecular-simulation units (pint-like namespace)."""
+    """Registry of common molecular-simulation units (pint-like namespace).
+
+    Exposes every unit the framework's engine boundary needs as an
+    attribute (``ureg.angstrom``, ``ureg.kilojoule_per_mole``, ...) plus
+    pint-compatible plural/abbreviated aliases, physical constants as
+    quantities, limited string lookup (:meth:`parse_units`), and the
+    temperature -> thermal-energy helper (:meth:`kT`) that the app layer
+    uses to reduce potentials (reference kT computation:
+    /root/reference/tfep/app/base.py:208-213).
+    """
 
     def __init__(self):
         # Base units.
