@@ -46,7 +46,15 @@ class Dataset:
 
 
 class DictDataset(Dataset):
-    """In-memory dataset over a dict of equal-length arrays."""
+    """In-memory dataset over a dict of equal-length arrays.
+
+    Parameters
+    ----------
+    data : dict of str -> array_like
+        Named per-sample arrays sharing the same leading length. Indexing
+        with an int returns a sample dict; indexing with a key name
+        returns that whole column.
+    """
 
     def __init__(self, data: Dict[str, Sequence]):
         self._data = {k: np.asarray(v) for k, v in data.items()}
@@ -72,7 +80,18 @@ class DictDataset(Dataset):
 
 
 class MergedDataset(Dataset):
-    """Zip-merge datasets with disjoint keys and equal lengths."""
+    """Zip-merge datasets with disjoint keys and equal lengths.
+
+    The standard way to attach precomputed per-frame data (e.g. log-weights)
+    to a trajectory dataset: ``MergedDataset(traj_dataset,
+    DictDataset({'log_weights': w}))`` yields samples containing both
+    datasets' keys.
+
+    Parameters
+    ----------
+    *datasets : Dataset
+        Datasets of identical length whose sample keys don't overlap.
+    """
 
     def __init__(self, *datasets: Dataset):
         if len(datasets) == 0:

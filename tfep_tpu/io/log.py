@@ -162,7 +162,35 @@ class _ColumnFile:
 
 
 class TFEPLogger:
-    """Store and retrieve per-sample quantities by epoch, batch, or step."""
+    """Store and retrieve per-sample quantities by epoch, batch, or step.
+
+    The training channel stores fixed-length per-epoch archives addressed
+    by ``(epoch_idx, batch_idx)`` (or a global ``step_idx``); the eval
+    channel stores growable per-step archives. Reads return dicts of numpy
+    columns and drive :func:`tfep_tpu.analysis.fep_estimator` /
+    :func:`tfep_tpu.analysis.estimate_from_logger`.
+
+    Parameters
+    ----------
+    save_dir_path : str, optional
+        Root directory (created if missing). If it already holds a
+        ``metadata.json``, the logger resumes from disk and the size
+        arguments are ignored.
+    batch_size, n_samples_per_epoch : int, optional
+        Geometry of the train channel (row addressing within epoch files).
+    data_loader : object, optional
+        Alternative to the explicit sizes: anything exposing
+        ``batch_size``, ``drop_last`` and ``dataset``.
+    train_subdir_name, eval_subdir_name : str, optional
+        Channel subdirectory names.
+
+    Notes
+    -----
+    A single instance is not multi-process safe (same caveat as the
+    reference, /root/reference/tfep/io/log.py:40-43); under multi-host
+    training use one logger per host (see
+    :func:`tfep_tpu.parallel.distributed.host_logger_dir`).
+    """
 
     VERSION = '0.1'
     METADATA_FILE_NAME = 'metadata.json'

@@ -18,7 +18,28 @@ __all__ = ['StatefulBatchSampler']
 
 
 class StatefulBatchSampler:
-    """Batch sampler whose shuffle state is checkpointable."""
+    """Batch sampler whose shuffle state is checkpointable.
+
+    Iterating yields index arrays of (up to) ``batch_size`` dataset
+    indices. Check-pointing stores only the epoch seed
+    (:meth:`state_dict`); the resume position is re-derived from the
+    trainer's ``global_step``, so a restored sampler yields exactly the
+    batches not yet visited.
+
+    Parameters
+    ----------
+    dataset : sequence
+        Anything with ``__len__`` (indices are produced, not samples).
+    batch_size : int, optional
+        Samples per batch.
+    shuffle : bool, optional
+        Draw a fresh permutation each epoch (seeded, replayable).
+    drop_last : bool, optional
+        Drop the final incomplete batch.
+    trainer : object, optional
+        Must expose ``global_step`` (total optimizer steps so far) before
+        iteration; may be attached later via the :attr:`trainer` attribute.
+    """
 
     def __init__(self, dataset, batch_size: int = 1, shuffle: bool = False,
                  drop_last: bool = False, trainer=None):

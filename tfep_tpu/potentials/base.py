@@ -20,7 +20,23 @@ __all__ = ['PotentialBase']
 
 
 class PotentialBase:
-    """Base class for potential energy functions with unit bookkeeping."""
+    """Base class for potential energy functions with unit bookkeeping.
+
+    Subclasses declare their engine's native units via the
+    ``DEFAULT_ENERGY_UNIT``/``DEFAULT_POSITIONS_UNIT`` class attributes
+    (names resolved on the global :data:`~tfep_tpu.units.ureg`) and
+    implement ``__call__``. The app layer reads :attr:`energy_unit` to
+    form kT, so device arrays themselves stay unitless (reference:
+    /root/reference/tfep/potentials/base.py:27-110).
+
+    Parameters
+    ----------
+    positions_unit : Unit, optional
+        Unit the (unitless) input position arrays are expressed in;
+        ``None`` means the class default.
+    energy_unit : Unit, optional
+        Unit of the returned energies; ``None`` means the class default.
+    """
 
     #: Name of the default energy unit (attribute of the unit registry).
     DEFAULT_ENERGY_UNIT: str = ''

@@ -29,7 +29,26 @@ __all__ = ['EnginePotential']
 
 
 class EnginePotential(PotentialBase):
-    """Base class for external-engine potentials."""
+    """Base class for external-engine potentials.
+
+    Calling the instance inside a jitted training step is differentiable:
+    the energy is fetched through a ``pure_callback`` and the VJP injects
+    ``-forces * g`` without a second engine round-trip when
+    ``precompute_gradient`` is on.
+
+    Parameters
+    ----------
+    positions_unit, energy_unit : Unit, optional
+        User-facing units (class defaults when ``None``); conversion
+        to/from the engine-native ``ENGINE_*_UNIT`` is handled here.
+    parallelization_strategy : ParallelizationStrategy, optional
+        How per-sample engine tasks fan out within a batch (default
+        :class:`~tfep_tpu.parallel.SerialStrategy`).
+    precompute_gradient : bool, optional
+        Compute forces in the same engine evaluation as the energy so the
+        backward pass needs no extra engine call (default ``True``,
+        matching the reference).
+    """
 
     #: Engine-native units (registry attribute names), set by subclasses.
     ENGINE_ENERGY_UNIT: str = ''

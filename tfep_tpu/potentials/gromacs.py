@@ -82,7 +82,38 @@ class GmxEnergy(CLITool):
 
 
 class GROMACSPotential(EnginePotential):
-    """Differentiable potential energy via ``gmx mdrun -rerun``."""
+    """Differentiable potential energy via ``gmx mdrun -rerun``.
+
+    File-based MM backend (reference:
+    /root/reference/tfep/potentials/gromacs.py:210-339): each batch sample
+    is written as a ``.g96`` frame, rerun through ``gmx mdrun``, and its
+    energy/forces read back from the ``.edr``/``.xvg`` outputs. Native
+    units kJ/mol / nanometer.
+
+    Parameters
+    ----------
+    tpr_file_path : str
+        Portable run file carrying topology + simulation parameters
+        (its coordinates are overwritten per frame by the rerun).
+    launcher : Launcher, optional
+        How the gmx subprocesses are launched (e.g.
+        :class:`~tfep_tpu.parallel.SRunLauncher` on SLURM).
+    positions_unit, energy_unit : Unit, optional
+        User-facing units (defaults nanometer / kJ/mol).
+    precompute_gradient : bool, optional
+        Extract forces in the same rerun as the energy.
+    working_dir_path : str or list of str, optional
+        Scratch directory; a per-sample list keeps parallel frames from
+        colliding on output files.
+    cleanup_working_dir : bool, optional
+        Delete the scratch directories after each evaluation.
+    parallelization_strategy : ParallelizationStrategy, optional
+        Per-sample fan-out (thread pools suit subprocess engines).
+    launcher_kwargs, mdrun_kwargs : dict, optional
+        Extra options for the launcher / the ``gmx mdrun`` command.
+    on_mdrun_error : {'raise', 'nan'}, optional
+        Failure policy for crashed reruns.
+    """
 
     DEFAULT_ENERGY_UNIT = 'kilojoule_per_mole'
     DEFAULT_POSITIONS_UNIT = 'nanometer'

@@ -54,7 +54,48 @@ class Cpmd(CLITool):
 
 
 class MiMiCPotential(EnginePotential):
-    """Differentiable QM/MM potential energy via MiMiC (CPMD + GROMACS)."""
+    """Differentiable QM/MM potential energy via MiMiC (CPMD + GROMACS).
+
+    Runs the two coupled engines concurrently per frame (MPMD — one
+    launcher call with both commands, as an ``srun --multi-prog`` job on
+    clusters), rewriting the CPMD input's atom positions per sample and
+    regenerating the ``.tpr`` via grompp; energies/forces are read from
+    CPMD's ``ENERGIES``/``FTRAJECTORY`` files with the atom order mapped
+    through the ``&MIMIC OVERLAPS`` block. Native units hartree/bohr.
+    Reference: /root/reference/tfep/potentials/mimic.py:93-405.
+
+    Parameters
+    ----------
+    cpmd_cmd : Cpmd
+        CPMD command; ``cpmd_cmd.args[0]`` is the template input file
+        rewritten per sample.
+    mdrun_cmd : GmxMdrun
+        The GROMACS half of the MPMD pair.
+    grompp_cmd : GmxGrompp
+        Used to regenerate the ``.tpr`` per sample.
+    launcher : Launcher, optional
+        Launches the CPMD+mdrun pair concurrently (use
+        :class:`~tfep_tpu.parallel.SRunLauncher` for multi-node MPMD).
+    positions_unit, energy_unit : Unit, optional
+        User-facing units (defaults bohr / hartree).
+    precompute_gradient : bool, optional
+        Read forces together with the energy.
+    working_dir_path : str or list of str, optional
+        Scratch directory; a per-sample list keeps parallel frames from
+        colliding on the engines' communication files.
+    cleanup_working_dir : bool, optional
+        Delete scratch directories after each evaluation.
+    parallelization_strategy : ParallelizationStrategy, optional
+        Per-sample fan-out.
+    launcher_kwargs, grompp_launcher, grompp_launcher_kwargs : optional
+        Launcher customization for the MPMD pair / the grompp step.
+    n_attempts : int, optional
+        Retries for crashes that leave no CPMD error file.
+    on_unconverged : {'raise', 'success', 'nan'}, optional
+        Policy when CPMD reports ``DENSITY NOT CONVERGED``.
+    on_local_error : {'raise', 'nan'}, optional
+        Policy when CPMD writes a ``LocalError-*.log``.
+    """
 
     DEFAULT_ENERGY_UNIT = 'hartree'
     DEFAULT_POSITIONS_UNIT = 'bohr'

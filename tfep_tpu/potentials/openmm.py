@@ -78,7 +78,32 @@ def _as_box_vectors(cell_row):
 
 
 class OpenMMPotential(EnginePotential):
-    """Differentiable potential energy via an OpenMM System."""
+    """Differentiable potential energy via an OpenMM System.
+
+    Molecular-mechanics target potential through the ``openmm`` Python
+    bindings (reference: /root/reference/tfep/potentials/openmm.py:45-190).
+    Native units kJ/mol / nanometer.
+
+    Parameters
+    ----------
+    system : openmm.System
+        The force field + topology to evaluate.
+    positions_unit, energy_unit : Unit, optional
+        User-facing units (defaults nanometer / kJ/mol).
+    platform_name : str, optional
+        OpenMM Platform (e.g. ``'CPU'``, ``'CUDA'``); OpenMM's default
+        when ``None``.
+    platform_properties : dict, optional
+        Platform-specific properties (e.g. thread counts).
+    system_name : str, optional
+        Key into the global Context cache: passing a name reuses the same
+        ``openmm.Context`` across batches instead of rebuilding it
+        (reference's ``global_context_cache``, openmm.py:38).
+    parallelization_strategy : ParallelizationStrategy, optional
+        Per-sample fan-out within a batch.
+    precompute_gradient : bool, optional
+        Fetch forces together with the energy for the backward pass.
+    """
 
     DEFAULT_ENERGY_UNIT = 'kilojoule_per_mole'
     DEFAULT_POSITIONS_UNIT = 'nanometer'

@@ -81,7 +81,44 @@ def configure_psi4(memory=None, n_threads=None, psi4_output_file_path=None,
 
 
 class Psi4Potential(EnginePotential):
-    """Differentiable potential energy via Psi4 (e.g. ``name='mp2'``)."""
+    """Differentiable potential energy via Psi4 (e.g. ``name='mp2'``).
+
+    Quantum-chemistry target potential through the ``psi4`` Python
+    bindings (reference: /root/reference/tfep/potentials/psi4.py:147-336).
+    Native units hartree/bohr.
+
+    Parameters
+    ----------
+    name : str
+        The Psi4 method passed to ``psi4.energy``/``psi4.gradient``
+        (e.g. ``'mp2'``, ``'scf'``).
+    molecule : psi4.core.Molecule, optional
+        The molecule whose geometry each batch sample overwrites; the
+        currently activated molecule when ``None``.
+    positions_unit, energy_unit : Unit, optional
+        User-facing units (defaults bohr / hartree).
+    write_orbitals : bool, str, or sequence of str, optional
+        Save converged wavefunctions (optionally one path per batch
+        sample) for later restarts.
+    restart_file : str or sequence of str, optional
+        Wavefunction guess file(s) for this batch.
+    restart_dir : str, optional
+        Directory keying one restart file per *trajectory sample index*,
+        so SCF warm starts follow frames across shuffled epochs; mutually
+        exclusive with ``write_orbitals``/``restart_file`` and requires
+        per-sample keys (the app layer passes them automatically).
+    parallelization_strategy : ParallelizationStrategy, optional
+        Per-sample fan-out; psi4 handles are not picklable, so process
+        pools need a pool initializer (reference note: psi4.py:369-375).
+    precompute_gradient : bool, optional
+        Converge the wavefunction once per sample, computing the gradient
+        alongside the energy.
+    on_unconverged : {'raise', 'nan'}, optional
+        SCF-failure policy: raise, or return NaN for the sample (pair
+        with ``ignore_nan`` in the loss).
+    **psi4_kwargs
+        Extra keyword arguments forwarded to the psi4 driver.
+    """
 
     DEFAULT_ENERGY_UNIT = 'hartree'
     DEFAULT_POSITIONS_UNIT = 'bohr'
