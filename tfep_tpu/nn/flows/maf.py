@@ -20,7 +20,15 @@ __all__ = ['MAF']
 
 
 class MAF(AutoregressiveFlow):
-    """Masked Autoregressive Flow."""
+    """Masked Autoregressive Flow (Papamakarios et al. 2017).
+
+    One MADE conditioner pass produces every transformer parameter in the
+    forward (density-evaluation) direction; the inverse iterates one
+    conditioner pass per degree group (a ``fori_loop`` on device). With
+    ``initialize_identity`` (default) the untrained flow is exactly the
+    identity map. Build with :meth:`create`; the forward/inverse contract
+    is the :class:`~tfep_tpu.nn.flows.Flow` one.
+    """
 
     @classmethod
     def create(cls, key, degrees_in, transformer=None,
