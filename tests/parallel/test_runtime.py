@@ -131,13 +131,13 @@ class TestLauncher:
 class TestSRunLauncher:
     def test_standard_commands(self):
         launcher = SRunLauncher(n_tasks=4, n_nodes=2)
-        cmds = launcher._create_srun_commands([['prog', 'arg']])
+        cmds = launcher._plan_srun_argvs([['prog', 'arg']])
         assert cmds == [['srun', '--nodes', '2', '--ntasks', '4', 'prog',
                          'arg']]
 
     def test_per_command_options(self):
         launcher = SRunLauncher(n_tasks=[2, 3], n_nodes=[1, 4])
-        cmds = launcher._create_srun_commands([['a'], ['b']])
+        cmds = launcher._plan_srun_argvs([['a'], ['b']])
         assert cmds[0] == ['srun', '--nodes', '1', '--ntasks', '2', 'a']
         assert cmds[1] == ['srun', '--nodes', '4', '--ntasks', '3', 'b']
 
@@ -146,14 +146,14 @@ class TestSRunLauncher:
         launcher = SRunLauncher(n_tasks=[2, 3, 2], multiprog=True,
                                 multiprog_config_file_path=str(config),
                                 n_nodes=4)
-        cmds = launcher._create_srun_commands([['a'], ['b', 'x'], ['c']])
+        cmds = launcher._plan_srun_argvs([['a'], ['b', 'x'], ['c']])
         # One srun for all commands; --multi-prog last.
         assert len(cmds) == 1
         assert cmds[0][-2:] == ['--multi-prog', str(config)]
         assert '--ntasks' in cmds[0]
         assert cmds[0][cmds[0].index('--ntasks') + 1] == '7'
 
-        launcher._create_multiprog_config_file([['a'], ['b', 'x'], ['c']])
+        launcher._write_multiprog_plan([['a'], ['b', 'x'], ['c']])
         lines = config.read_text().splitlines()
         assert lines == ['0-1 a', '2-4 b x', '5-6 c']
 

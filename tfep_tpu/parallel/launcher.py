@@ -14,8 +14,8 @@ Example
 >>> launcher = Launcher()
 >>> result = launcher.run(['echo', 'print this'], capture_output=True,
 ...                       text=True)
->>> print(result.stdout.strip())
-print this
+>>> result.stdout.strip()
+'print this'
 """
 
 from __future__ import annotations
@@ -206,13 +206,14 @@ class SRunLauncher(Launcher):
     # ------------------------------------------------------------------ #
     def run(self, *commands, **kwargs):
         self._check_plan(len(commands))
-        srun_commands = self._create_srun_commands(commands)
+        argvs = self._plan_srun_argvs(commands)
         if self._plans_multiprog(len(commands)):
             # srun resolves the plan-file path against the job's working
             # directory, which the caller may redirect with cwd.
-            with temporary_cd(kwargs.get('cwd', None)):
-                self._create_multiprog_config_file(commands)
-        return super().run(*srun_commands, **kwargs)
+            job_cwd = kwargs.get('cwd', None)
+            with temporary_cd(job_cwd):
+                self._write_multiprog_plan(commands)
+        return super().run(*argvs, **kwargs)
 
     # ------------------------------------------------------------------ #
     def _plans_multiprog(self, n_commands: int) -> bool:
@@ -250,7 +251,7 @@ class SRunLauncher(Launcher):
             plans.append(plan)
         return plans
 
-    def _create_srun_commands(self, commands) -> List[list]:
+    def _plan_srun_argvs(self, commands) -> List[list]:
         """Plan the final argv list(s): one per command, or one MPMD srun."""
         argvs = [_as_argv(c) for c in commands]
         if self._plans_multiprog(len(argvs)):
@@ -268,7 +269,7 @@ class SRunLauncher(Launcher):
         return [SRunTool(**plan).to_subprocess() + argv
                 for plan, argv in zip(plans, argvs)]
 
-    def _create_multiprog_config_file(self, commands):
+    def _write_multiprog_plan(self, commands):
         """Write the ``--multi-prog`` plan file (rank-range per command)."""
         lines = []
         next_rank = 0
