@@ -46,14 +46,16 @@ def main():
     bytes_accessed = float(cost.get('bytes accessed', 0.0))
 
     # Warmup + best-of-N timing (same protocol as bench.py; the tunnel is
-    # noisy, so take the fastest round).
-    flow, opt_state, loss = train_step(flow, opt_state, x)
+    # noisy, so take the fastest round). Time the AOT-compiled executable
+    # itself so the numbers match the exact program whose FLOP count was
+    # extracted (lower().compile() does not populate the jit call cache).
+    flow, opt_state, loss = compiled(flow, opt_state, x)
     jax.block_until_ready(loss)
     best_dt = float('inf')
     for _ in range(bench.N_ROUNDS):
         t0 = time.perf_counter()
         for _ in range(bench.N_TIMED_STEPS):
-            flow, opt_state, loss = train_step(flow, opt_state, x)
+            flow, opt_state, loss = compiled(flow, opt_state, x)
         jax.block_until_ready(loss)
         best_dt = min(best_dt, time.perf_counter() - t0)
     step_s = best_dt / bench.N_TIMED_STEPS

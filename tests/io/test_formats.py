@@ -67,6 +67,40 @@ def test_trr_roundtrip(tmp_path, double):
     np.testing.assert_allclose(rbox, boxes, atol=1e-6)
 
 
+@pytest.mark.parametrize('double', [False, True])
+def test_trr_force_only_frame(tmp_path, double):
+    """Force-only frames without a box (double-precision gmx_d -rerun
+    writes these) must detect the real width from the force block size."""
+    import struct
+
+    from tfep_tpu.io.xdr import TRR_MAGIC, iter_trr_frames
+
+    n_atoms = 5
+    forces = rng.normal(size=(n_atoms, 3))
+    real, real_size = ('>d', 8) if double else ('>f', 4)
+    f_size = n_atoms * 3 * real_size
+    title = b'GMX_trn_file'
+    path = str(tmp_path / 'forces.trr')
+    with open(path, 'wb') as f:
+        f.write(struct.pack('>ii', TRR_MAGIC, len(title) + 1))
+        f.write(struct.pack('>i', len(title)))
+        f.write(title + b'\x00' * (-len(title) % 4))
+        # No box, no positions, no velocities: only the force block.
+        f.write(struct.pack('>13i', 0, 0, 0, 0, 0, 0, 0,
+                            0, 0, f_size, n_atoms, 7, 0))
+        f.write(struct.pack(real, 0.25))  # time
+        f.write(struct.pack(real, 0.0))   # lambda
+        f.write(struct.pack(real.replace('>', '>%d' % forces.size),
+                            *forces.reshape(-1)))
+
+    (frame,) = list(iter_trr_frames(path))
+    assert frame['positions'] is None
+    np.testing.assert_allclose(frame['forces'], forces,
+                               atol=1e-12 if double else 1e-6)
+    np.testing.assert_allclose(frame['time'], 0.25, atol=1e-6)
+    assert frame['step'] == 7
+
+
 # =============================================================================
 # Lazy frame stores
 # =============================================================================

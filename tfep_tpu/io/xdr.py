@@ -541,11 +541,17 @@ def _read_trr_frame(data: bytes, offset: int):
         '>13i', data, offset)
     offset += 52
 
-    # Float vs double detected from the per-block byte sizes.
+    # Float vs double detected from the per-block byte sizes. Any vector
+    # block works; force-only frames (mdrun -rerun with no box) must fall
+    # through to v/f before the f4 default.
     if box_size:
         real_size = box_size // 9
     elif x_size:
         real_size = x_size // (3 * n_atoms)
+    elif v_size:
+        real_size = v_size // (3 * n_atoms)
+    elif f_size:
+        real_size = f_size // (3 * n_atoms)
     else:
         real_size = 4
     real = '>f8' if real_size == 8 else '>f4'
