@@ -42,6 +42,10 @@ __all__ = [
     'normalize_torsions_fn', 'unnormalize_torsions_fn',
 ]
 
+#: Placement schedules at most this deep are unrolled into straight-line
+#: code instead of a ``lax.scan`` (faster backward; bounded compile time).
+_UNROLL_MAX_LEVELS = 128
+
 
 # =============================================================================
 # Angle normalization (bgflow-compatible conventions)
@@ -234,6 +238,20 @@ def internal_to_cartesian(bonds: jnp.ndarray, angles: jnp.ndarray,
         positions = positions.at[:, targets].set(
             p_i, mode='drop', unique_indices=True)
         return positions, None
+
+    n_levels = level_targets.shape[0]
+    if n_levels <= _UNROLL_MAX_LEVELS:
+        # Unrolled placement: reverse-mode AD through lax.scan stacks a
+        # per-level residual pytree and replays the loop machinery, which
+        # dominates the backward at chain-like depths (measured 2.3 ms ->
+        # 1.6 ms fwd+bwd for a 29-level chain at batch 4096 on v5e). The
+        # level count is a static shape, so a Python loop is jit-safe.
+        positions = positions_init
+        for level in range(n_levels):
+            positions, _ = body(positions, (level_targets[level],
+                                            level_refs[level],
+                                            level_cols[level]))
+        return positions, log_det_J
 
     positions, _ = jax.lax.scan(
         body, positions_init, (level_targets, level_refs, level_cols))
