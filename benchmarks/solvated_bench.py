@@ -9,7 +9,7 @@ capped explicitly — at D ≈ 2700 DOF the auto width (~sqrt(D * D*K)) would
 not fit one chip's HBM with AdamW moments.
 
 Usage: python benchmarks/solvated_bench.py [--waters 293] [--batch 256]
-       [--n-maf-layers 2] [--hidden 2048] [--n-bins 5]
+       [--n-maf-layers 2] [--hidden N] [--n-bins 5]
        [--force-cpu-devices N]
 """
 
@@ -63,8 +63,10 @@ def main():
                         help='21 + 3*293 = 900 atoms by default')
     parser.add_argument('--batch', type=int, default=256)
     parser.add_argument('--n-maf-layers', type=int, default=2)
-    parser.add_argument('--hidden', type=int, default=2048,
-                        help='explicit MADE hidden width (one hidden layer)')
+    parser.add_argument('--hidden', type=int, default=None,
+                        help='explicit MADE hidden width (one hidden layer); '
+                             'default: the smallest lane-aligned width MADE '
+                             'accepts (hidden >= embedded relevant inputs)')
     parser.add_argument('--n-bins', type=int, default=5)
     parser.add_argument('--timed-steps', type=int, default=5)
     parser.add_argument('--rounds', type=int, default=3)
@@ -106,6 +108,14 @@ def main():
 
         def __call__(self, x, cell=None):
             return jnp.sum(x, axis=-1)
+
+    if args.hidden is None:
+        # MADE requires the hidden width to cover every relevant (embedded)
+        # input degree: all DOFs plus one extra slot per torsion from the
+        # periodic cos/sin lift. Round up to the 128-lane width.
+        n_torsions = 21 - 3  # ligand-chain Z-matrix rows; waters have none
+        n_embedded = 3 * n_atoms + n_torsions
+        args.hidden = -(-n_embedded // 128) * 128
 
     t0 = time.time()
     tfep_map = MixedMAFMap(
