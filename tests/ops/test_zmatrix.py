@@ -51,6 +51,35 @@ def test_roundtrip(normalize):
     np.testing.assert_allclose(np.asarray(ldj + ldj_inv), 0.0, atol=1e-9)
 
 
+def test_unrolled_matches_scan(monkeypatch):
+    """The unrolled placement path (levels <= _UNROLL_MAX_LEVELS) and the
+    lax.scan fallback must produce identical positions and gradients."""
+    from tfep_tpu.ops import zmatrix as zm
+
+    x = make_positions(3)
+    bonds, angles, torsions, _ = cartesian_to_internal(x, Z_MATRIX)
+    positions_init = jnp.zeros_like(x).at[:, CARTESIAN].set(x[:, CARTESIAN])
+
+    def run():
+        def loss(args):
+            b, a, t = args
+            pos, ldj = internal_to_cartesian(
+                b, a, t, positions_init, Z_MATRIX)
+            return jnp.sum(pos ** 2) + jnp.sum(ldj)
+        value, grads = jax.value_and_grad(loss)((bonds, angles, torsions))
+        return value, grads
+
+    v_unrolled, g_unrolled = run()           # 4 levels -> unrolled
+    monkeypatch.setattr(zm, '_UNROLL_MAX_LEVELS', 0)
+    v_scan, g_scan = run()                   # forced lax.scan
+
+    np.testing.assert_allclose(np.asarray(v_unrolled), np.asarray(v_scan),
+                               rtol=1e-12)
+    for gu, gs in zip(g_unrolled, g_scan):
+        np.testing.assert_allclose(np.asarray(gu), np.asarray(gs),
+                                   rtol=1e-10, atol=1e-12)
+
+
 def test_log_det_oracle():
     """log-det of the full (IC DOFs <- cart DOFs) map matches jacfwd+slogdet."""
     x = make_positions(1)
