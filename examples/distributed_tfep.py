@@ -21,11 +21,15 @@ slice, where each process owns that host's chips):
 The system is the analytic Gaussian pair (reference state sigma_A, target
 sigma_B), so the merged estimate is asserted against the exact answer.
 
-Run: PYTHONPATH=. python examples/distributed_tfep.py
+Run: python examples/distributed_tfep.py
 """
 
-import json
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import json
 import socket
 import subprocess
 import sys
@@ -206,7 +210,8 @@ def main(workdir=None):
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), '--worker',
              coordinator, str(pid), workdir],
-            env=dict(os.environ, PYTHONPATH=os.getcwd()),
+            env=dict(os.environ, PYTHONPATH=os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))),
             stdout=open(log, 'w'), stderr=subprocess.STDOUT)
         for pid, log in zip(range(N_PROCESSES), logs)
     ]

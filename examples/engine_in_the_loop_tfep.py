@@ -14,6 +14,11 @@ runs. With the fake engine the system is the analytic Gaussian pair, so
 the TFEP estimate is checked against the exact answer.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import multiprocessing
 import shutil
 import time

@@ -15,8 +15,13 @@ training epochs. This exercises the whole stack: Z-matrix construction,
 Cartesian<->internal conversion with exact log-det, spline transformers
 with data-dependent domains, training, logging, and bootstrap analysis.
 
-Run: PYTHONPATH=. python examples/multimap_tfep_mixed.py
+Run: python examples/multimap_tfep_mixed.py
 """
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import shutil
 

@@ -13,8 +13,13 @@ The exact answer comes from 1D quadrature of the internal-coordinate
 partition functions (no engine needed):
   Z = [int r^2 e^{-beta k (r-r0)^2 / 2} dr]^2 * int sin(t) e^{-beta kt (t-t0)^2/2} dt
 
-Run: PYTHONPATH=. python examples/multimap_tfep_triatomic.py
+Run: python examples/multimap_tfep_triatomic.py
 """
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import shutil
 

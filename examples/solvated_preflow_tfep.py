@@ -18,6 +18,11 @@ which the spline MAF learns in a few hundred steps. Naive FEP (identity
 map) is off by many kT at this contraction.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import shutil
 
 import jax

@@ -7,7 +7,12 @@ with std sigma_B => analytic reduced free-energy difference
 Train an affine-MAF map, log per-sample work, estimate df with the FEP
 estimator + bootstrap CI, and exercise checkpoint/mid-epoch-resume.
 """
+
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import shutil
 
 import jax
