@@ -60,6 +60,9 @@ class NeuralSplineTransformer(MAFTransformer):
         Whether to use the Pallas fused kernel when applicable (see
         ``_fused_applicable`` for why 'auto' currently means the XLA
         path).
+    remat : bool
+        Rematerialize the spline intermediates in the backward pass
+        (opt-in memory knob; off is faster when the residuals fit HBM).
     """
 
     x0: jnp.ndarray = buffer(default=None)    # (n_features,)
@@ -74,6 +77,7 @@ class NeuralSplineTransformer(MAFTransformer):
     min_bin_size: float = static(default=1e-4)
     min_slope: float = static(default=1e-4)
     fused: str = static(default='auto')   # 'auto' | 'always' | 'never'
+    remat: bool = static(default=False)
 
     @classmethod
     def create(cls, x0, xf, n_bins: int, y0=None, yf=None,
@@ -83,7 +87,8 @@ class NeuralSplineTransformer(MAFTransformer):
                learn_upper_bound: bool = False,
                min_bin_size: float = 1e-4,
                min_slope: float = 1e-4,
-               fused: str = 'auto') -> 'NeuralSplineTransformer':
+               fused: str = 'auto',
+               remat: bool = False) -> 'NeuralSplineTransformer':
         """Build a spline transformer (validates the option combinations).
 
         Parameters
@@ -108,6 +113,10 @@ class NeuralSplineTransformer(MAFTransformer):
         fused : {'auto', 'always', 'never'}, optional
             Pallas fused-kernel policy ('auto' currently selects the XLA
             path, which ties the kernel in measured throughput).
+        remat : bool, optional
+            Recompute the spline intermediates in the backward pass
+            instead of saving them — an opt-in memory knob (costs ~4–8%
+            throughput when the residuals would have fit anyway).
 
         Returns
         -------
@@ -136,7 +145,8 @@ class NeuralSplineTransformer(MAFTransformer):
                    learn_lower_bound=learn_lower_bound,
                    learn_upper_bound=learn_upper_bound,
                    min_bin_size=float(min_bin_size),
-                   min_slope=float(min_slope), fused=fused)
+                   min_slope=float(min_slope), fused=fused,
+                   remat=bool(remat))
 
     @property
     def n_parameters_per_feature(self) -> int:
@@ -176,11 +186,15 @@ class NeuralSplineTransformer(MAFTransformer):
                                  self.y0, self.yf, self.n_bins,
                                  self.min_bin_size, self.min_slope)
             return y, jnp.sum(dl, axis=-1)
-        # XLA path, rematerialized under reverse-mode AD: the spline's
-        # (batch, K, n_features) intermediates are recomputed in the
-        # backward pass instead of saved, cutting HBM traffic (~45% step
-        # throughput on TPU at production batch sizes).
-        return jax.checkpoint(self._forward_impl)(x, parameters)
+        if self.remat:
+            # Recompute the spline's (batch, K, n_features) intermediates
+            # in the backward pass instead of saving them — an opt-in
+            # memory knob for configurations where the saved residuals
+            # would not fit HBM. Re-measured off by default: saving the
+            # residuals is faster at both the bench config (+4%) and
+            # solvated scale (+8%) on v5e.
+            return jax.checkpoint(self._forward_impl)(x, parameters)
+        return self._forward_impl(x, parameters)
 
     def _forward_impl(self, x, parameters):
         x0, y0, widths, heights, slopes, shifts = self._get_parameters(
