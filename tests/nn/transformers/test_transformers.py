@@ -149,6 +149,30 @@ def test_neural_spline_floors_keep_monotonicity():
     roundtrip_check(t, x, params, atol=1e-6)
 
 
+def test_neural_spline_remat_equivalence():
+    """remat=True recomputes intermediates but values and gradients match
+    the default path exactly."""
+    x0 = -2.0 * jnp.ones(N_FEATURES)
+    xf = 2.0 * jnp.ones(N_FEATURES)
+    plain = NeuralSplineTransformer.create(x0, xf, n_bins=4)
+    remat = NeuralSplineTransformer.create(x0, xf, n_bins=4, remat=True)
+    n_params = plain.n_parameters_per_feature * N_FEATURES
+    x = jax.random.uniform(jax.random.key(5), (BATCH, N_FEATURES),
+                           minval=-2.5, maxval=2.5)
+    params = 0.5 * jax.random.normal(jax.random.key(6), (BATCH, n_params))
+
+    def loss(t, p):
+        y, ldj = t.forward(x, p)
+        return jnp.sum(y ** 2) + jnp.sum(ldj)
+
+    v_plain, g_plain = jax.value_and_grad(lambda p: loss(plain, p))(params)
+    v_remat, g_remat = jax.value_and_grad(lambda p: loss(remat, p))(params)
+    np.testing.assert_allclose(np.asarray(v_plain), np.asarray(v_remat),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(g_plain), np.asarray(g_remat),
+                               rtol=1e-10, atol=1e-12)
+
+
 def test_neural_spline_option_validation():
     ones = jnp.ones(N_FEATURES)
     with pytest.raises(ValueError, match='circular'):
