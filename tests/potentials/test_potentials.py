@@ -193,12 +193,12 @@ class TestGromacsIO:
         np.testing.assert_allclose(_read_xvg(str(xvg)), [0.0, 1.0, 2.0, 3.0])
 
     def test_grompp_command(self):
-        cmd = GmxGrompp(mdp_input_file_path='sim.mdp', n_max_warnings=2)
+        cmd = GmxGrompp(mdp_path='sim.mdp', max_warnings=2)
         assert cmd.to_subprocess() == ['gmx', 'grompp', '-f', 'sim.mdp',
                                        '-maxwarn', '2']
 
     def test_mdrun_command(self):
-        cmd = GmxMdrun(default_file_name='sim', n_omp_threads_per_mpi_rank=4)
+        cmd = GmxMdrun(output_prefix='sim', omp_threads_per_rank=4)
         assert cmd.to_subprocess() == ['gmx', 'mdrun', '-deffnm', 'sim',
                                        '-ntomp', '4']
 

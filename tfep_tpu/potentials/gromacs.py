@@ -35,50 +35,50 @@ GMX_INSTALLED = shutil.which('gmx') is not None
 class GmxGrompp(CLITool):
     """``gmx grompp`` preprocessor.
 
-    >>> GmxGrompp(mdp_input_file_path='sim.mdp', n_max_warnings=2).to_subprocess()
+    >>> GmxGrompp(mdp_path='sim.mdp', max_warnings=2).to_subprocess()
     ['gmx', 'grompp', '-f', 'sim.mdp', '-maxwarn', '2']
     """
     EXECUTABLE_PATH = 'gmx'
     SUBPROGRAM = 'grompp'
-    mdp_input_file_path = KeyValueOption('-f')
-    structure_input_file_path = KeyValueOption('-c')
-    top_input_file_path = KeyValueOption('-p')
-    trajectory_input_file_path = KeyValueOption('-t')
-    index_input_file_path = KeyValueOption('-n')
-    tpr_output_file_path = KeyValueOption('-o')
-    n_max_warnings = KeyValueOption('-maxwarn')
+    mdp_path = KeyValueOption('-f')
+    structure_path = KeyValueOption('-c')
+    topology_path = KeyValueOption('-p')
+    start_traj_path = KeyValueOption('-t')
+    index_path = KeyValueOption('-n')
+    tpr_path = KeyValueOption('-o')
+    max_warnings = KeyValueOption('-maxwarn')
 
 
 class GmxMdrun(CLITool):
     """``gmx mdrun`` (used with ``-rerun`` for single points)."""
     EXECUTABLE_PATH = 'gmx'
     SUBPROGRAM = 'mdrun'
-    tpr_file_path = KeyValueOption('-s')
-    rerun_traj_file_path = KeyValueOption('-rerun')
-    traj_file_path = KeyValueOption('-o')
-    edr_file_path = KeyValueOption('-e')
-    default_file_name = KeyValueOption('-deffnm')
-    n_ranks_pme = KeyValueOption('-npme')
-    n_thread_mpi_ranks = KeyValueOption('-ntmpi')
-    n_omp_threads_per_mpi_rank = KeyValueOption('-ntomp')
+    tpr_path = KeyValueOption('-s')
+    rerun_path = KeyValueOption('-rerun')
+    traj_path = KeyValueOption('-o')
+    edr_path = KeyValueOption('-e')
+    output_prefix = KeyValueOption('-deffnm')
+    pme_ranks = KeyValueOption('-npme')
+    thread_mpi_ranks = KeyValueOption('-ntmpi')
+    omp_threads_per_rank = KeyValueOption('-ntomp')
 
 
 class GmxTraj(CLITool):
     """``gmx traj`` (force extraction to .xvg)."""
     EXECUTABLE_PATH = 'gmx'
     SUBPROGRAM = 'traj'
-    traj_file_path = KeyValueOption('-f')
-    tpr_file_path = KeyValueOption('-s')
-    force_xvg_file_path = KeyValueOption('-of')
-    full_precision = FlagOption('-fp', prepend_to_false='no')
+    traj_path = KeyValueOption('-f')
+    tpr_path = KeyValueOption('-s')
+    forces_xvg_path = KeyValueOption('-of')
+    high_precision = FlagOption('-fp', prepend_to_false='no')
 
 
 class GmxEnergy(CLITool):
     """``gmx energy`` (energy extraction from .edr to .xvg)."""
     EXECUTABLE_PATH = 'gmx'
     SUBPROGRAM = 'energy'
-    edr_file_path = KeyValueOption('-f')
-    xvg_output_file_path = KeyValueOption('-o')
+    edr_path = KeyValueOption('-f')
+    xvg_path = KeyValueOption('-o')
 
 
 class GROMACSPotential(EnginePotential):
@@ -214,11 +214,11 @@ def _read_xvg(xvg_file_path: str) -> np.ndarray:
     return np.loadtxt(xvg_file_path, comments=['#', '@'])
 
 
-def _read_energy(edr_file_path: str, working_dir_path: str) -> float:
+def _read_energy(edr_path: str, working_dir_path: str) -> float:
     """Extract the potential energy from an .edr via ``gmx energy``."""
     xvg_file_path = os.path.join(working_dir_path, 'energy.xvg')
-    gmx_energy = GmxEnergy(edr_file_path=edr_file_path,
-                           xvg_output_file_path=xvg_file_path)
+    gmx_energy = GmxEnergy(edr_path=edr_path,
+                           xvg_path=xvg_file_path)
     with subprocess.Popen(['echo', 'Potential'],
                           stdout=subprocess.PIPE) as p1:
         with subprocess.Popen(gmx_energy.to_subprocess(), stdin=p1.stdout,
@@ -229,14 +229,14 @@ def _read_energy(edr_file_path: str, working_dir_path: str) -> float:
     return float(data[0, 1])
 
 
-def _read_forces(traj_file_path: str, tpr_file_path: str,
+def _read_forces(traj_path: str, tpr_file_path: str,
                  working_dir_path: str) -> np.ndarray:
     """Extract full-precision forces via ``gmx traj`` into an .xvg."""
     xvg_file_path = os.path.join(working_dir_path, 'forces.xvg')
-    gmx_traj = GmxTraj(traj_file_path=traj_file_path,
-                       tpr_file_path=tpr_file_path,
-                       force_xvg_file_path=xvg_file_path,
-                       full_precision=True)
+    gmx_traj = GmxTraj(traj_path=traj_path,
+                       tpr_path=tpr_file_path,
+                       forces_xvg_path=xvg_file_path,
+                       high_precision=True)
     with subprocess.Popen(['echo', 'System'], stdout=subprocess.PIPE) as p1:
         with subprocess.Popen(gmx_traj.to_subprocess(), stdin=p1.stdout) as p2:
             p2.communicate()
@@ -255,10 +255,10 @@ def _rerun_single_point(scratch_dir, tpr_file_path, positions_nm,
     frame_path = _create_g96_file(scratch_dir, positions_nm, box_vectors_nm)
     outputs = {'edr': os.path.join(scratch_dir, 'energy.edr'),
                'trr': os.path.join(scratch_dir, 'traj.trr')}
-    mdrun = GmxMdrun(tpr_file_path=tpr_file_path,
-                     rerun_traj_file_path=frame_path,
-                     traj_file_path=outputs['trr'],
-                     edr_file_path=outputs['edr'],
+    mdrun = GmxMdrun(tpr_path=tpr_file_path,
+                     rerun_path=frame_path,
+                     traj_path=outputs['trr'],
+                     edr_path=outputs['edr'],
                      **(mdrun_kwargs or {}))
     completed = (launcher or Launcher()).run(
         mdrun, cwd=scratch_dir, **(launcher_kwargs or {}))

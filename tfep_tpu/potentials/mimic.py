@@ -375,13 +375,13 @@ def _prepare_mdrun_command(mdrun_cmd, grompp_cmd, working_dir_path,
     _create_g96_file(working_dir_path, positions_nm, box_nm)
 
     grompp_cmd = copy.deepcopy(grompp_cmd)
-    grompp_cmd.trajectory_input_file_path = conf_name
-    grompp_cmd.tpr_output_file_path = tpr_name
+    grompp_cmd.start_traj_path = conf_name
+    grompp_cmd.tpr_path = tpr_name
     (grompp_launcher or Launcher()).run(
         grompp_cmd, cwd=working_dir_path, **kwargs)
 
     mdrun_cmd = copy.deepcopy(mdrun_cmd)
-    mdrun_cmd.tpr_file_path = tpr_name
+    mdrun_cmd.tpr_path = tpr_name
     return mdrun_cmd
 
 
