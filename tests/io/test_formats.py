@@ -613,3 +613,92 @@ def test_write_single_box_many_frames(tmp_path):
     with pytest.raises(ValueError, match='boxes'):
         system.save(str(tmp_path / 'bad.gro'), positions=mapped,
                     dimensions=np.tile(system.dimensions, (2, 1)))
+
+
+# =============================================================================
+# MDAnalysis Universe interop (duck-typed)
+# =============================================================================
+
+class _FakeTimestep:
+    def __init__(self, positions, dimensions, time):
+        self.positions = positions
+        self.dimensions = dimensions
+        self.time = time
+
+
+class _FakeBonds:
+    def __init__(self, indices):
+        self._indices = np.asarray(indices)
+
+    def to_indices(self):
+        return self._indices
+
+
+class _FakeAtoms:
+    """Mimics an MDAnalysis AtomGroup: missing attributes raise."""
+
+    def __init__(self, n, **attrs):
+        self._n = n
+        self._attrs = attrs
+
+    def __len__(self):
+        return self._n
+
+    def __getattr__(self, name):
+        try:
+            return self._attrs[name]
+        except KeyError:
+            raise AttributeError(name)  # NoDataError is an AttributeError
+
+
+class _FakeUniverse:
+    def __init__(self, atoms, trajectory, bonds=None):
+        self.atoms = atoms
+        self.trajectory = trajectory
+        if bonds is not None:
+            self.bonds = bonds
+
+
+def test_system_from_universe():
+    pos = rng.normal(0, 1, (3, 4, 3)).astype(np.float32)
+    box = np.array([10.0, 11.0, 12.0, 90.0, 90.0, 90.0], np.float32)
+    traj = [_FakeTimestep(pos[i], box, 0.5 * i) for i in range(3)]
+    atoms = _FakeAtoms(
+        4,
+        names=np.array(['O', 'H1', 'H2', 'C'], object),
+        elements=np.array(['O', 'H', 'H', 'C'], object),
+        resnames=np.array(['SOL', 'SOL', 'SOL', 'MOL'], object),
+        resids=np.array([1, 1, 1, 2]),
+        masses=np.array([15.999, 1.008, 1.008, 12.011]),
+    )
+    u = _FakeUniverse(atoms, traj, bonds=_FakeBonds([[0, 1], [0, 2]]))
+
+    system = System.from_universe(u)
+    assert system.n_frames == 3 and system.n_atoms == 4
+    np.testing.assert_allclose(system.positions, pos)
+    np.testing.assert_allclose(system.dimensions, np.tile(box, (3, 1)))
+    np.testing.assert_allclose(system.times, [0.0, 0.5, 1.0])
+    assert list(system.topology.elements) == ['O', 'H', 'H', 'C']
+    np.testing.assert_array_equal(system.topology.bonds, [[0, 1], [0, 2]])
+    np.testing.assert_array_equal(system.select_atoms('resname MOL'), [3])
+
+
+def test_system_from_universe_minimal():
+    # Only elements + positions: names are synthesized, masses looked up,
+    # no bonds/box/time attributes anywhere.
+    pos = rng.normal(0, 1, (2, 2, 3)).astype(np.float32)
+
+    class _BareTimestep:
+        def __init__(self, p):
+            self.positions = p
+            self.dimensions = None
+
+    atoms = _FakeAtoms(2, elements=np.array(['C', 'H'], object))
+    u = _FakeUniverse(atoms, [_BareTimestep(p) for p in pos])
+
+    system = System.from_universe(u)
+    assert system.dimensions is None
+    assert list(system.topology.names) == ['C1', 'H2']
+    np.testing.assert_allclose(system.topology.masses, [12.011, 1.008])
+    assert system.topology.bonds.shape == (0, 2)
+    np.testing.assert_allclose(system.times, [0.0, 1.0])

@@ -177,6 +177,65 @@ class System:
                              f'({sorted(_BINARY_FORMATS)}), not {ext}.')
         return readers[ext](path)
 
+    @classmethod
+    def from_universe(cls, universe) -> 'System':
+        """Build a :class:`System` from an MDAnalysis ``Universe``.
+
+        Migration helper: users of the reference hold ``Universe`` objects
+        (its ``TrajectoryDataset`` is built on one,
+        /root/reference/tfep/io/dataset/traj.py:43-120). The conversion is
+        duck-typed — any object exposing ``.atoms`` (with per-atom
+        attribute arrays), ``.trajectory`` (iterable of timesteps with
+        ``positions``/``dimensions``/``time``), and optionally ``.bonds``
+        works; MDAnalysis itself is not imported. Coordinates are read
+        eagerly (MDAnalysis units are already angstrom/ps, matching the
+        framework convention).
+        """
+        atoms = universe.atoms
+
+        def attr(name):
+            # MDAnalysis raises NoDataError for absent topology attributes.
+            try:
+                return np.asarray(getattr(atoms, name))
+            except Exception:
+                return None
+
+        names = attr('names')
+        if names is None:
+            elements = attr('elements')
+            if elements is not None:
+                names = [f'{e}{i + 1}' for i, e in enumerate(elements)]
+            else:
+                names = [f'X{i + 1}' for i in range(len(atoms))]
+        bonds = None
+        try:
+            bonds = np.asarray(universe.bonds.to_indices(), dtype=np.int64)
+        except Exception:
+            pass
+        topology = Topology(
+            names=names,
+            elements=attr('elements'),
+            resnames=attr('resnames'),
+            resids=attr('resids'),
+            masses=attr('masses'),
+            bonds=bonds,
+        )
+
+        positions, dimensions, times = [], [], []
+        for ts in universe.trajectory:
+            positions.append(np.asarray(ts.positions, dtype=np.float32))
+            dims = getattr(ts, 'dimensions', None)
+            dimensions.append(None if dims is None
+                              else np.asarray(dims, dtype=np.float32))
+            times.append(float(getattr(ts, 'time', len(times))))
+        have_dims = [d for d in dimensions if d is not None]
+        if len(have_dims) == len(dimensions) and have_dims:
+            dims_arr = np.stack(dimensions)
+        else:
+            dims_arr = None
+        return cls(topology, np.stack(positions), dimensions=dims_arr,
+                   times=np.asarray(times, dtype=np.float64))
+
     def save(self, path: str, positions=None, **kwargs) -> None:
         """Write this system's frames (PDB/GRO/XYZ/XTC/TRR by extension).
 
