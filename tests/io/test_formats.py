@@ -683,6 +683,56 @@ def test_system_from_universe():
     np.testing.assert_array_equal(system.select_atoms('resname MOL'), [3])
 
 
+def test_system_from_universe_shared_timestep_buffer():
+    # Real MDAnalysis readers reuse ONE Timestep and mutate its position
+    # buffer in place during iteration; from_universe must copy per frame
+    # or every stored frame aliases the last one.
+    pos = rng.normal(0, 1, (3, 4, 3)).astype(np.float32)
+    box = np.array([[10, 11, 12, 90, 90, 90],
+                    [13, 14, 15, 90, 90, 90],
+                    [16, 17, 18, 90, 90, 90]], np.float32)
+
+    class _ReusedTimestepTraj:
+        """Iterates by mutating a single shared Timestep in place."""
+
+        def __init__(self):
+            self._ts = _FakeTimestep(np.empty((4, 3), np.float32),
+                                     np.empty(6, np.float32), 0.0)
+
+        def __iter__(self):
+            for i in range(3):
+                self._ts.positions[:] = pos[i]
+                self._ts.dimensions[:] = box[i]
+                self._ts.time = float(i)
+                yield self._ts
+
+    atoms = _FakeAtoms(4, elements=np.array(['O', 'H', 'H', 'C'], object))
+    system = System.from_universe(_FakeUniverse(atoms, _ReusedTimestepTraj()))
+    np.testing.assert_allclose(system.positions, pos)
+    np.testing.assert_allclose(system.dimensions, box)
+
+
+def test_system_from_universe_zero_box_and_errors():
+    # zeros(6) dimensions (older MDAnalysis "no box" spelling) → None.
+    pos = rng.normal(0, 1, (2, 2, 3)).astype(np.float32)
+    atoms = _FakeAtoms(2, elements=np.array(['C', 'H'], object))
+    zero_box = np.zeros(6, np.float32)
+    u = _FakeUniverse(atoms, [_FakeTimestep(p, zero_box, i)
+                              for i, p in enumerate(pos)])
+    assert System.from_universe(u).dimensions is None
+
+    # Empty trajectory → clear error naming from_universe.
+    with pytest.raises(ValueError, match='from_universe.*empty'):
+        System.from_universe(_FakeUniverse(atoms, []))
+
+    # Mixed with/without box → loud error, not silent box drop.
+    box = np.array([10, 10, 10, 90, 90, 90], np.float32)
+    u = _FakeUniverse(atoms, [_FakeTimestep(pos[0], box, 0.0),
+                              _FakeTimestep(pos[1], None, 1.0)])
+    with pytest.raises(ValueError, match='mixes frames'):
+        System.from_universe(u)
+
+
 def test_system_from_universe_minimal():
     # Only elements + positions: names are synthesized, masses looked up,
     # no bonds/box/time attributes anywhere.

@@ -223,16 +223,30 @@ class System:
 
         positions, dimensions, times = [], [], []
         for ts in universe.trajectory:
-            positions.append(np.asarray(ts.positions, dtype=np.float32))
+            # MDAnalysis readers reuse ONE Timestep object and mutate its
+            # position buffer in place across iteration; a no-copy asarray
+            # would alias every frame to the last one. Copy explicitly.
+            positions.append(np.array(ts.positions, dtype=np.float32,
+                                      copy=True))
             dims = getattr(ts, 'dimensions', None)
+            # Older MDAnalysis returns zeros(6) instead of None for a
+            # missing box; normalize both spellings to "no box".
+            if dims is not None and not np.any(np.asarray(dims)):
+                dims = None
             dimensions.append(None if dims is None
-                              else np.asarray(dims, dtype=np.float32))
+                              else np.array(dims, dtype=np.float32,
+                                            copy=True))
             times.append(float(getattr(ts, 'time', len(times))))
+        if not positions:
+            raise ValueError('System.from_universe: universe.trajectory is '
+                             'empty (no frames to read)')
         have_dims = [d for d in dimensions if d is not None]
-        if len(have_dims) == len(dimensions) and have_dims:
-            dims_arr = np.stack(dimensions)
-        else:
-            dims_arr = None
+        if have_dims and len(have_dims) != len(dimensions):
+            raise ValueError(
+                'System.from_universe: trajectory mixes frames with and '
+                f'without box dimensions ({len(have_dims)}/{len(dimensions)} '
+                'frames carry a box); refusing to silently drop the box')
+        dims_arr = np.stack(dimensions) if have_dims else None
         return cls(topology, np.stack(positions), dimensions=dims_arr,
                    times=np.asarray(times, dtype=np.float64))
 
