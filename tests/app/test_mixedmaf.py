@@ -161,6 +161,66 @@ def test_mixedmaf_with_solvent_and_conditioning(tmp_path):
                                np.asarray(x[:, cond_dofs]), atol=1e-10)
 
 
+def test_mixedmaf_solvent_partition_by_distance_selection(tmp_path):
+    """The canonical solvated workflow: conditioning = solvent shell
+    selected with a periodic distance selection; far solvent is fixed."""
+    rng = np.random.default_rng(1)
+    base_system = make_butane_like_system(with_water=True)
+    topology = base_system.topology
+    # Append a second water right next to the MOL fragment (< 4 A) so the
+    # distance selection distinguishes near from far solvent; the original
+    # water sits at ~(8, 8, 8), >9 A away.
+    names = list(topology.names) + ['OW', 'HW1', 'HW2']
+    elements = list(topology.elements) + ['O', 'H', 'H']
+    resnames = list(topology.resnames) + ['SOL'] * 3
+    resids = list(topology.resids) + [3] * 3
+    bonds = np.concatenate([topology.bonds, [[11, 12], [11, 13]]])
+    near_water = np.array([[3.5, 3.0, 1.0], [4.3, 3.3, 1.0],
+                           [3.0, 3.7, 1.2]])
+    positions = np.concatenate(
+        [np.asarray(base_system.positions),
+         near_water[None] + 0.05 * rng.normal(size=(N_FRAMES, 3, 3))],
+        axis=1)
+    system = System(
+        Topology(names=names, elements=elements, resnames=resnames,
+                 resids=resids, bonds=bonds),
+        positions,
+        dimensions=np.tile([20.0, 20.0, 20.0, 90.0, 90.0, 90.0],
+                           (N_FRAMES, 1)))
+
+    tfep_map = MixedMAFMap(
+        potential_energy_func=MockPotential(),
+        temperature=300.0 * ureg.kelvin,
+        system=system,
+        batch_size=6,
+        n_maf_layers=2,
+        mapped_atoms='resname MOL',
+        conditioning_atoms='byres (resname SOL and around 4.0 resname MOL)',
+        tfep_logger_dir_path=str(tmp_path / 'logs'))
+    tfep_map.setup()
+
+    # Only the near water (atoms 11-13) is conditioning; the far water
+    # (atoms 8-10) is neither mapped nor conditioning -> fixed.
+    np.testing.assert_array_equal(
+        tfep_map.get_conditioning_indices(idx_type='atom',
+                                          remove_fixed=False),
+        [11, 12, 13])
+    np.testing.assert_array_equal(tfep_map._fixed_atom_indices, [8, 9, 10])
+
+    # MOL: 3 Cartesian reference + 5 IC atoms; near water all-Cartesian.
+    flow = tfep_map.flow
+    batch = tfep_map.dataset.get_batch([0, 1, 2])
+    x = jnp.asarray(batch['positions'])
+    y, ldj = flow.forward(x)
+    x_back, _ = flow.inverse(y)
+    np.testing.assert_allclose(np.asarray(x_back), np.asarray(x), atol=1e-6)
+    # Fixed (far-water) DOFs pass through the map untouched.
+    from tfep_tpu.utils.misc import atom_to_flattened_indices
+    fixed_dofs = atom_to_flattened_indices(tfep_map._fixed_atom_indices)
+    np.testing.assert_array_equal(np.asarray(y[:, fixed_dofs]),
+                                  np.asarray(x[:, fixed_dofs]))
+
+
 def test_mixedmaf_trains_and_logs(tmp_path):
     tfep_map = make_map(tmp_path)
     trainer = Trainer(save_dir=str(tmp_path / 'ckpt'), max_epochs=1,

@@ -7,7 +7,23 @@ cf. /root/reference/tfep/app/base.py:906-944). Supported selections:
 
     all, none, index 3 5 7, index 2:10, name CA CB, element C H,
     resname MOL, resid 1:5, mass 10 to 20, bynum 1:4 (1-based),
-    not <sel>, <sel> and <sel>, <sel> or <sel>, parentheses.
+    not <sel>, <sel> and <sel>, <sel> or <sel>, parentheses,
+
+plus geometric selections (periodic-aware, evaluated against a chosen
+frame's coordinates — pass ``positions``/``dimensions`` to
+:meth:`Topology.select_atoms`, or use :meth:`System.select_atoms
+<tfep_tpu.io.traj.System.select_atoms>` which supplies them):
+
+    around 5.0 <sel>        atoms within 5 A of <sel>, excluding <sel>
+    within 5.0 of <sel>     same but including <sel> (VMD spelling)
+    sphzone 5.0 <sel>       within 5 A of the center of geometry of <sel>
+    point x y z 5.0         within 5 A of a fixed point
+    byres <sel>             expand <sel> to every atom of its residues
+
+Distances are minimum-image under the frame's (possibly triclinic) box
+when dimensions are available. This covers the canonical solvated-system
+workflow of the reference ("solvent within X A of the solute" via
+MDAnalysis selection strings, /root/reference/tfep/app/base.py:906-944).
 """
 
 from __future__ import annotations
@@ -126,7 +142,8 @@ class Topology:
         return len(self.names)
 
     # ------------------------------------------------------------------ #
-    def select_atoms(self, selection) -> np.ndarray:
+    def select_atoms(self, selection, positions=None,
+                     dimensions=None) -> np.ndarray:
         """Resolve a selection to sorted atom indices.
 
         Parameters
@@ -136,6 +153,13 @@ class Topology:
             module docstring (e.g. ``'resname MOL and not element H'``),
             an explicit index array (returned sorted), or ``None`` for an
             empty selection.
+        positions : numpy.ndarray, optional
+            ``(n_atoms, 3)`` coordinates in angstrom. Required only for
+            geometric selections (``around``/``within``/``sphzone``/
+            ``point``).
+        dimensions : numpy.ndarray, optional
+            Unit-cell ``[lx, ly, lz, alpha, beta, gamma]`` (angstrom,
+            degrees). When given, geometric distances are minimum-image.
 
         Returns
         -------
@@ -145,14 +169,65 @@ class Topology:
         Raises
         ------
         ValueError
-            If the selection string cannot be parsed.
+            If the selection string cannot be parsed, or a geometric
+            keyword is used without ``positions``.
         """
         if selection is None:
             return np.zeros(0, dtype=np.int64)
         if not isinstance(selection, str):
             return np.sort(np.asarray(selection, dtype=np.int64).reshape(-1))
-        mask = _SelectionParser(self).parse(selection)
+        mask = _SelectionParser(self, positions=positions,
+                                dimensions=dimensions).parse(selection)
         return np.nonzero(mask)[0].astype(np.int64)
+
+
+def _min_image_distances(points: np.ndarray, ref: np.ndarray,
+                         dimensions: Optional[np.ndarray]) -> np.ndarray:
+    """Min distance (angstrom) from each point to the nearest ref atom.
+
+    Minimum-image under the unit cell when ``dimensions`` is given:
+    orthorhombic boxes wrap per axis; triclinic boxes wrap fractional
+    coordinates and then search the 27 neighbour images (sufficient for
+    boxes satisfying the GROMACS triclinic reduction conventions).
+    """
+    points = np.asarray(points, dtype=np.float64)
+    ref = np.asarray(ref, dtype=np.float64)
+    if ref.size == 0:
+        return np.full(len(points), np.inf)
+    out = np.empty(len(points), dtype=np.float64)
+    # Chunk candidates to bound the pair matrix at ~few MB.
+    chunk = max(1, 2_000_000 // max(1, len(ref)))
+
+    if dimensions is None or not np.all(np.asarray(dimensions)[:3] > 0):
+        for s in range(0, len(points), chunk):
+            delta = points[s:s + chunk, None, :] - ref[None, :, :]
+            out[s:s + chunk] = np.sqrt((delta ** 2).sum(-1).min(axis=1))
+        return out
+
+    dims = np.asarray(dimensions, dtype=np.float64)
+    orthorhombic = np.allclose(dims[3:], 90.0, atol=1e-4)
+    if orthorhombic:
+        lengths = dims[:3]
+        for s in range(0, len(points), chunk):
+            delta = points[s:s + chunk, None, :] - ref[None, :, :]
+            delta -= lengths * np.round(delta / lengths)
+            out[s:s + chunk] = np.sqrt((delta ** 2).sum(-1).min(axis=1))
+        return out
+
+    # Triclinic: rows of `cell` are the box vectors.
+    from tfep_tpu.io.traj import dimensions_to_box_vectors
+    cell = dimensions_to_box_vectors(dims)
+    inv_cell = np.linalg.inv(cell)
+    shifts = np.array([[i, j, k] for i in (-1, 0, 1) for j in (-1, 0, 1)
+                       for k in (-1, 0, 1)], dtype=np.float64) @ cell
+    for s in range(0, len(points), chunk):
+        delta = points[s:s + chunk, None, :] - ref[None, :, :]
+        frac = delta @ inv_cell
+        delta = (frac - np.round(frac)) @ cell
+        d2 = ((delta[:, :, None, :] + shifts[None, None, :, :]) ** 2
+              ).sum(-1).min(axis=(1, 2))
+        out[s:s + chunk] = np.sqrt(d2)
+    return out
 
 
 class _SelectionParser:
@@ -160,10 +235,13 @@ class _SelectionParser:
 
     _KEYWORDS = {'and', 'or', 'not', '(', ')', 'all', 'none', 'index',
                  'bynum', 'name', 'element', 'type', 'resname', 'resid',
-                 'mass'}
+                 'mass', 'around', 'within', 'of', 'sphzone', 'point',
+                 'byres'}
 
-    def __init__(self, topology: Topology):
+    def __init__(self, topology: Topology, positions=None, dimensions=None):
         self.top = topology
+        self.positions = positions
+        self.dimensions = dimensions
 
     def parse(self, text: str) -> np.ndarray:
         self.tokens = re.findall(r'\(|\)|[^\s()]+', text)
@@ -201,6 +279,37 @@ class _SelectionParser:
         if tok == 'not':
             self._next()
             return ~self._parse_unary()
+        if tok == 'byres':
+            self._next()
+            inner = self._parse_unary()
+            selected_resids = np.unique(self.top.resids[inner])
+            return np.isin(self.top.resids, selected_resids)
+        if tok == 'around':
+            self._next()
+            radius = self._number('around')
+            ref = self._parse_unary()
+            dist = self._distances_to(self._coords()[ref])
+            return (dist <= radius) & ~ref
+        if tok == 'within':
+            self._next()
+            radius = self._number('within')
+            if self._next() != 'of':
+                raise ValueError("Expected 'of' after 'within <radius>' "
+                                 "(VMD spelling: within 5.0 of <sel>).")
+            ref = self._parse_unary()
+            # Reference atoms are at distance 0 of themselves: included.
+            return self._distances_to(self._coords()[ref]) <= radius
+        if tok == 'sphzone':
+            self._next()
+            radius = self._number('sphzone')
+            ref = self._parse_unary()
+            center = self._coords()[ref].mean(axis=0, keepdims=True)
+            return self._distances_to(center) <= radius
+        if tok == 'point':
+            self._next()
+            x, y, z = (self._number('point') for _ in range(3))
+            radius = self._number('point')
+            return self._distances_to(np.array([[x, y, z]])) <= radius
         if tok == '(':
             self._next()
             mask = self._parse_or()
@@ -208,6 +317,25 @@ class _SelectionParser:
                 raise ValueError('Unbalanced parentheses in selection.')
             return mask
         return self._parse_primary()
+
+    def _number(self, keyword: str) -> float:
+        tok = self._next()
+        try:
+            return float(tok)
+        except (TypeError, ValueError):
+            raise ValueError(f'{keyword!r} expects a number, got {tok!r}.')
+
+    def _coords(self) -> np.ndarray:
+        if self.positions is None:
+            raise ValueError(
+                'Geometric selections (around/within/sphzone/point) need '
+                'coordinates: call System.select_atoms (which passes the '
+                'chosen frame) or Topology.select_atoms(..., positions=).')
+        return np.asarray(self.positions, dtype=np.float64).reshape(-1, 3)
+
+    def _distances_to(self, ref_coords: np.ndarray) -> np.ndarray:
+        return _min_image_distances(self._coords(), ref_coords,
+                                    self.dimensions)
 
     def _values(self) -> List[str]:
         vals = []

@@ -136,8 +136,22 @@ class System:
     def n_atoms(self) -> int:
         return self.positions.shape[1]
 
-    def select_atoms(self, selection) -> np.ndarray:
-        return self.topology.select_atoms(selection)
+    def select_atoms(self, selection, frame: int = 0) -> np.ndarray:
+        """Resolve a selection string / index list to sorted atom indices.
+
+        Geometric selections (``around``/``within``/``sphzone``/``point``;
+        see :mod:`tfep_tpu.io.topology`) are evaluated against ``frame``'s
+        coordinates and box with periodic minimum-image distances — the
+        counterpart of the MDAnalysis selection strings the reference
+        accepts (/root/reference/tfep/app/base.py:906-944).
+        """
+        positions = dimensions = None
+        if isinstance(selection, str):
+            positions = np.asarray(self.positions[frame])
+            if self.dimensions is not None:
+                dimensions = self.dimensions[frame]
+        return self.topology.select_atoms(selection, positions=positions,
+                                          dimensions=dimensions)
 
     @classmethod
     def from_file(cls, path: str, topology_path: Optional[str] = None,
