@@ -215,6 +215,165 @@ class _DummySampler:
         return {}
 
 
+def test_degrees_repeats_coupling_blocks(tmp_path):
+    """degrees_repeats=k at the map level: the inverse needs ceil(n/k)
+    conditioner passes instead of n, and stays exact."""
+    from tfep_tpu.nn.flows.autoregressive import AutoregressiveFlow
+
+    def maf_layers_of(flow):
+        found = []
+
+        def visit(node):
+            if isinstance(node, AutoregressiveFlow):
+                found.append(node)
+            for child in getattr(node, '__dict__', {}).values():
+                if hasattr(child, '__dict__'):
+                    visit(child)
+            for child in getattr(node, 'flows', ()) or ():
+                visit(child)
+
+        visit(flow)
+        return found
+
+    n_dofs = N_ATOMS * 3   # 18 mapped DOFs, no conditioning
+    for repeats, expected_groups in [(1, n_dofs), (6, 3)]:
+        tfep_map = make_map(tmp_path, name=f'logs_rep{repeats}',
+                            degrees_repeats=repeats)
+        tfep_map.setup()
+        layers = maf_layers_of(tfep_map.flow)
+        assert layers, 'no MAF layers found in the flow tree'
+        for layer in layers:
+            assert layer.inverse_masks.shape[0] == expected_groups
+
+        x = jnp.asarray(tfep_map.dataset.get_batch([0, 1])['positions'])
+        y, ldj = tfep_map.flow.forward(x)
+        x_back, ldj_inv = tfep_map.flow.inverse(y)
+        np.testing.assert_allclose(np.asarray(x_back), np.asarray(x),
+                                   atol=1e-8)
+        np.testing.assert_allclose(np.asarray(ldj + ldj_inv), 0.0,
+                                   atol=1e-8)
+
+
+def test_degrees_repeats_trains(tmp_path):
+    tfep_map = make_map(tmp_path, name='logs_rep_train', degrees_repeats=4)
+    trainer = Trainer(save_dir=None, max_steps=3, shuffle=False)
+    flow = trainer.fit(tfep_map)
+    assert np.isfinite(trainer.loss_history).all()
+    x = jnp.asarray(tfep_map.dataset.get_batch([0, 1])['positions'])
+    y, _ = flow.forward(x)
+    x_back, _ = flow.inverse(y)
+    np.testing.assert_allclose(np.asarray(x_back), np.asarray(x), atol=1e-6)
+
+
+def test_self_contained_checkpoint_round_trip(tmp_path):
+    """A trained map is reconstructed from the checkpoint file alone —
+    no live map object, no hand-rebuilt configuration (the reference gets
+    this from Lightning save_hyperparameters, app/base.py:196)."""
+    from tfep_tpu.app import load_map_from_checkpoint
+
+    tfep_map = make_map(tmp_path, name='logs_sc', remat=False,
+                        mapped_atoms='resname MOL', conditioning_atoms=[3])
+    trainer = Trainer(save_dir=str(tmp_path / 'ckpt_sc'), max_steps=3,
+                      shuffle=False)
+    flow = trainer.fit(tfep_map)
+    x = jnp.asarray(tfep_map.dataset.get_batch([0, 1])['positions'])
+    y_ref, ldj_ref = flow.forward(x)
+
+    # Reconstruct from the file alone (both the functional and the
+    # classmethod spelling).
+    for loader in (
+            lambda p: load_map_from_checkpoint(p),
+            lambda p: CartesianMAFMap.load_from_checkpoint(p)):
+        restored = loader(str(tmp_path / 'ckpt_sc' / 'last.ckpt'))
+        assert isinstance(restored, CartesianMAFMap)
+        assert restored.n_maf_layers == tfep_map.n_maf_layers
+        assert restored._mapped_atoms == 'resname MOL'
+        y, ldj = restored.flow.forward(x)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(ldj), np.asarray(ldj_ref),
+                                   atol=1e-12)
+
+    # Wrong expected class raises clearly.
+    from tfep_tpu.app import MixedMAFMap
+    with pytest.raises(ValueError, match='not a MixedMAFMap'):
+        MixedMAFMap.load_from_checkpoint(
+            str(tmp_path / 'ckpt_sc' / 'last.ckpt'))
+
+
+def test_checkpoint_unpicklable_hparams_need_override(tmp_path):
+    """Unpicklable hyperparameters are recorded by name; the loader
+    demands them as overrides instead of failing opaquely."""
+    from tfep_tpu.app import load_map_from_checkpoint
+
+    class UnpicklablePotential:
+        energy_unit = ureg.kilocalorie_per_mole
+        positions_unit = ureg.angstrom
+
+        def __init__(self):
+            self._handle = lambda x: x   # closures do not pickle
+
+        def __call__(self, x, cell=None):
+            return jnp.sum(x, axis=-1)
+
+    tfep_map = CartesianMAFMap(
+        potential_energy_func=UnpicklablePotential(),
+        temperature=300.0 * ureg.kelvin,
+        system=make_system(),
+        batch_size=5,
+        n_maf_layers=2,
+        tfep_logger_dir_path=str(tmp_path / 'logs_unp'))
+    trainer = Trainer(save_dir=str(tmp_path / 'ckpt_unp'), max_steps=2,
+                      shuffle=False)
+    trainer.fit(tfep_map)
+
+    path = str(tmp_path / 'ckpt_unp' / 'last.ckpt')
+    with pytest.raises(ValueError, match='potential_energy_func'):
+        load_map_from_checkpoint(path)
+    restored = load_map_from_checkpoint(
+        path, potential_energy_func=MockPotential())
+    assert isinstance(restored.flow, type(tfep_map.flow))
+
+
+def test_checkpoint_version_mismatch_raises(tmp_path):
+    import pickle
+
+    from tfep_tpu.app import load_map_from_checkpoint
+    from tfep_tpu.app.trainer import CHECKPOINT_FORMAT_VERSION
+
+    path = str(tmp_path / 'future.ckpt')
+    with open(path, 'wb') as f:
+        pickle.dump({'format_version': CHECKPOINT_FORMAT_VERSION + 1,
+                     'flow_leaves': [], 'opt_leaves': [],
+                     'global_step': 0, 'current_epoch': 0,
+                     'sampler_state': {}}, f)
+    with pytest.raises(ValueError, match='format version'):
+        load_map_from_checkpoint(path)
+
+    # The resume path rejects it too.
+    tfep_map = make_map(tmp_path, name='logs_ver')
+    trainer = Trainer(save_dir=str(tmp_path), max_steps=1, shuffle=False)
+    os.replace(path, trainer.checkpoint_path)
+    with pytest.raises(ValueError, match='format version'):
+        trainer.fit(tfep_map, resume=True)
+
+
+def test_pre_versioning_checkpoint_not_self_contained(tmp_path):
+    """A leaves-only (format 0) checkpoint loads for resume but refuses
+    load_map_from_checkpoint with a clear message."""
+    import pickle
+
+    from tfep_tpu.app import load_map_from_checkpoint
+
+    path = str(tmp_path / 'old.ckpt')
+    with open(path, 'wb') as f:
+        pickle.dump({'flow_leaves': [], 'opt_leaves': [],
+                     'global_step': 0, 'current_epoch': 0,
+                     'sampler_state': {}}, f)
+    with pytest.raises(ValueError, match='does not embed'):
+        load_map_from_checkpoint(path)
+
+
 def test_run_evaluation(tmp_path):
     tfep_map = make_map(tmp_path, name='logs_eval')
     trainer = Trainer(save_dir=None, max_steps=2, shuffle=False)

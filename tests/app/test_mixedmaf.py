@@ -221,6 +221,17 @@ def test_mixedmaf_solvent_partition_by_distance_selection(tmp_path):
                                   np.asarray(x[:, fixed_dofs]))
 
 
+def test_mixedmaf_degrees_repeats_round_trip(tmp_path):
+    """Coupling-style degree blocks keep the mixed map exactly invertible."""
+    tfep_map = make_map(tmp_path, degrees_repeats=4)
+    tfep_map.setup()
+    x = jnp.asarray(tfep_map.dataset.get_batch([0, 1, 2])['positions'])
+    y, ldj = tfep_map.flow.forward(x)
+    x_back, ldj_inv = tfep_map.flow.inverse(y)
+    np.testing.assert_allclose(np.asarray(x_back), np.asarray(x), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ldj + ldj_inv), 0.0, atol=1e-6)
+
+
 def test_mixedmaf_trains_and_logs(tmp_path):
     tfep_map = make_map(tmp_path)
     trainer = Trainer(save_dir=str(tmp_path / 'ckpt'), max_epochs=1,

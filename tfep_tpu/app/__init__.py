@@ -1,6 +1,6 @@
 """App layer: trainer and TFEP maps."""
 
-from tfep_tpu.app.trainer import Trainer  # noqa: F401
+from tfep_tpu.app.trainer import Trainer, load_map_from_checkpoint  # noqa: F401
 from tfep_tpu.app.base import TFEPMapBase  # noqa: F401
 from tfep_tpu.app.cartesianmaf import CartesianMAFMap  # noqa: F401
 from tfep_tpu.app.mixedmaf import MixedMAFMap  # noqa: F401

@@ -15,7 +15,7 @@ atom partitioning (:601-729), kT computation (:208-213), PartialFlow wrapping
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Union
+from typing import Any, Dict, Optional, Sequence, Union
 
 import jax.numpy as jnp
 import numpy as np
@@ -119,6 +119,27 @@ class TFEPMapBase:
         :mod:`tfep_tpu.io.topology`). ``lazy_trajectory`` streams binary
         trajectories (DCD/XTC/TRR) from disk per batch instead of loading
         them into memory."""
+        # Constructor config recorded for self-contained checkpoints (the
+        # reference round-trips it via Lightning save_hyperparameters,
+        # /root/reference/tfep/app/base.py:196). When the system comes from
+        # files, only the paths are embedded, not the coordinate payload.
+        self.hparams: Dict[str, Any] = {
+            'potential_energy_func': potential_energy_func,
+            'temperature': temperature,
+            'system': None if coordinates_file_path is not None else system,
+            'topology_file_path': topology_file_path,
+            'coordinates_file_path': coordinates_file_path,
+            'batch_size': batch_size,
+            'mapped_atoms': mapped_atoms,
+            'conditioning_atoms': conditioning_atoms,
+            'origin_atom': origin_atom,
+            'axes_atoms': axes_atoms,
+            'tfep_logger_dir_path': tfep_logger_dir_path,
+            'ignore_nan': ignore_nan,
+            'lazy_trajectory': lazy_trajectory,
+            'seed': seed,
+        }
+
         if system is None:
             if coordinates_file_path is None:
                 raise ValueError(
@@ -155,6 +176,24 @@ class TFEPMapBase:
         self._fixed_atom_indices = None
         self._origin_atom_idx = None
         self._axes_atoms_indices = None
+
+    # ------------------------------------------------------------------ #
+    @classmethod
+    def load_from_checkpoint(cls, checkpoint_path: str, **override_hparams):
+        """Rebuild a map (constructor config + trained parameters) from a
+        self-contained checkpoint alone.
+
+        The counterpart of Lightning's ``load_from_checkpoint`` (the
+        reference saves its constructor config with
+        ``save_hyperparameters``, /root/reference/tfep/app/base.py:196).
+        Hyperparameters that could not be pickled at save time (e.g. a
+        non-picklable engine handle) must be supplied as keyword
+        overrides; any override replaces the stored value.
+        """
+        from tfep_tpu.app.trainer import load_map_from_checkpoint
+        return load_map_from_checkpoint(checkpoint_path,
+                                        expected_class=cls,
+                                        **override_hparams)
 
     # ------------------------------------------------------------------ #
     # Setup phase (host-side, pre-jit).

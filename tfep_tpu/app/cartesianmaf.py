@@ -62,19 +62,37 @@ class CartesianMAFMap(TFEPMapBase):
         alignment).
     pca_n_frames : int, optional
         Frame budget for the PCA fit.
+    degrees_repeats : int, optional
+        Consecutive DOFs sharing each autoregressive degree (default 1 =
+        fully autoregressive). With ``k > 1`` the inverse (generation)
+        direction needs only ``ceil(n_dofs / k)`` conditioner passes
+        instead of ``n_dofs`` — a measured 10-25x generation speedup at
+        ``k``~8-32 (docs/PERFORMANCE.md) — at the cost of coupling-style
+        blocks: DOFs within a block do not condition on each other, a
+        strictly less expressive factorization per layer (alternating
+        layer orderings recover most of it in practice). Forwarded to
+        :func:`tfep_tpu.nn.conditioners.generate_degrees` ``repeats``
+        (reference: made.py:32-145).
 
     Reference behaviors: /root/reference/tfep/app/cartesianmaf.py:178-367.
     """
 
     def __init__(self, *args, n_maf_layers: int = 6, flow_kwargs=None,
                  remat: bool = False, pca_whitening: bool = False,
-                 pca_n_frames: int = 5120, **kwargs):
+                 pca_n_frames: int = 5120, degrees_repeats: int = 1,
+                 **kwargs):
         super().__init__(*args, **kwargs)
         self.n_maf_layers = int(n_maf_layers)
         self.flow_kwargs = dict(flow_kwargs or {})
         self.remat = bool(remat)
         self.pca_whitening = bool(pca_whitening)
         self.pca_n_frames = int(pca_n_frames)
+        self.degrees_repeats = int(degrees_repeats)
+        self.hparams.update(
+            n_maf_layers=self.n_maf_layers, flow_kwargs=self.flow_kwargs,
+            remat=self.remat, pca_whitening=self.pca_whitening,
+            pca_n_frames=self.pca_n_frames,
+            degrees_repeats=self.degrees_repeats)
 
     # ------------------------------------------------------------------ #
     def determine_atom_indices(self):
@@ -107,6 +125,7 @@ class CartesianMAFMap(TFEPMapBase):
                 n_features=n_flow_features,
                 conditioning_indices=conditioning_indices,
                 order='ascending' if layer_idx % 2 == 0 else 'descending',
+                repeats=self.degrees_repeats,
             )
             maf_layers.append(MAF.create(keys[layer_idx], degrees_in,
                                          **self.flow_kwargs))

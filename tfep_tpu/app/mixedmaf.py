@@ -108,6 +108,11 @@ class MixedMAFMap(TFEPMapBase):
     remat : bool
         Rematerialize MAF layers in the backward pass (roughly halves
         training-step memory for deep stacks).
+    degrees_repeats : int, optional
+        Consecutive DOFs per autoregressive degree (default 1 = fully
+        autoregressive). ``k > 1`` buys a ``~k`` times faster inverse
+        (generation) at coupling-style expressiveness per layer — see
+        :class:`~tfep_tpu.app.CartesianMAFMap` for the tradeoff.
     """
 
     def __init__(self, *args, n_maf_layers: int = 6,
@@ -116,7 +121,7 @@ class MixedMAFMap(TFEPMapBase):
                  remove_rotation: bool = False,
                  n_bins: int = 5,
                  flow_kwargs: Optional[Dict] = None,
-                 remat: bool = False, **kwargs):
+                 remat: bool = False, degrees_repeats: int = 1, **kwargs):
         super().__init__(*args, **kwargs)
         self.n_maf_layers = int(n_maf_layers)
         self.distance_lower_limit_displacement = float(
@@ -126,6 +131,17 @@ class MixedMAFMap(TFEPMapBase):
         self.n_bins = int(n_bins)
         self.flow_kwargs = dict(flow_kwargs or {})
         self.remat = bool(remat)
+        # Coupling-style degree blocks: ceil(n/k) inverse conditioner
+        # passes instead of n (see CartesianMAFMap.degrees_repeats).
+        self.degrees_repeats = int(degrees_repeats)
+        self.hparams.update(
+            n_maf_layers=self.n_maf_layers,
+            distance_lower_limit_displacement=(
+                self.distance_lower_limit_displacement),
+            remove_translation=self.remove_translation,
+            remove_rotation=self.remove_rotation,
+            n_bins=self.n_bins, flow_kwargs=self.flow_kwargs,
+            remat=self.remat, degrees_repeats=self.degrees_repeats)
 
     # ------------------------------------------------------------------ #
     def configure_flow(self):
@@ -476,7 +492,8 @@ class MixedMAFMap(TFEPMapBase):
             degrees_in.append(generate_degrees(
                 n_features=n_dofs_in, order=order,
                 conditioning_indices=(None if conditioning is None
-                                      else np.sort(conditioning))))
+                                      else np.sort(conditioning)),
+                repeats=self.degrees_repeats))
         return degrees_in
 
 

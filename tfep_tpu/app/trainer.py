@@ -30,7 +30,12 @@ from tfep_tpu.nn.module import (
     apply_updates, combine, filter_value_and_grad, partition,
 )
 
-__all__ = ['Trainer']
+__all__ = ['Trainer', 'load_map_from_checkpoint']
+
+# Bump when the checkpoint layout changes incompatibly. Loaders accept
+# any version <= current; newer files raise a clear error. Version 0 =
+# pre-versioning checkpoints (leaves only, no embedded map config).
+CHECKPOINT_FORMAT_VERSION = 1
 
 
 class Trainer:
@@ -201,7 +206,7 @@ class Trainer:
 
                 if (self.checkpoint_path is not None
                         and self.global_step % self.checkpoint_every_n_steps == 0):
-                    self._save_checkpoint(flow, opt_state, sampler)
+                    self._save_checkpoint(flow, opt_state, sampler, tfep_map)
 
                 if self.max_steps is not None and \
                         self.global_step >= self.max_steps:
@@ -333,7 +338,7 @@ class Trainer:
             self.global_step += 1
             if (self.checkpoint_path is not None and
                     self.global_step % self.checkpoint_every_n_steps == 0):
-                self._save_checkpoint(flow, opt_state, sampler)
+                self._save_checkpoint(flow, opt_state, sampler, tfep_map)
             return flow, opt_state
 
         # Forward passes run one batch ahead of applied updates.
@@ -411,18 +416,20 @@ class Trainer:
         return step
 
     # ------------------------------------------------------------------ #
-    def _save_checkpoint(self, flow, opt_state, sampler):
+    def _save_checkpoint(self, flow, opt_state, sampler, tfep_map=None):
         os.makedirs(self.save_dir, exist_ok=True)
         leaves = [np.asarray(l) for l in jax.tree_util.tree_leaves(flow)]
         opt_leaves = [np.asarray(l)
                       for l in jax.tree_util.tree_leaves(opt_state)]
         state = {
+            'format_version': CHECKPOINT_FORMAT_VERSION,
             'flow_leaves': leaves,
             'opt_leaves': opt_leaves,
             'global_step': self.global_step,
             'current_epoch': self.current_epoch,
             'sampler_state': sampler.state_dict(),
         }
+        state.update(_map_config_entries(tfep_map))
         tmp_path = self.checkpoint_path + '.tmp'
         with open(tmp_path, 'wb') as f:
             pickle.dump(state, f)
@@ -463,6 +470,7 @@ class Trainer:
             return flow, opt_state
         with open(path, 'rb') as f:
             state = pickle.load(f)
+        _check_checkpoint_version(state, path)
         new_flow = self._restore_leaves(flow, state['flow_leaves'], 'flow')
         new_opt_state = self._restore_leaves(
             opt_state, state['opt_leaves'], 'optimizer state')
@@ -470,6 +478,108 @@ class Trainer:
         self.current_epoch = state['current_epoch']
         sampler.load_state_dict(state['sampler_state'])
         return new_flow, new_opt_state
+
+
+def _map_config_entries(tfep_map) -> Dict[str, Any]:
+    """Checkpoint entries embedding the map's constructor config.
+
+    Each hyperparameter is test-pickled individually; values that cannot
+    be serialized (e.g. live engine handles) are recorded by name so the
+    loader can demand them as overrides instead of failing opaquely.
+    """
+    hparams = getattr(tfep_map, 'hparams', None)
+    if tfep_map is None or hparams is None:
+        return {}
+    saved, unsaved = {}, []
+    for name, value in hparams.items():
+        try:
+            pickle.dumps(value)
+        except Exception:
+            unsaved.append(name)
+        else:
+            saved[name] = value
+    map_class = type(tfep_map)
+    return {
+        'map_class': f'{map_class.__module__}:{map_class.__qualname__}',
+        'map_hparams': saved,
+        'unsaved_hparams': unsaved,
+    }
+
+
+def _check_checkpoint_version(state: Dict[str, Any], path: str):
+    version = state.get('format_version', 0)
+    if not isinstance(version, int) or version > CHECKPOINT_FORMAT_VERSION:
+        raise ValueError(
+            f'Checkpoint {path!r} has format version {version!r}, but this '
+            f'version of tfep_tpu reads at most '
+            f'{CHECKPOINT_FORMAT_VERSION}. Upgrade the library to load it.')
+    return version
+
+
+def load_map_from_checkpoint(checkpoint_path: str, expected_class=None,
+                             **override_hparams):
+    """Reconstruct a trained TFEP map from a self-contained checkpoint.
+
+    The checkpoint embeds the map's class and constructor configuration
+    (the counterpart of Lightning ``save_hyperparameters``,
+    /root/reference/tfep/app/base.py:196), so a fresh process needs only
+    the checkpoint file (plus the trajectory files if the map was built
+    from paths). The map is rebuilt, ``setup()`` is run to recreate the
+    flow structure, and the trained parameters are restored into it.
+
+    Parameters
+    ----------
+    checkpoint_path : str
+        Path to a ``last.ckpt`` written by :class:`Trainer`.
+    expected_class : type, optional
+        Raise if the stored class is not this class or a subclass
+        (used by ``TFEPMapBase.load_from_checkpoint``).
+    **override_hparams
+        Replace stored hyperparameters; required for any listed in the
+        checkpoint's ``unsaved_hparams`` (values that could not be
+        pickled at save time).
+
+    Returns
+    -------
+    tfep_map
+        The reconstructed map with trained parameters in ``.flow``.
+    """
+    import importlib
+
+    with open(checkpoint_path, 'rb') as f:
+        state = pickle.load(f)
+    _check_checkpoint_version(state, checkpoint_path)
+    if 'map_class' not in state:
+        raise ValueError(
+            f'Checkpoint {checkpoint_path!r} does not embed the map '
+            'configuration (written before format version 1, or by a map '
+            'without hparams). Rebuild the map manually and use '
+            'Trainer(..., save_dir=...).fit(map, resume=True).')
+
+    module_name, _, qualname = state['map_class'].partition(':')
+    map_class = importlib.import_module(module_name)
+    for attr in qualname.split('.'):
+        map_class = getattr(map_class, attr)
+    if expected_class is not None and not issubclass(map_class,
+                                                     expected_class):
+        raise ValueError(
+            f'Checkpoint {checkpoint_path!r} holds a '
+            f'{state["map_class"]}, not a {expected_class.__qualname__}.')
+
+    missing = [name for name in state.get('unsaved_hparams', ())
+               if name not in override_hparams]
+    if missing:
+        raise ValueError(
+            f'Checkpoint {checkpoint_path!r} could not serialize the '
+            f'hyperparameters {missing}; pass them as keyword overrides, '
+            f'e.g. load_map_from_checkpoint(path, {missing[0]}=...).')
+
+    hparams = {**state['map_hparams'], **override_hparams}
+    tfep_map = map_class(**hparams)
+    tfep_map.setup()
+    tfep_map.flow = Trainer._restore_leaves(tfep_map.flow,
+                                            state['flow_leaves'], 'flow')
+    return tfep_map
 
 
 def _dealias(tree):
