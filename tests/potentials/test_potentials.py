@@ -285,6 +285,17 @@ class TestCpmdInput:
 
 # =============================================================================
 # Engine-gated tests (skipped when engines are absent).
+#
+# Installation status in the development environment (checked 2026-08):
+# none of ase/tblite/openmm/psi4 is importable, and the environment forbids
+# installing packages (no pip/apt; jax/torch/etc. are baked into the
+# image), so these two tests necessarily skip here. Engine *behavioral*
+# coverage — argument plumbing, context-cache reuse, restart files, NaN/
+# failure policies — lives in tests/potentials/test_mock_engines.py against
+# faithful mock modules; what only a real engine can validate is the
+# engines' own API spellings, which these tests exercise wherever the
+# engines exist (mirroring the reference's availability gating,
+# /root/reference/tfep/tests/potentials/test_psi4.py:144).
 # =============================================================================
 
 from tfep_tpu.potentials.ase import ASE_INSTALLED
