@@ -137,6 +137,9 @@ class Trainer:
         tfep_map.setup()
         if getattr(tfep_map, 'trainer', None) is None:
             tfep_map.trainer = self
+        # The embedded map config is immutable across a fit; test-pickling
+        # it (which may include an in-memory System) once, not per step.
+        self._map_config = _map_config_entries(tfep_map)
 
         sampler = StatefulBatchSampler(
             tfep_map.dataset, batch_size=tfep_map.batch_size,
@@ -429,7 +432,9 @@ class Trainer:
             'current_epoch': self.current_epoch,
             'sampler_state': sampler.state_dict(),
         }
-        state.update(_map_config_entries(tfep_map))
+        config = getattr(self, '_map_config', None)
+        state.update(_map_config_entries(tfep_map)
+                     if config is None else config)
         tmp_path = self.checkpoint_path + '.tmp'
         with open(tmp_path, 'wb') as f:
             pickle.dump(state, f)
