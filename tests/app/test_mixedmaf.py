@@ -205,7 +205,11 @@ def test_mixedmaf_solvent_partition_by_distance_selection(tmp_path):
         tfep_map.get_conditioning_indices(idx_type='atom',
                                           remove_fixed=False),
         [11, 12, 13])
-    np.testing.assert_array_equal(tfep_map._fixed_atom_indices, [8, 9, 10])
+    np.testing.assert_array_equal(
+        tfep_map.get_fixed_indices(idx_type='atom'), [8, 9, 10])
+    np.testing.assert_array_equal(
+        tfep_map.get_nonfixed_indices(idx_type='atom', remove_fixed=False),
+        list(range(8)) + [11, 12, 13])
 
     # MOL: 3 Cartesian reference + 5 IC atoms; near water all-Cartesian.
     flow = tfep_map.flow
@@ -215,8 +219,7 @@ def test_mixedmaf_solvent_partition_by_distance_selection(tmp_path):
     x_back, _ = flow.inverse(y)
     np.testing.assert_allclose(np.asarray(x_back), np.asarray(x), atol=1e-6)
     # Fixed (far-water) DOFs pass through the map untouched.
-    from tfep_tpu.utils.misc import atom_to_flattened_indices
-    fixed_dofs = atom_to_flattened_indices(tfep_map._fixed_atom_indices)
+    fixed_dofs = tfep_map.get_fixed_indices(idx_type='dof')
     np.testing.assert_array_equal(np.asarray(y[:, fixed_dofs]),
                                   np.asarray(x[:, fixed_dofs]))
 

@@ -400,6 +400,30 @@ class TFEPMapBase:
         return self._get_nonfixed_indices(self._conditioning_atom_indices,
                                           idx_type, remove_fixed)
 
+    def get_nonfixed_indices(self, idx_type: str = 'atom',
+                             remove_fixed: bool = True) -> np.ndarray:
+        """All mapped + conditioning atom (or DOF) indices, sorted.
+
+        Mirrors the reference accessor
+        (/root/reference/tfep/app/base.py:446).
+        """
+        nonfixed = self._mapped_atom_indices
+        if self._conditioning_atom_indices is not None:
+            nonfixed = np.sort(np.concatenate(
+                [nonfixed, self._conditioning_atom_indices]))
+        return self._get_nonfixed_indices(nonfixed, idx_type, remove_fixed)
+
+    def get_fixed_indices(self, idx_type: str = 'atom'):
+        """Fixed atom (or DOF) indices in the full-system indexing, or
+        ``None`` when no atoms are fixed."""
+        if self._fixed_atom_indices is None:
+            return None
+        if idx_type == 'atom':
+            return self._fixed_atom_indices
+        if idx_type == 'dof':
+            return atom_to_flattened_indices(self._fixed_atom_indices)
+        raise ValueError("idx_type must be 'atom' or 'dof'.")
+
     def _get_nonfixed_indices(self, atom_indices, idx_type, remove_fixed):
         if remove_fixed and self._fixed_atom_indices is not None:
             atom_indices = remove_and_shift_sorted_indices(
