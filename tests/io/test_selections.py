@@ -126,6 +126,23 @@ def test_min_image_distances_triclinic():
     assert _min_image_distances(far, ref, dims)[0] > 3.0
 
 
+def test_min_image_matches_brute_force_triclinic():
+    rng = np.random.default_rng(11)
+    dims = np.array([9.0, 10.0, 11.0, 80.0, 95.0, 110.0])
+    from tfep_tpu.io.traj import dimensions_to_box_vectors
+    cell = dimensions_to_box_vectors(dims)
+    points = rng.uniform(-5, 15, (30, 3))
+    ref = rng.uniform(-5, 15, (5, 3))
+    got = _min_image_distances(points, ref, dims)
+    shifts = np.array([[i, j, k] for i in range(-2, 3)
+                       for j in range(-2, 3)
+                       for k in range(-2, 3)], dtype=float) @ cell
+    brute = np.min(np.linalg.norm(
+        points[:, None, None, :] - (ref[None, :, None, :] + shifts),
+        axis=-1), axis=(1, 2))
+    np.testing.assert_allclose(got, brute, atol=1e-9)
+
+
 def test_min_image_matches_brute_force_orthorhombic():
     rng = np.random.default_rng(3)
     dims = np.array([8.0, 11.0, 9.0, 90.0, 90.0, 90.0])
