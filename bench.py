@@ -25,6 +25,15 @@ N_ROUNDS = 4          # best-of-N: the TPU tunnel adds ±30% run-to-run noise
 TORCH_TIMED_STEPS = 3
 TORCH_ROUNDS = 2
 
+# Pinned round-2 figures (BASELINE.json "published.r02") — STABLE
+# denominators. The live torch-CPU run's own variance moved the headline
+# ratio 115.6 -> 101.9 between rounds while the absolute number improved;
+# comparing against these committed values makes regressions in THIS
+# repo's numbers visible. The live torch run is still reported
+# (vs_torch_live) as a sanity check of the pin.
+PINNED_TORCH_CPU_FRAMES_PER_S = 7117.7      # 721170.2 / 101.32 (r02)
+PINNED_R02_SPLINE_FRAMES_PER_S = 721170.2
+
 
 def _setup_jax_cache():
     """Enable the persistent compile cache (called by every jax stage —
@@ -382,6 +391,54 @@ def _run_stage(expr: str):
     raise RuntimeError(last_err)
 
 
+def _run_solvated_stage():
+    """900-atom solvated MixedMAFMap step (benchmarks/solvated_bench.py
+    defaults); the at-scale number the performance guide quotes, tracked
+    so scale regressions reach the driver record."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    out = subprocess.run(
+        [sys.executable, os.path.join(here, 'benchmarks',
+                                      'solvated_bench.py'),
+         '--timed-steps', '5', '--rounds', '2'],
+        capture_output=True, text=True, timeout=560, cwd=here)
+    for token in out.stdout.split():
+        if token.startswith('frames/s='):
+            return float(token.split('=', 1)[1])
+    raise RuntimeError(f'solvated stage failed: {out.stdout[-300:]} '
+                       f'{out.stderr[-1000:]}')
+
+
+def _run_weak_scaling_stage():
+    """8-virtual-CPU-device weak scaling of the sharded train step.
+
+    Virtual devices share the host's cores, so the efficiency number
+    reflects host saturation, NOT interconnect scaling — it is tracked as
+    a regression canary for the GSPMD/sharding path (a broken sharding
+    shows up as a collapse, not a few percent)."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    out = subprocess.run(
+        [sys.executable, os.path.join(here, 'benchmarks', 'weak_scaling.py'),
+         '--force-cpu-devices', '8', '--per-device-batch', '1024',
+         '--steps', '5'],
+        capture_output=True, text=True, timeout=560, cwd=here)
+    efficiency = None
+    for line in out.stdout.splitlines():
+        try:
+            record = json.loads(line)
+        except ValueError:
+            continue
+        if record.get('n_devices') == 8:
+            efficiency = record['weak_scaling_efficiency']
+    if efficiency is None:
+        raise RuntimeError(f'weak-scaling stage failed: {out.stdout[-300:]} '
+                           f'{out.stderr[-1000:]}')
+    return efficiency
+
+
 def main():
     value, platform = _run_stage('bench_jax()')
     try:
@@ -393,17 +450,29 @@ def main():
     except Exception:
         cnf_value = None
     try:
-        baseline = bench_torch_baseline()
-        vs_baseline = value / baseline
+        solvated_value = _run_solvated_stage()
     except Exception:
-        vs_baseline = None
+        solvated_value = None
+    try:
+        weak_scaling_8v = _run_weak_scaling_stage()
+    except Exception:
+        weak_scaling_8v = None
+    try:
+        vs_torch_live = value / bench_torch_baseline()
+    except Exception:
+        vs_torch_live = None
     record = {
         'metric': f'trajectory frames/s/chip (neural-spline MAF train step, '
                   f'{N_ATOMS} atoms, {N_MAF_LAYERS} layers, {N_BINS} bins, '
                   f'batch {BATCH}, {platform})',
         'value': round(value, 1),
         'unit': 'frames/s',
-        'vs_baseline': round(vs_baseline, 2) if vs_baseline else None,
+        # Stable denominator: the committed r02 torch-CPU figure
+        # (BASELINE.json), not the live run's noise.
+        'vs_baseline': round(value / PINNED_TORCH_CPU_FRAMES_PER_S, 2),
+        'vs_torch_live': (round(vs_torch_live, 2)
+                          if vs_torch_live else None),
+        'vs_r02_committed': round(value / PINNED_R02_SPLINE_FRAMES_PER_S, 3),
     }
     if mixed_value is not None:
         # Flagship secondary metric: MixedMAFMap step incl. the scanned
@@ -412,6 +481,13 @@ def main():
     if cnf_value is not None:
         # Continuous-flow path: EGNN-dynamics CNF train step (batch 512).
         record['cnf_frames_per_s'] = round(cnf_value, 1)
+    if solvated_value is not None:
+        # 900-atom solvated mixed map (benchmarks/solvated_bench.py).
+        record['solvated_900atom_frames_per_s'] = round(solvated_value, 1)
+    if weak_scaling_8v is not None:
+        # Sharded-path canary on shared-host virtual devices (see
+        # _run_weak_scaling_stage — not an ICI scaling claim).
+        record['weak_scaling_8vcpu_efficiency'] = weak_scaling_8v
     print(json.dumps(record))
 
 
