@@ -105,7 +105,14 @@ def _forward_kernel(x_ref, params_ref, x0_ref, xf_ref, y0_ref, yf_ref,
         in_bin = ((xr >= cw) if k == K - 1
                   else (xr >= cw) & (xr < cw + w_k))
         rw = 1.0 / w_k
-        e = (xr - cw) * rw
+        # Every bin's arithmetic runs for every element and is masked
+        # afterwards — so it must be finite even for out-of-bin elements.
+        # Unclamped, |e| can be large enough out-of-bin to drive the
+        # denominator D = sb + c*e*(1-e) through zero (inf, then
+        # mask*inf = NaN). Clamping to the bin is a no-op for in-bin
+        # elements (e in [0, 1]) and makes D provably positive:
+        # D = sb*(1-2*emo) + (s_k+s_k1)*emo with emo in [0, 1/4].
+        e = jnp.clip((xr - cw) * rw, 0.0, 1.0)
         sb = h_k * rw
         emo = e * (1.0 - e)
         c = s_k1 + s_k - 2.0 * sb
@@ -175,7 +182,9 @@ def _backward_kernel(x_ref, params_ref, x0_ref, xf_ref, y0_ref, yf_ref,
                   else inside & (xr >= cw) & (xr < cw + w_k))
 
         rw = 1.0 / w_k
-        e = (xr - cw) * rw
+        # Clamped for the same masked-lane finiteness reason as the
+        # forward kernel (out-of-bin D could cross zero; 0 * inf = NaN).
+        e = jnp.clip((xr - cw) * rw, 0.0, 1.0)
         sb = h_k * rw
         emo = e * (1.0 - e)
         one_m2e = 1.0 - 2.0 * e
