@@ -75,6 +75,13 @@ def test_fixed_axes_atoms_raise(tmp_path):
         tfep_map.setup()
 
 
+def test_system_and_file_path_mutually_exclusive(tmp_path):
+    # Both sources would train on `system` while the checkpoint recorded
+    # only the (unread) file path — a restored map would silently differ.
+    with pytest.raises(ValueError, match='not both'):
+        make_map(tmp_path, coordinates_file_path='traj.pdb')
+
+
 def test_no_mapped_atoms_raise(tmp_path):
     tfep_map = make_map(tmp_path, conditioning_atoms='all')
     with pytest.raises(ValueError, match='no atoms to map'):

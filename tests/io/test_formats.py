@@ -721,6 +721,14 @@ def test_system_from_universe_zero_box_and_errors():
                               for i, p in enumerate(pos)])
     assert System.from_universe(u).dimensions is None
 
+    # The [0, 0, 0, 90, 90, 90] spelling (zero lengths, default angles)
+    # also means "no box" — and must not trip the mixed-box error when
+    # combined with plain zeros(6) frames.
+    degenerate = np.array([0, 0, 0, 90, 90, 90], np.float32)
+    u = _FakeUniverse(atoms, [_FakeTimestep(pos[0], degenerate, 0),
+                              _FakeTimestep(pos[1], zero_box, 1)])
+    assert System.from_universe(u).dimensions is None
+
     # Empty trajectory → clear error naming from_universe.
     with pytest.raises(ValueError, match='from_universe.*empty'):
         System.from_universe(_FakeUniverse(atoms, []))

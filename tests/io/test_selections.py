@@ -80,6 +80,48 @@ def test_sphzone_and_point():
     np.testing.assert_array_equal(got, [3])
 
 
+def test_sphzone_empty_reference_matches_nothing():
+    system = _solvated_system()
+    # An empty inner selection has no center of geometry: match the
+    # around/within semantics (empty result), without a NaN-mean warning.
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter('error')
+        got = system.select_atoms('sphzone 5.0 resname TYPO')
+    assert len(got) == 0
+
+
+def test_single_frame_1d_dimensions_normalized():
+    base = _solvated_system()
+    # The single-frame (6,) spelling of dimensions must behave like (1, 6).
+    system = System(base.topology, np.asarray(base.positions),
+                    dimensions=np.array([10.0, 10, 10, 90, 90, 90]))
+    assert system.dimensions.shape == (1, 6)
+    got = system.select_atoms('resname SOL and around 1.0 resname LIG')
+    np.testing.assert_array_equal(got, [3])   # periodic: box was applied
+
+
+def test_plain_selections_do_not_decode_frames():
+    base = _solvated_system()
+
+    class _NoTouchStore:
+        """Lazy-store stand-in that forbids any frame decode."""
+        def __init__(self, arr):
+            self.shape = arr.shape
+        def _load_frames(self, indices):
+            raise AssertionError('frame decode')
+        def __getitem__(self, idx):
+            raise AssertionError('frame decode')
+
+    system = System(base.topology, _NoTouchStore(np.asarray(base.positions)),
+                    dimensions=base.dimensions)
+    # Attribute-only selections must not force a decode on a lazy store...
+    assert len(system.select_atoms('resname SOL and not name OW')) == 6
+    # ...while geometric ones do read the frame.
+    with pytest.raises(AssertionError, match='frame decode'):
+        system.select_atoms('resname SOL and around 1.0 resname LIG')
+
+
 def test_geometric_selection_requires_coordinates():
     topology = _solvated_system().topology
     with pytest.raises(ValueError, match='coordinates'):

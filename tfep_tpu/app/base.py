@@ -119,6 +119,12 @@ class TFEPMapBase:
         :mod:`tfep_tpu.io.topology`). ``lazy_trajectory`` streams binary
         trajectories (DCD/XTC/TRR) from disk per batch instead of loading
         them into memory."""
+        if system is not None and coordinates_file_path is not None:
+            # Mutually exclusive: the in-memory system would win while the
+            # checkpoint recorded only the (never-read) path, so a map
+            # restored from the checkpoint would train on different data.
+            raise ValueError(
+                'Pass either system or coordinates_file_path, not both.')
         # Constructor config recorded for self-contained checkpoints (the
         # reference round-trips it via Lightning save_hyperparameters,
         # /root/reference/tfep/app/base.py:196). When the system comes from
@@ -126,7 +132,7 @@ class TFEPMapBase:
         self.hparams: Dict[str, Any] = {
             'potential_energy_func': potential_energy_func,
             'temperature': temperature,
-            'system': None if coordinates_file_path is not None else system,
+            'system': system,
             'topology_file_path': topology_file_path,
             'coordinates_file_path': coordinates_file_path,
             'batch_size': batch_size,

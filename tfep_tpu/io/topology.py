@@ -181,6 +181,20 @@ class Topology:
         return np.nonzero(mask)[0].astype(np.int64)
 
 
+_GEOMETRIC_KEYWORDS = ('around', 'within', 'sphzone', 'point')
+_GEOMETRIC_RE = re.compile(
+    r'(?:^|[\s()])(?:' + '|'.join(_GEOMETRIC_KEYWORDS) + r')(?:[\s()]|$)')
+
+
+def _needs_coordinates(selection: str) -> bool:
+    """Whether a selection string uses a geometric (coordinate) keyword.
+
+    Geometric keywords are reserved words in the grammar (they terminate
+    value lists), so their presence as standalone tokens is unambiguous.
+    """
+    return _GEOMETRIC_RE.search(selection) is not None
+
+
 def _min_image_distances(points: np.ndarray, ref: np.ndarray,
                          dimensions: Optional[np.ndarray]) -> np.ndarray:
     """Min distance (angstrom) from each point to the nearest ref atom.
@@ -224,9 +238,13 @@ def _min_image_distances(points: np.ndarray, ref: np.ndarray,
         delta = points[s:s + chunk, None, :] - ref[None, :, :]
         frac = delta @ inv_cell
         delta = (frac - np.round(frac)) @ cell
-        d2 = ((delta[:, :, None, :] + shifts[None, None, :, :]) ** 2
-              ).sum(-1).min(axis=(1, 2))
-        out[s:s + chunk] = np.sqrt(d2)
+        # Loop over the 27 images instead of broadcasting a
+        # (chunk, n_ref, 27, 3) array — keeps the transient footprint at
+        # the same per-chunk budget as the orthorhombic branch.
+        best = np.full(delta.shape[:2], np.inf)
+        for shift in shifts:
+            np.minimum(best, ((delta + shift) ** 2).sum(-1), out=best)
+        out[s:s + chunk] = np.sqrt(best.min(axis=1))
     return out
 
 
@@ -303,7 +321,13 @@ class _SelectionParser:
             self._next()
             radius = self._number('sphzone')
             ref = self._parse_unary()
-            center = self._coords()[ref].mean(axis=0, keepdims=True)
+            ref_coords = self._coords()[ref]
+            if len(ref_coords) == 0:
+                # Center of an empty selection is undefined; match
+                # around/within semantics (empty reference -> empty match)
+                # instead of a NaN mean + RuntimeWarning.
+                return np.zeros(self.top.n_atoms, dtype=bool)
+            center = ref_coords.mean(axis=0, keepdims=True)
             return self._distances_to(center) <= radius
         if tok == 'point':
             self._next()

@@ -19,7 +19,7 @@ from typing import Dict, Optional, Sequence, Union
 import numpy as np
 
 from tfep_tpu.io.dataset import Dataset
-from tfep_tpu.io.topology import Topology
+from tfep_tpu.io.topology import Topology, _needs_coordinates
 from tfep_tpu.units import Quantity, ureg
 
 __all__ = ['System', 'TrajectoryDataset', 'read_pdb', 'read_gro', 'read_xyz',
@@ -123,8 +123,12 @@ class System:
             self.positions = np.asarray(positions, dtype=np.float32)
             if self.positions.ndim == 2:
                 self.positions = self.positions[None]
-        self.dimensions = (None if dimensions is None
-                           else np.asarray(dimensions, dtype=np.float32))
+        if dimensions is None:
+            self.dimensions = None
+        else:
+            self.dimensions = np.asarray(dimensions, dtype=np.float32)
+            if self.dimensions.ndim == 1:  # single-frame (6,) spelling
+                self.dimensions = self.dimensions[None]
         self.times = (np.arange(self.n_frames, dtype=np.float64)
                       if times is None else np.asarray(times, np.float64))
 
@@ -146,7 +150,9 @@ class System:
         accepts (/root/reference/tfep/app/base.py:906-944).
         """
         positions = dimensions = None
-        if isinstance(selection, str):
+        if isinstance(selection, str) and _needs_coordinates(selection):
+            # Only geometric selections read coordinates — plain attribute
+            # selections must not force a frame decode on lazy FrameStores.
             positions = np.asarray(self.positions[frame])
             if self.dimensions is not None:
                 dimensions = self.dimensions[frame]
@@ -244,8 +250,9 @@ class System:
                                       copy=True))
             dims = getattr(ts, 'dimensions', None)
             # Older MDAnalysis returns zeros(6) instead of None for a
-            # missing box; normalize both spellings to "no box".
-            if dims is not None and not np.any(np.asarray(dims)):
+            # missing box, and some readers spell it [0, 0, 0, 90, 90, 90];
+            # zero box lengths mean "no box" regardless of the angles.
+            if dims is not None and not np.any(np.asarray(dims)[:3]):
                 dims = None
             dimensions.append(None if dims is None
                               else np.array(dims, dtype=np.float32,
