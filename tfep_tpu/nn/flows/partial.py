@@ -68,19 +68,22 @@ class PartialFlow(Flow):
     def n_parameters(self) -> int:
         return self.flow.n_parameters()
 
-    def forward(self, x):
-        return self._pass(x, inverse=False)
+    def forward(self, x, **kwargs):
+        return self._pass(x, inverse=False, **kwargs)
 
-    def inverse(self, y):
-        return self._pass(y, inverse=True)
+    def inverse(self, y, **kwargs):
+        return self._pass(y, inverse=True, **kwargs)
 
-    def _pass(self, x, inverse: bool):
+    def _pass(self, x, inverse: bool, **kwargs):
+        # kwargs thread through to the wrapped flow (e.g. a ContinuousFlow
+        # Hutchinson ``key``).
         has_fixed = self.fixed_indices_buf.shape[0] > 0
         x_full = x
         if has_fixed:
             x = x[:, self.propagated_indices]
 
-        out = self.flow.inverse(x) if inverse else self.flow.forward(x)
+        out = (self.flow.inverse(x, **kwargs) if inverse
+               else self.flow.forward(x, **kwargs))
 
         if self.return_partial:
             return out
