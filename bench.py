@@ -410,33 +410,36 @@ def _run_solvated_stage():
                        f'{out.stderr[-1000:]}')
 
 
-def _run_weak_scaling_stage():
-    """8-virtual-CPU-device weak scaling of the sharded train step.
+def _run_sharding_overhead_stage():
+    """GSPMD partitioning overhead on 8 virtual CPU devices.
 
-    Virtual devices share the host's cores, so the efficiency number
-    reflects host saturation, NOT interconnect scaling — it is tracked as
-    a regression canary for the GSPMD/sharding path (a broken sharding
-    shows up as a collapse, not a few percent)."""
+    Strong scaling at a fixed global batch: total work is identical at 1
+    and 8 devices and virtual devices share the same physical cores, so
+    the total-throughput ratio isolates the cost GSPMD partitioning adds
+    to the step (ideal ~1.0). This is the sharded-path regression canary
+    — a pathological sharding (e.g. a per-layer full-activation
+    all-gather) collapses it, while the raw weak-scaling number on
+    virtual devices only ever measured host-core saturation."""
     import subprocess
 
     here = os.path.dirname(os.path.abspath(__file__))
     out = subprocess.run(
         [sys.executable, os.path.join(here, 'benchmarks', 'weak_scaling.py'),
-         '--force-cpu-devices', '8', '--per-device-batch', '1024',
+         '--force-cpu-devices', '8', '--global-batch', '8192',
          '--steps', '5'],
         capture_output=True, text=True, timeout=560, cwd=here)
-    efficiency = None
+    ratio = None
     for line in out.stdout.splitlines():
         try:
             record = json.loads(line)
         except ValueError:
             continue
         if record.get('n_devices') == 8:
-            efficiency = record['weak_scaling_efficiency']
-    if efficiency is None:
-        raise RuntimeError(f'weak-scaling stage failed: {out.stdout[-300:]} '
-                           f'{out.stderr[-1000:]}')
-    return efficiency
+            ratio = record['relative_throughput']
+    if ratio is None:
+        raise RuntimeError(f'sharding-overhead stage failed: '
+                           f'{out.stdout[-300:]} {out.stderr[-1000:]}')
+    return ratio
 
 
 def main():
@@ -454,9 +457,9 @@ def main():
     except Exception:
         solvated_value = None
     try:
-        weak_scaling_8v = _run_weak_scaling_stage()
+        sharding_overhead = _run_sharding_overhead_stage()
     except Exception:
-        weak_scaling_8v = None
+        sharding_overhead = None
     try:
         vs_torch_live = value / bench_torch_baseline()
     except Exception:
@@ -484,10 +487,11 @@ def main():
     if solvated_value is not None:
         # 900-atom solvated mixed map (benchmarks/solvated_bench.py).
         record['solvated_900atom_frames_per_s'] = round(solvated_value, 1)
-    if weak_scaling_8v is not None:
-        # Sharded-path canary on shared-host virtual devices (see
-        # _run_weak_scaling_stage — not an ICI scaling claim).
-        record['weak_scaling_8vcpu_efficiency'] = weak_scaling_8v
+    if sharding_overhead is not None:
+        # Sharded-path canary: same-global-batch throughput on 8 virtual
+        # CPU devices relative to 1 (GSPMD partitioning overhead; ideal
+        # ~1.0 — see _run_sharding_overhead_stage; not an ICI claim).
+        record['sharding_relative_throughput_8vcpu'] = sharding_overhead
     print(json.dumps(record))
 
 

@@ -26,6 +26,13 @@ import time
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--per-device-batch', type=int, default=4096)
+    parser.add_argument(
+        '--global-batch', type=int, default=None,
+        help='Strong-scaling mode: hold the GLOBAL batch fixed at this '
+             'size for every device count (total work constant). On '
+             'shared-host virtual devices the 1-vs-N throughput ratio '
+             'then isolates GSPMD partitioning overhead (ideal ~1.0), '
+             'instead of the core-saturation number weak scaling gives.')
     parser.add_argument('--n-atoms', type=int, default=32)
     parser.add_argument('--n-layers', type=int, default=6)
     parser.add_argument('--n-bins', type=int, default=8)
@@ -82,7 +89,12 @@ def main():
         trainable, _ = partition(flow)
         opt_state = replicate(optimizer.init(trainable), mesh)
 
-        batch = args.per_device_batch * n_devices
+        if args.global_batch is not None:
+            if args.global_batch % n_devices:
+                continue
+            batch = args.global_batch
+        else:
+            batch = args.per_device_batch * n_devices
         x = jax.random.normal(jax.random.key(1), (batch, dim), jnp.float32)
         x = shard_batch({'x': x}, mesh)['x']
 
@@ -106,22 +118,30 @@ def main():
         dt = time.perf_counter() - t0
         frames_per_s = batch * args.steps / dt
         per_chip = frames_per_s / n_devices
-        if baseline is None:
-            baseline = per_chip
         record = {
             'n_devices': n_devices,
             'frames_per_s': round(frames_per_s, 1),
             'frames_per_s_per_chip': round(per_chip, 1),
-            'weak_scaling_efficiency': round(per_chip / baseline, 3),
         }
+        if args.global_batch is not None:
+            # Strong scaling: total work is constant, so the total
+            # throughput ratio vs 1 device is the partitioning cost.
+            if baseline is None:
+                baseline = frames_per_s
+            record['relative_throughput'] = round(frames_per_s / baseline, 3)
+        else:
+            if baseline is None:
+                baseline = per_chip
+            record['weak_scaling_efficiency'] = round(per_chip / baseline, 3)
         if args.force_cpu_devices:
             # Virtual devices share the host's physical cores, so total
-            # throughput saturates and per-chip efficiency MUST drop with
-            # device count — this mode validates that the sharded step
-            # compiles and executes, not interconnect scaling.
+            # throughput saturates and weak-scaling per-chip efficiency
+            # MUST drop with device count — on virtual devices prefer
+            # --global-batch, whose relative_throughput isolates GSPMD
+            # partitioning overhead (ideal ~1.0) instead.
             record['virtual_devices'] = True
-            record['note'] = ('efficiency reflects shared-host CPU '
-                              'saturation, not ICI scaling')
+            record['note'] = ('shared-host CPU: weak-scaling efficiency '
+                              'reflects core saturation, not ICI scaling')
         print(json.dumps(record), flush=True)
 
 
