@@ -205,6 +205,13 @@ class TFEPMapBase:
     # Setup phase (host-side, pre-jit).
     # ------------------------------------------------------------------ #
     def setup(self):
+        """Build dataset, atom partitioning, and flow (host-side, pre-jit).
+
+        Idempotent, like Lightning's ``setup`` hook
+        (/root/reference/tfep/app/base.py:238-256): calling it again after
+        the flow exists is a no-op, so :meth:`Trainer.fit` can always call
+        it safely.
+        """
         if self.flow is not None:
             return  # Already set up (idempotent, like Lightning's setup).
         self.dataset = self.create_dataset()
@@ -213,6 +220,10 @@ class TFEPMapBase:
         self.flow = self.create_partial_flow(flow)
 
     def create_dataset(self) -> TrajectoryDataset:
+        """Build the :class:`~tfep_tpu.io.traj.TrajectoryDataset` for the
+        run. Override to subsample frames or merge auxiliary datasets
+        (e.g. precomputed log-weights), cf.
+        /root/reference/tfep/app/base.py:550-571."""
         return TrajectoryDataset(self._system)
 
     def configure_flow(self):
@@ -328,22 +339,26 @@ class TFEPMapBase:
     # ------------------------------------------------------------------ #
     @property
     def n_mapped_atoms(self) -> int:
+        """Number of mapped (transported) atoms."""
         return len(self._mapped_atom_indices)
 
     @property
     def n_conditioning_atoms(self) -> int:
+        """Number of conditioning atoms (seen by the flow, not moved)."""
         if self._conditioning_atom_indices is None:
             return 0
         return len(self._conditioning_atom_indices)
 
     @property
     def n_fixed_atoms(self) -> int:
+        """Number of fixed atoms (removed from the flow entirely)."""
         if self._fixed_atom_indices is None:
             return 0
         return len(self._fixed_atom_indices)
 
     @property
     def n_nonfixed_atoms(self) -> int:
+        """Mapped + conditioning atoms (the atoms the flow sees)."""
         return self.n_mapped_atoms + self.n_conditioning_atoms
 
     @property
@@ -401,6 +416,8 @@ class TFEPMapBase:
 
     def get_conditioning_indices(self, idx_type: str = 'atom',
                                  remove_fixed: bool = True):
+        """Conditioning atom (or DOF) indices, or ``None`` if there are
+        none; optionally in the fixed-removed indexing."""
         if self._conditioning_atom_indices is None:
             return None
         return self._get_nonfixed_indices(self._conditioning_atom_indices,
@@ -444,9 +461,25 @@ class TFEPMapBase:
     # Device-side pure functions.
     # ------------------------------------------------------------------ #
     def forward(self, batch: Dict) -> Dict:
+        """Map a batch through the flow (the training direction).
+
+        Parameters
+        ----------
+        batch : dict
+            As produced by ``dataset.get_batch`` — must carry
+            ``'positions'`` of shape ``(batch, n_atoms*3)``.
+
+        Returns
+        -------
+        dict
+            ``{'positions', 'log_det_J'}`` plus ``'regularization'`` when
+            the flow returns one — the reference forward contract
+            (/root/reference/tfep/app/base.py:731-778).
+        """
         return self._run_flow(self.flow, batch, inverse=False)
 
     def inverse(self, batch: Dict) -> Dict:
+        """Exact inverse of :meth:`forward`; same batch contract."""
         return self._run_flow(self.flow, batch, inverse=True)
 
     @staticmethod
@@ -582,6 +615,9 @@ class TFEPMapBase:
     # ------------------------------------------------------------------ #
     @property
     def tfep_logger(self) -> Optional[TFEPLogger]:
+        """Lazily-created per-sample :class:`~tfep_tpu.io.log.TFEPLogger`
+        (``None`` when logging is disabled via
+        ``tfep_logger_dir_path=None``)."""
         if self._tfep_logger is None and self._tfep_logger_dir_path is not None:
             n = len(self.dataset)
             self._tfep_logger = TFEPLogger(
@@ -591,6 +627,12 @@ class TFEPMapBase:
         return self._tfep_logger
 
     def log_train_tensors(self, aux: Dict, epoch_idx: int, batch_idx: int):
+        """Write a training step's per-sample scalars (potential,
+        log_det_J, sample indices, any extra ``(batch,)`` entry in
+        ``aux``) to the TFEP logger — the input of the free-energy
+        estimator (cf. /root/reference/tfep/app/base.py:820-830). No-op
+        when logging is disabled; under sharding only the host-local rows
+        are written."""
         logger = self.tfep_logger
         if logger is None:
             return

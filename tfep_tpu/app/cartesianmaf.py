@@ -107,6 +107,10 @@ class CartesianMAFMap(TFEPMapBase):
                 'the mapping but its position is constrained.')
 
     def configure_flow(self):
+        """Build the alternating-degree MAF stack (plus optional PCA
+        whitening and reference-frame wrappers); called once by
+        :meth:`setup` (cf. /root/reference/tfep/app/cartesianmaf.py:178-231).
+        """
         conditioning_indices = self.get_conditioning_indices(
             idx_type='dof', remove_fixed=True, remove_reference=True)
 

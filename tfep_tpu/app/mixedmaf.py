@@ -145,6 +145,11 @@ class MixedMAFMap(TFEPMapBase):
 
     # ------------------------------------------------------------------ #
     def configure_flow(self):
+        """Build the mixed internal/Cartesian flow: Z-matrix from the bond
+        graph, one dataset pass for spline domains + collinearity checks,
+        then the Cartesian<->internal conversion wrapping a spline MAF
+        stack with periodic torsion embedding (cf.
+        /root/reference/tfep/app/mixedmaf.py:275-357)."""
         cartesian_atom_indices, z_matrix = self._build_z_matrix()
         if len(z_matrix) == 0:
             raise ValueError('There are no internal coordinates to map. '

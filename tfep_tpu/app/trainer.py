@@ -122,6 +122,8 @@ class Trainer:
     # ------------------------------------------------------------------ #
     @property
     def checkpoint_path(self) -> Optional[str]:
+        """Full path of ``last.ckpt``, or ``None`` when checkpointing is
+        disabled."""
         if self.save_dir is None:
             return None
         return os.path.join(self.save_dir, self.CHECKPOINT_NAME)

@@ -64,6 +64,7 @@ class DictDataset(Dataset):
 
     @property
     def keys(self) -> List[str]:
+        """Names of the per-sample arrays."""
         return list(self._data)
 
     def __len__(self):
@@ -75,6 +76,7 @@ class DictDataset(Dataset):
         return {k: v[index] for k, v in self._data.items()}
 
     def get_batch(self, indices):
+        """One vectorized fancy-index read per column."""
         indices = np.asarray(indices)
         return {k: v[indices] for k, v in self._data.items()}
 
@@ -119,6 +121,7 @@ class MergedDataset(Dataset):
         return out
 
     def get_batch(self, indices):
+        """Union of every merged dataset's batch for ``indices``."""
         out = {}
         for d in self._datasets:
             out.update(d.get_batch(indices))
@@ -141,10 +144,12 @@ class Subset(Dataset):
 
     @property
     def dataset(self):
+        """The wrapped dataset."""
         return self._dataset
 
     @property
     def indices(self):
+        """Subset indices into the wrapped dataset."""
         return self._indices
 
     def __len__(self):
@@ -154,6 +159,7 @@ class Subset(Dataset):
         return self._dataset[int(self._indices[index])]
 
     def get_batch(self, indices):
+        """Batch from the wrapped dataset at the composed indices."""
         return self._dataset.get_batch(self._indices[np.asarray(indices)])
 
 

@@ -88,10 +88,12 @@ class _ColumnFile:
             self.columns = {_WRITTEN: np.zeros(n_rows, dtype=bool)}
 
     def flush(self):
+        """Write the columns to disk as a compressed ``.npz``."""
         np.savez_compressed(self.path, **self.columns)
 
     @property
     def names(self) -> List[str]:
+        """Stored column names (excluding the internal written-mask)."""
         return [name for name in self.columns if name != _WRITTEN]
 
     # -- fixed-length files --------------------------------------------- #
@@ -149,6 +151,8 @@ class _ColumnFile:
     # -- reading -------------------------------------------------------- #
     def select(self, names: Optional[List[str]], row_filter=None,
                row_slice=slice(None)) -> Dict[str, np.ndarray]:
+        """Read columns (all when ``names`` is None), optionally sliced
+        and filtered by a boolean row mask."""
         if names is None:
             names = self.names
         if row_filter is None:
@@ -157,6 +161,7 @@ class _ColumnFile:
         return {name: self.columns[name][row_slice][keep] for name in names}
 
     def sort_by(self, name: str):
+        """Reorder every column by ascending values of column ``name``."""
         order = np.argsort(self.columns[name])
         self.columns = {n: col[order] for n, col in self.columns.items()}
 
@@ -265,18 +270,22 @@ class TFEPLogger:
     # -- public geometry ------------------------------------------------ #
     @property
     def batch_size(self) -> int:
+        """Batch size rows are addressed with (fixed per logger)."""
         return self._batch_size
 
     @property
     def n_samples_per_epoch(self) -> int:
+        """Rows per training-epoch archive."""
         return self._n_samples_per_epoch
 
     @property
     def n_batches_per_epoch(self) -> int:
+        """Batches per epoch (ceil division)."""
         return -(-self._n_samples_per_epoch // self._batch_size)
 
     @property
     def save_dir_path(self) -> str:
+        """Directory holding the ``train/``/``eval/`` archives."""
         return self._save_dir_path
 
     # -- train channel (fixed-length epoch files) ----------------------- #

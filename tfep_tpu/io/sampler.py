@@ -55,14 +55,17 @@ class StatefulBatchSampler:
 
     @property
     def batch_size(self) -> int:
+        """Samples per yielded batch."""
         return self._batch_size
 
     @property
     def shuffle(self) -> bool:
+        """Whether a fresh permutation is drawn each epoch."""
         return self._shuffle
 
     @property
     def drop_last(self) -> bool:
+        """Whether the final incomplete batch is dropped."""
         return self._drop_last
 
     def __len__(self) -> int:
@@ -93,7 +96,11 @@ class StatefulBatchSampler:
             yield epoch_indices[start:start + self._batch_size]
 
     def state_dict(self) -> dict:
+        """Checkpoint payload: the current epoch's shuffle seed (the
+        resume position is re-derived from the trainer's global step,
+        cf. /root/reference/tfep/io/sampler.py:165-192)."""
         return {'current_epoch_seed': self._current_epoch_seed}
 
     def load_state_dict(self, state_dict: dict):
+        """Restore the epoch seed saved by :meth:`state_dict`."""
         self._current_epoch_seed = state_dict['current_epoch_seed']

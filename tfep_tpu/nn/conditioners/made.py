@@ -237,17 +237,21 @@ class MADE(Conditioner):
 
     @property
     def dimension_in(self) -> int:
+        """Input features (after the folded embedding, if any)."""
         return self.layers[0].in_features
 
     @property
     def dimension_out(self) -> int:
+        """Output features (the transformer's parameters per sample)."""
         return self.layers[-1].out_features
 
     @property
     def dimensions_hidden(self) -> list:
+        """Widths of the hidden layers."""
         return [l.out_features for l in self.layers[:-1]]
 
     def n_parameters(self) -> int:
+        """Total trainable parameter count."""
         return sum(l.n_parameters() for l in self.layers)
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -258,5 +262,8 @@ class MADE(Conditioner):
         return self.layers[-1](x)
 
     def set_output(self, output: jnp.ndarray) -> 'MADE':
+        """Return a copy whose output is the constant ``output`` (zeroed
+        final weights, bias set) — the identity-initialization hook
+        (/root/reference/tfep/nn/conditioners/conditioner.py:26-63)."""
         new_last = self.layers[-1].set_output(output)
         return self.replace(layers=self.layers[:-1] + (new_last,))

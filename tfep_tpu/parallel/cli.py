@@ -155,6 +155,8 @@ class CLITool:
 
     @property
     def executable_path(self):
+        """Executable to launch: the per-instance override if given, else
+        the class ``EXECUTABLE_PATH``."""
         if self._executable_path is not None:
             return self._executable_path
         return self.EXECUTABLE_PATH

@@ -123,6 +123,7 @@ class Unit:
 
     @property
     def is_dimensionless(self):
+        """Whether this unit has no physical dimension."""
         return self.dims == _DIMLESS
 
 
@@ -154,6 +155,9 @@ class Quantity:
 
     # -- conversion ------------------------------------------------------
     def to(self, unit: Unit) -> 'Quantity':
+        """Convert to ``unit`` (same dimensions, or the automatic
+        per-particle <-> per-mole conversion); raises ``ValueError`` on
+        any other dimension mismatch."""
         if self.units.dims == unit.dims:
             factor = self.units.scale / unit.scale
             return Quantity(self.magnitude * factor, unit)
