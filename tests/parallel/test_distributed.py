@@ -159,6 +159,33 @@ def test_sharded_trainer_fit(tmp_path):
     assert out['positions'].sharding.spec == batch_sharding(mesh).spec
 
 
+def test_sharded_continuous_egnn_map_fit(tmp_path):
+    """The CNF+EGNN map trains over frame-sharded batches: the per-batch
+    Hutchinson key derivation and the velocity-masked dynamics must both
+    trace cleanly under GSPMD."""
+    from tests.app.test_maps import MockPotential, make_system
+    from tfep_tpu.app import ContinuousEGNNMap, Trainer
+    from tfep_tpu.units import ureg
+
+    mesh = make_mesh(8)
+    tfep_map = ContinuousEGNNMap(
+        potential_energy_func=MockPotential(),
+        temperature=300.0 * ureg.kelvin,
+        system=make_system(n_frames=16, n_atoms=4),
+        batch_size=8,
+        conditioning_atoms=[3],
+        tfep_logger_dir_path=str(tmp_path / 'cnf_logs'),
+        n_egnn_layers=2, node_feat_dim=8, distance_feat_dim=4,
+        time_feat_dim=4, solver='rk4', n_steps=4)
+    trainer = Trainer(save_dir=None, max_epochs=1, shuffle=False,
+                      sharding=batch_sharding(mesh))
+    trainer.fit(tfep_map)
+    assert trainer.global_step == 2
+    assert np.all(np.isfinite(trainer.loss_history))
+    logged = tfep_map.tfep_logger.read_train_tensors(epoch_idx=0)
+    assert set(logged['dataset_sample_index'].tolist()) == set(range(16))
+
+
 def test_sharded_crash_resume_invariant(tmp_path):
     """Mid-epoch crash/resume under sharding: one epoch, no repeats."""
     from tests.app.test_maps import MockPotential, make_system
