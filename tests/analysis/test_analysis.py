@@ -83,6 +83,20 @@ def test_bootstrap_sample_sizes_and_take_first():
     assert widths[0] > 3 * widths[1]
 
 
+def test_bootstrap_seed_spellings_and_single_size_list():
+    data = rng.normal(0.0, 1.0, size=200)
+    # seed=None (the Optional hint) and numpy-integer seeds must work.
+    for seed in (None, np.int64(3), 3):
+        result = bootstrap(data, mean_statistic, n_resamples=50, seed=seed)
+        assert np.isfinite(float(result['mean']))
+    # Like the reference (bootstrap.py:180-182): a 1-element size list
+    # returns the bare dict, not a 1-element list.
+    result = bootstrap(data, mean_statistic, n_resamples=50,
+                       bootstrap_sample_size=[100], take_first_only=True,
+                       seed=0)
+    assert isinstance(result, dict) and 'confidence_interval' in result
+
+
 def test_bayesian_bootstrap():
     data = rng.normal(3.0, 1.0, size=500)
     result = bootstrap(data, mean_statistic, n_resamples=2000,
@@ -261,8 +275,9 @@ def test_estimate_from_logger_requires_one_channel(tmp_path):
 
 
 def test_estimate_from_logger_multimap(tmp_path):
-    """A sequence of epochs concatenates per-map work and bootstraps with
-    one-epoch blocks (take_first_only), matching the hand-rolled recipe."""
+    """A sequence of epochs stacks per-map work by frame and bootstraps
+    over frames (cluster bootstrap: a frame's work under every map is
+    resampled together), matching the hand-rolled recipe."""
     from tfep_tpu.analysis import estimate_from_logger
     from tfep_tpu.io.log import TFEPLogger
 
@@ -273,29 +288,40 @@ def test_estimate_from_logger_multimap(tmp_path):
     for epoch in range(n_epochs):
         potential = rng.normal(2.0 + 0.1 * epoch, 0.4, size=n)
         ldj = rng.normal(0.0, 0.05, size=n)
+        # Shuffled write order: the multimap assembly must align frames
+        # across epochs by dataset sample index.
+        perm = rng.permutation(n)
         logger.save_train_tensors({
-            'dataset_sample_index': np.arange(n),
-            'potential': potential,
-            'log_det_J': ldj,
+            'dataset_sample_index': perm,
+            'potential': potential[perm],
+            'log_det_J': ldj[perm],
         }, epoch_idx=epoch, batch_idx=0)
         all_work.append(potential - ldj)
 
     result = estimate_from_logger(logger, epoch_idx=range(n_epochs),
                                   n_resamples=150, seed=7)
-    work = np.concatenate(all_work)
+    # (n_frames, n_maps): frame-aligned work matrix.
+    work_matrix = np.stack(all_work, axis=-1)
+    work = work_matrix.reshape(-1)
     assert result['n_samples'] == n * n_epochs
     np.testing.assert_allclose(np.sort(result['work']), np.sort(work),
                                rtol=1e-6)
     assert result['df'] == pytest.approx(
         float(fep_estimator(jnp.asarray(work))), rel=1e-6)
+    # Manual cluster bootstrap: resample frame rows, flatten the map axis.
     manual = bootstrap(
-        jnp.asarray(work),
+        jnp.asarray(work_matrix),
         lambda d, weights=None, vectorized=False:
-            fep_estimator(d, weights=weights, vectorized=vectorized),
-        bootstrap_sample_size=n, take_first_only=True,
+            fep_estimator(d.reshape(*d.shape[:-2], -1),
+                          weights=(None if weights is None else
+                                   jnp.repeat(weights / n_epochs, n_epochs,
+                                              axis=-1)),
+                          vectorized=vectorized),
         n_resamples=150, seed=7)
     ci = result['confidence_interval']
     assert ci['low'] == pytest.approx(
         float(manual['confidence_interval']['low']), rel=1e-6)
     assert ci['high'] == pytest.approx(
         float(manual['confidence_interval']['high']), rel=1e-6)
+    # The CI must be consistent with the point estimate it accompanies.
+    assert ci['low'] <= result['df'] <= ci['high']

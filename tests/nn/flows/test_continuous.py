@@ -181,3 +181,21 @@ def test_egnn_node_type_symmetry():
     np.testing.assert_array_equal(one_hot.sum(axis=1), 1.0)
     np.testing.assert_array_equal(one_hot[0], one_hot[2])
     assert not np.array_equal(one_hot[0], one_hot[1])
+
+
+def test_pallas_guard_sees_through_dynamics_wrappers():
+    """A Pallas-backed EGNN wrapped in an adapter (velocity masking) must
+    still be rejected for trace configurations that would vmap the kernel."""
+    from tfep_tpu.nn.dynamics import MaskedVelocityDynamics
+
+    dynamics = EGNNDynamics.create(
+        jax.random.key(0), node_types=[0, 0, 1], r_cutoff=5.0,
+        time_feat_dim=4, node_feat_dim=8, distance_feat_dim=4, n_layers=1,
+        pairwise='pallas')
+    wrapped = MaskedVelocityDynamics.create(dynamics, [0, 1, 2], dim=9)
+    with pytest.raises(ValueError, match="pairwise='pallas'"):
+        ContinuousFlow.create(wrapped, trace_estimator='exact')
+    with pytest.raises(ValueError, match="pairwise='pallas'"):
+        ContinuousFlow.create(wrapped, n_hutchinson_samples=2)
+    # The supported configuration still constructs.
+    ContinuousFlow.create(wrapped, trace_estimator='hutchinson')

@@ -187,3 +187,26 @@ def test_fuzz_random_topology_roundtrip(seed, n_atoms):
     oracle_ldj = jnp.linalg.slogdet(jac)[1]
     _, _, _, ldj = cartesian_to_internal(x[:1], z_matrix)
     np.testing.assert_allclose(float(ldj[0]), float(oracle_ldj), atol=1e-7)
+
+
+def test_forward_reference_z_matrix_rejected():
+    """Rows out of dependency order must raise, not reconstruct garbage."""
+    from tfep_tpu.ops.zmatrix import build_placement_schedule
+
+    # Row 0 places atom 5 but references atom 6, placed by row 1.
+    z = np.array([[5, 6, 1, 2],
+                  [6, 1, 2, 0]])
+    with pytest.raises(ValueError, match='dependency order'):
+        build_placement_schedule(z, n_atoms=7)
+    # Self-reference is a (degenerate) forward reference too.
+    with pytest.raises(ValueError, match='dependency order'):
+        build_placement_schedule(np.array([[3, 3, 1, 2]]), n_atoms=4)
+
+
+def test_empty_z_matrix_schedule():
+    """Zero IC rows yield an empty schedule instead of a numpy crash."""
+    from tfep_tpu.ops.zmatrix import build_placement_schedule
+
+    targets, refs, cols = build_placement_schedule(
+        np.zeros((0, 4), dtype=np.int64), n_atoms=3)
+    assert targets.shape[0] == 0

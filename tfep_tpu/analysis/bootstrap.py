@@ -57,8 +57,10 @@ def bootstrap(
     data = jnp.asarray(data)
     n_samples = data.shape[0]
 
-    if isinstance(seed, int):
-        key = jax.random.key(seed)
+    if seed is None:
+        seed = 0
+    if isinstance(seed, (int, np.integer)):
+        key = jax.random.key(int(seed))
     else:
         key = seed
 
@@ -126,6 +128,8 @@ def bootstrap(
             median=jnp.median(bootstrap_statistics),
         ))
 
-    if single_size:
+    # Like the reference (bootstrap.py:180-182), a single size returns the
+    # bare dict even when it was spelled as a 1-element sequence.
+    if len(results) == 1:
         return results[0]
     return results

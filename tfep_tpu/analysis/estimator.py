@@ -102,10 +102,11 @@ def estimate_from_logger(
         Read the train channel of this epoch. Exactly one of ``epoch_idx``
         and ``step_idx`` must be given. A sequence of epochs selects the
         **multimap** estimate (arXiv:2302.07683): each epoch's map
-        contributes its own work values, the per-epoch blocks are
-        concatenated, and the bootstrap resamples within one epoch-sized
-        block (``take_first_only``), mirroring the reference tutorial's
-        multimap analysis.
+        contributes its own work values for every frame. Work values of
+        the same frame under different maps share the frame, so the
+        bootstrap resamples *frames* (clusters), drawing each frame's
+        work under all maps together; frames without a (non-NaN) work
+        value in every requested epoch are excluded.
     step_idx : int, optional
         Read the eval channel of this step instead (held-out frames —
         preferred for expressive maps, whose train-frame work is
@@ -155,24 +156,45 @@ def estimate_from_logger(
         return w, sample_idx
 
     blocks = [block_work(d) for d in datas]
-    work = np.concatenate([w for w, _ in blocks])
-    sample_idx = np.concatenate([s for _, s in blocks])
-    bootstrap_kwargs = {}
     if multimap:
-        # Resample within one epoch-sized block: each epoch is a distinct
-        # map, so a bootstrap draw must hold the number of per-map samples
-        # fixed (reference tutorial's multimap analysis).
-        bootstrap_kwargs = {'bootstrap_sample_size': len(blocks[0][0]),
-                            'take_first_only': True}
+        # Work values of the same frame under different epochs' maps share
+        # the frame x_i (strong dependence), so the bootstrap unit is the
+        # frame: align the epochs on their common sample indices and stack
+        # (n_frames, n_maps) so each resample draws whole frame rows.
+        common = blocks[0][1]
+        for _, s in blocks[1:]:
+            common = np.intersect1d(common, s)
+        if len(common) == 0:
+            raise ValueError(
+                'The requested epochs share no (non-NaN) sample indices; '
+                'cannot assemble a multimap estimate.')
+        columns = []
+        for w, s in blocks:
+            position = {int(v): i for i, v in enumerate(s)}
+            columns.append(w[[position[int(v)] for v in common]])
+        work = np.stack(columns, axis=-1)           # (n_frames, n_maps)
+        sample_idx = common
+        n_maps = work.shape[-1]
+    else:
+        work, sample_idx = blocks[0]
+        n_maps = 1
 
     if bias_potentials is None:
         stat_data = jnp.asarray(work)
 
         def statistic(d, vectorized=False, weights=None):
+            if multimap:
+                # (..., n_frames, n_maps) -> (..., n_frames * n_maps); a
+                # frame's Bayesian weight splits evenly over its maps.
+                d = d.reshape(*d.shape[:-2], -1)
+                if weights is not None:
+                    weights = jnp.repeat(weights / n_maps, n_maps, axis=-1)
             return fep_estimator(d, kT=kT, weights=weights,
                                  vectorized=vectorized)
     else:
         bias = np.asarray(bias_potentials)[sample_idx]
+        if multimap:
+            bias = np.broadcast_to(bias[:, None], work.shape)
         stat_data = jnp.asarray(np.stack([work, bias], axis=-1))
 
         def statistic(d, vectorized=False, weights=None):
@@ -180,6 +202,9 @@ def estimate_from_logger(
                 raise NotImplementedError(
                     'Bayesian bootstrapping is not supported with biased '
                     'data.')
+            if multimap:
+                # (..., n_frames, n_maps, 2) -> (..., n_frames * n_maps, 2)
+                d = d.reshape(*d.shape[:-3], -1, 2)
             if not vectorized:
                 d = d.T     # (n, 2) -> (2, n) of fep_estimator's API
             return fep_estimator(d, kT=kT, vectorized=vectorized)
@@ -187,13 +212,13 @@ def estimate_from_logger(
     df = float(statistic(stat_data))
     boot = bootstrap(stat_data, statistic, n_resamples=n_resamples,
                      confidence_level=confidence_level, method=method,
-                     seed=seed, **bootstrap_kwargs)
+                     seed=seed)
     return {
         'df': df,
         'confidence_interval': {
             'low': float(boot['confidence_interval']['low']),
             'high': float(boot['confidence_interval']['high']),
         },
-        'n_samples': int(work.shape[0]),
-        'work': work,
+        'n_samples': int(work.size),
+        'work': work.reshape(-1),
     }

@@ -142,23 +142,18 @@ class CartesianToMixedFlow(Flow):
         n_cart_dofs = 3 * len(cartesian_atom_indices)
         remove = tuple(bool(b) for b in remove_ref_rototranslation)
         keep = np.ones(n_cart_dofs, dtype=bool)
+        # The 9 reference-atom DOFs never stay in place: they are either
+        # removed outright or re-appended last as kept-constant DOFs.
+        keep[-9:] = False
         ref_kept = []
-        if remove[0]:
-            keep[-9:-6] = False
-        else:
-            keep[-9:-6] = False
+        if not remove[0]:
+            # Origin atom: all three translations are kept constants.
             ref_kept.extend([n_cart_dofs - 9, n_cart_dofs - 8,
                              n_cart_dofs - 7])
-        if remove[1]:
-            keep[-6:-3] = False
-        else:
-            keep[-6:-3] = False
+        if not remove[1]:
             # Axis atom: x is d01; y, z are constant zeros.
             ref_kept.extend([n_cart_dofs - 5, n_cart_dofs - 4])
-        if remove[2]:
-            keep[-3:] = False
-        else:
-            keep[-3:] = False
+        if not remove[2]:
             # Plane atom: x, y are polar d02/a102; z is a constant zero.
             ref_kept.append(n_cart_dofs - 1)
         keep_indices = np.concatenate(

@@ -95,9 +95,15 @@ class ContinuousFlow(Flow):
         # Pallas-backed dynamics cannot be vmapped (no batching rule for
         # pallas calls): only the single-probe Hutchinson path avoids
         # vmap. Fail here with a clear message instead of deep in a scan.
+        # Unwrap dynamics adapters (e.g. MaskedVelocityDynamics) so a
+        # wrapped Pallas-backed EGNN cannot slip past the check.
+        inner = dynamics
+        while (not hasattr(inner, 'graph_layers')
+               and hasattr(inner, 'dynamics')):
+            inner = inner.dynamics
         uses_pallas = any(
             getattr(layer, 'pairwise', 'xla') == 'pallas'
-            for layer in getattr(dynamics, 'graph_layers', ()))
+            for layer in getattr(inner, 'graph_layers', ()))
         if uses_pallas and (trace_estimator == 'exact'
                             or n_hutchinson_samples != 1):
             raise ValueError(

@@ -264,10 +264,29 @@ def _level_schedule(z_matrix: np.ndarray) -> np.ndarray:
     A row's level is one more than the deepest of its reference atoms
     (Cartesian references have level 0). Returns an (n_levels, width)
     array of row indices, padded with -1.
+
+    Raises
+    ------
+    ValueError
+        If a row references an atom that a *later* row places (rows must
+        be in dependency order) — otherwise the reconstruction would read
+        an uninitialized position and return garbage silently.
     """
+    z = np.asarray(z_matrix)
+    if len(z) == 0:
+        return np.zeros((0, 0), dtype=np.int64)
+    placed_by_row = {int(row[0]): row_idx for row_idx, row in enumerate(z)}
     atom_level: dict = {}
-    row_level = np.zeros(len(z_matrix), dtype=np.int64)
-    for row_idx, (i, j, k, l) in enumerate(np.asarray(z_matrix)):
+    row_level = np.zeros(len(z), dtype=np.int64)
+    for row_idx, (i, j, k, l) in enumerate(z):
+        for ref in (int(j), int(k), int(l)):
+            if placed_by_row.get(ref, -1) >= row_idx:
+                raise ValueError(
+                    f'Z-matrix row {row_idx} (atom {int(i)}) references '
+                    f'atom {ref}, which is placed by the later row '
+                    f'{placed_by_row[ref]}; rows must be in dependency '
+                    'order (references are Cartesian atoms or earlier '
+                    'rows).')
         level = 1 + max(atom_level.get(int(j), 0), atom_level.get(int(k), 0),
                         atom_level.get(int(l), 0))
         atom_level[int(i)] = level
