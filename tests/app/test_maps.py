@@ -272,6 +272,60 @@ def test_degrees_repeats_trains(tmp_path):
     np.testing.assert_allclose(np.asarray(x_back), np.asarray(x), atol=1e-6)
 
 
+def test_epoch_boundary_checkpoint_resume_adds_no_extra_epoch(tmp_path):
+    """A checkpoint written on the last step of an epoch must store the
+    *next* epoch: resuming a finished run trains zero extra steps."""
+    tfep_map = make_map(tmp_path, name='logs_eb')
+    trainer = Trainer(save_dir=str(tmp_path / 'eb'), max_epochs=2,
+                      shuffle=False)
+    trainer.fit(tfep_map)
+    assert trainer.global_step == 4        # 10 frames / batch 5 * 2 epochs
+
+    map2 = make_map(tmp_path, name='logs_eb2')
+    t2 = Trainer(save_dir=str(tmp_path / 'eb'), max_epochs=2, shuffle=False)
+    t2.fit(map2, resume=True)
+    assert t2.global_step == 4             # not 6: no replayed epoch
+    assert t2.current_epoch == 2
+
+
+def test_finished_max_steps_resume_trains_zero_steps(tmp_path):
+    """Resuming a run that already hit max_steps must not overshoot the
+    budget (and must not overwrite the checkpoint with extra updates)."""
+    tfep_map = make_map(tmp_path, name='logs_ms')
+    trainer = Trainer(save_dir=str(tmp_path / 'ms'), max_steps=3,
+                      shuffle=False)
+    flow = trainer.fit(tfep_map)
+    leaves_before = [np.asarray(l) for l in jax.tree_util.tree_leaves(flow)]
+
+    map2 = make_map(tmp_path, name='logs_ms2')
+    t2 = Trainer(save_dir=str(tmp_path / 'ms'), max_steps=3, shuffle=False)
+    flow2 = t2.fit(map2, resume=True)
+    assert t2.global_step == 3
+    for a, b in zip(leaves_before, jax.tree_util.tree_leaves(flow2)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+
+
+def test_checkpoint_acknowledged_steps_have_logged_rows(tmp_path):
+    """The per-sample log rows of every checkpointed (acknowledged) step
+    are flushed before the checkpoint is written: a crash right after a
+    save cannot lose work values for batches a resume will skip."""
+
+    class CrashAfterSave(Trainer):
+        def _save_checkpoint(self, *args, **kwargs):
+            super()._save_checkpoint(*args, **kwargs)
+            if self.global_step == 2:
+                raise RuntimeError('crash right after the save')
+
+    tfep_map = make_map(tmp_path, name='logs_fl')
+    trainer = CrashAfterSave(save_dir=str(tmp_path / 'fl'), max_epochs=1,
+                             shuffle=False)
+    with pytest.raises(RuntimeError, match='right after the save'):
+        trainer.fit(tfep_map)
+    # Both acknowledged batches (steps 1 and 2) are fully logged.
+    logged = tfep_map.tfep_logger.read_train_tensors(epoch_idx=0)
+    assert set(logged['dataset_sample_index'].tolist()) == set(range(10))
+
+
 def test_self_contained_checkpoint_round_trip(tmp_path):
     """A trained map is reconstructed from the checkpoint file alone —
     no live map object, no hand-rebuilt configuration (the reference gets

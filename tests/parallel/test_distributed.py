@@ -35,28 +35,35 @@ pytestmark = pytest.mark.skipif(
 
 @pytest.mark.parametrize('n_frames,n_hosts', [
     (16, 4),   # even split
-    (17, 4),   # remainder goes to earlier hosts
-    (3, 4),    # fewer frames than hosts: some hosts get nothing
+    (17, 4),   # remainder dropped so every host holds 4 frames
     (1, 1),
 ])
 def test_host_frame_indices_partition(n_frames, n_hosts):
-    shards = [host_frame_indices(n_frames, h, n_hosts)
-              for h in range(n_hosts)]
-    # Disjoint cover of all frames, in order, contiguous per host.
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter('ignore')
+        shards = [host_frame_indices(n_frames, h, n_hosts)
+                  for h in range(n_hosts)]
+    # Equal-sized, disjoint, in-order contiguous shards: unequal shards
+    # would desynchronize the hosts' per-epoch batch counts.
+    per_host = n_frames // n_hosts
     all_indices = np.concatenate(shards)
-    np.testing.assert_array_equal(all_indices, np.arange(n_frames))
-    sizes = [len(s) for s in shards]
-    assert max(sizes) - min(sizes) <= 1
+    np.testing.assert_array_equal(all_indices,
+                                  np.arange(per_host * n_hosts))
+    assert {len(s) for s in shards} == {per_host}
     for shard in shards:
-        if len(shard):
-            np.testing.assert_array_equal(
-                shard, np.arange(shard[0], shard[0] + len(shard)))
+        np.testing.assert_array_equal(
+            shard, np.arange(shard[0], shard[0] + len(shard)))
 
 
-def test_host_frame_indices_remainder_placement():
-    # 10 frames over 4 hosts -> 3, 3, 2, 2.
-    sizes = [len(host_frame_indices(10, h, 4)) for h in range(4)]
-    assert sizes == [3, 3, 2, 2]
+def test_host_frame_indices_remainder_warns_and_drops():
+    # 10 frames over 4 hosts: equal shards of 2, the last 2 dropped loudly.
+    with pytest.warns(UserWarning, match='dropping the trailing 2'):
+        sizes = [len(host_frame_indices(10, h, 4)) for h in range(4)]
+    assert sizes == [2, 2, 2, 2]
+    # More hosts than frames is a configuration error, not empty shards.
+    with pytest.raises(ValueError, match='at least one frame'):
+        host_frame_indices(3, 0, 4)
 
 
 # =============================================================================
@@ -65,7 +72,7 @@ def test_host_frame_indices_remainder_placement():
 
 def test_all_hosts_work_values_roundtrip(tmp_path):
     base = str(tmp_path / 'logs')
-    n_frames, n_hosts = 10, 3
+    n_frames, n_hosts = 9, 3
     for host in range(n_hosts):
         frames = host_frame_indices(n_frames, host, n_hosts)
         logger = TFEPLogger(save_dir_path=host_logger_dir(base, host),

@@ -190,6 +190,11 @@ class Trainer:
             if self.max_epochs is not None and \
                     self.current_epoch >= self.max_epochs:
                 break
+            # Pre-check so resuming an already-finished run trains zero
+            # extra steps (the in-loop check only fires after a step).
+            if self.max_steps is not None and \
+                    self.global_step >= self.max_steps:
+                break
             epoch_idx = self.current_epoch
             for batch_indices in sampler:
                 batch_idx = self.global_step % n_batches
@@ -208,9 +213,21 @@ class Trainer:
                 pending_log = (aux, epoch_idx, batch_idx)
 
                 self.global_step += 1
+                # Derived, not incremented at the epoch boundary: an
+                # epoch-boundary checkpoint must store the *next* epoch or
+                # a resume replays a full extra epoch (and re-logs its
+                # epoch_idx).
+                self.current_epoch = self.global_step // n_batches
 
                 if (self.checkpoint_path is not None
                         and self.global_step % self.checkpoint_every_n_steps == 0):
+                    # Flush this step's log rows first: the checkpoint
+                    # acknowledges the step, so a crash right after must
+                    # not lose its per-sample work values (resume skips
+                    # the batch).
+                    if pending_log is not None:
+                        self._consume_aux(tfep_map, *pending_log)
+                        pending_log = None
                     self._save_checkpoint(flow, opt_state, sampler, tfep_map)
 
                 if self.max_steps is not None and \
@@ -218,7 +235,6 @@ class Trainer:
                     stop = True
                     break
             else:
-                self.current_epoch += 1
                 continue
             break
 
@@ -341,6 +357,9 @@ class Trainer:
             self._profile_tock(tick, aux.get('loss', flow))
             self._consume_aux(tfep_map, aux, epoch_idx, batch_idx)
             self.global_step += 1
+            # Derived like in _fit_loop: checkpoints written at an epoch
+            # boundary must store the next epoch.
+            self.current_epoch = self.global_step // n_batches
             if (self.checkpoint_path is not None and
                     self.global_step % self.checkpoint_every_n_steps == 0):
                 self._save_checkpoint(flow, opt_state, sampler, tfep_map)
@@ -352,6 +371,9 @@ class Trainer:
             while not stop:
                 if self.max_epochs is not None and \
                         self.current_epoch >= self.max_epochs:
+                    break
+                if self.max_steps is not None and \
+                        self.global_step >= self.max_steps:
                     break
                 epoch_idx = self.current_epoch
                 for batch_indices in sampler:
@@ -383,12 +405,11 @@ class Trainer:
                         break
                 else:
                     # Drain before the sampler restarts: its resume
-                    # arithmetic derives the epoch position from
+                    # arithmetic (and the derived current_epoch) come from
                     # global_step, which must not lag at the boundary.
                     if pending is not None:
                         flow, opt_state = apply_pending(flow, opt_state)
                         pending = None
-                    self.current_epoch += 1
                     continue
                 break
 

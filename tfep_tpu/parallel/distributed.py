@@ -33,14 +33,24 @@ def initialize(coordinator_address: Optional[str] = None,
 
     if num_processes is not None and num_processes <= 1:
         return
+    explicit = (coordinator_address is not None or num_processes is not None
+                or process_id is not None)
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id)
-    except (ValueError, RuntimeError):
-        # Already initialized, or single-host environment.
-        pass
+    except RuntimeError as error:
+        # Only the double-initialization case is benign.
+        if 'already initialized' not in str(error).lower():
+            raise
+    except ValueError:
+        # Auto-detection outside a cluster environment: a single-host
+        # no-op. With explicit arguments a ValueError means the launch is
+        # misconfigured — swallowing it would silently run every host as
+        # an independent single-process job.
+        if explicit:
+            raise
 
 
 def is_distributed() -> bool:
@@ -62,18 +72,31 @@ def host_frame_indices(n_frames: int, process_id: Optional[int] = None,
                        n_processes: Optional[int] = None) -> np.ndarray:
     """This host's contiguous shard of trajectory-frame indices.
 
-    Frames split as evenly as possible; earlier hosts take the remainder.
-    Used to build a per-host ``Subset`` of the dataset so each host's
-    dataloader + engine pool works on disjoint frames.
+    Shards are exactly equal-sized: every host must run the same number
+    of same-sized batches per epoch, or the hosts' collective steps
+    desynchronize (one host enters a jitted step the others never join)
+    and the global batch assembly
+    (``jax.make_array_from_process_local_data``) infers inconsistent
+    global shapes. The trailing ``n_frames % n_processes`` frames are
+    therefore dropped, with a warning, rather than dealt unevenly.
     """
     if process_id is None:
         process_id = process_index()
     if n_processes is None:
         n_processes = process_count()
-    counts = np.full(n_processes, n_frames // n_processes)
-    counts[:n_frames % n_processes] += 1
-    starts = np.concatenate([[0], np.cumsum(counts)])
-    return np.arange(starts[process_id], starts[process_id + 1])
+    per_host, remainder = divmod(n_frames, n_processes)
+    if per_host == 0:
+        raise ValueError(
+            f'Cannot shard {n_frames} frames over {n_processes} hosts: '
+            'every host needs at least one frame.')
+    if remainder:
+        import warnings
+        warnings.warn(
+            f'host_frame_indices: dropping the trailing {remainder} of '
+            f'{n_frames} frames so all {n_processes} hosts hold equal '
+            'shards (unequal shards desynchronize the hosts\' batch '
+            'counts).', stacklevel=2)
+    return np.arange(process_id * per_host, (process_id + 1) * per_host)
 
 
 def global_rows_from_local(local_rows, sharding):

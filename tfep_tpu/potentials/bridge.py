@@ -112,50 +112,32 @@ def make_callback_forces(
     (/root/reference/tfep/potentials/psi4.py:641-766).
     """
 
+    n_aux = 1 if has_cell else 0
+
     def _host_forces(*args):
         return np.asarray(energy_and_forces_fn(*args)[1])
 
-    def _forces_cb(x, *rest):
+    def _forces_cb(x, *aux):
         shape = jax.ShapeDtypeStruct(x.shape, x.dtype)
-        return jax.pure_callback(_host_forces, shape, x, *rest,
+        return jax.pure_callback(_host_forces, shape, x, *aux,
                                  vmap_method=vmap_method)
 
-    if has_cell:
-        @jax.custom_vjp
-        def forces(x, cell):
-            return _forces_cb(x, cell)
-
-        def fwd(x, cell):
-            return _forces_cb(x, cell), (x, cell)
-
-        def bwd(res, g):
-            x, cell = res
-            norm = jnp.linalg.norm(g, axis=-1, keepdims=True)
-            safe = jnp.where(norm > 0, norm, 1.0)
-            direction = g / safe
-            f_plus = _forces_cb(x + fd_step * direction, cell)
-            f_minus = _forces_cb(x - fd_step * direction, cell)
-            vhp = (f_plus - f_minus) / (2.0 * fd_step) * norm
-            return (vhp, None)
-
-        forces.defvjp(fwd, bwd)
-        return forces
-
     @jax.custom_vjp
-    def forces(x):
-        return _forces_cb(x)
+    def forces(x, *aux):
+        return _forces_cb(x, *aux)
 
-    def fwd(x):
-        return _forces_cb(x), x
+    def fwd(x, *aux):
+        return _forces_cb(x, *aux), (x, aux)
 
-    def bwd(x, g):
+    def bwd(res, g):
+        x, aux = res
         norm = jnp.linalg.norm(g, axis=-1, keepdims=True)
         safe = jnp.where(norm > 0, norm, 1.0)
         direction = g / safe
-        f_plus = _forces_cb(x + fd_step * direction)
-        f_minus = _forces_cb(x - fd_step * direction)
+        f_plus = _forces_cb(x + fd_step * direction, *aux)
+        f_minus = _forces_cb(x - fd_step * direction, *aux)
         vhp = (f_plus - f_minus) / (2.0 * fd_step) * norm
-        return (vhp,)
+        return (vhp,) + (None,) * n_aux
 
     forces.defvjp(fwd, bwd)
     return forces

@@ -103,8 +103,8 @@ class EnginePotential(PotentialBase):
     # ------------------------------------------------------------------ #
     def compute_energies_and_forces(self, positions, cell=None,
                                     sample_keys=None):
+        dtype = np.asarray(positions).dtype    # caller dtype, restored below
         positions = np.asarray(positions, dtype=np.float64)
-        dtype = positions.dtype
         engine_positions = positions * self._pos_to_engine
         engine_cell = (None if cell is None
                        else np.asarray(cell, np.float64) * self._pos_to_engine)
@@ -117,8 +117,8 @@ class EnginePotential(PotentialBase):
         return energies, forces
 
     def compute_energies(self, positions, cell=None, sample_keys=None):
+        dtype = np.asarray(positions).dtype    # caller dtype, restored below
         positions = np.asarray(positions, dtype=np.float64)
-        dtype = positions.dtype
         engine_positions = positions * self._pos_to_engine
         engine_cell = (None if cell is None
                        else np.asarray(cell, np.float64) * self._pos_to_engine)
