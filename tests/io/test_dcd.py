@@ -9,7 +9,7 @@ import pytest
 from tfep_tpu.io import dcd
 
 
-def write_dcd(path, positions, cells=None):
+def write_dcd(path, positions, cells=None, namnf=0):
     """Minimal CHARMM-style DCD writer for tests.
 
     ``positions``: (n_frames, n_atoms, 3) float32;
@@ -19,6 +19,7 @@ def write_dcd(path, positions, cells=None):
     with open(path, 'wb') as f:
         icntrl = [0] * 20
         icntrl[0] = n_frames
+        icntrl[8] = namnf
         icntrl[10] = 1 if cells is not None else 0
         f.write(struct.pack('<i', 84))
         f.write(b'CORD')
@@ -99,3 +100,43 @@ def test_python_fallback_matches(dcd_data, monkeypatch):
 def test_native_compiles():
     """The C++ fast path must be available in this environment."""
     assert dcd.native_available()
+
+
+def test_strided_frame_indices(dcd_data):
+    """A non-contiguous index view must not hand the native decoder its
+    base buffer (which would silently read the wrong frames)."""
+    path, positions, _ = dcd_data
+    strided = np.arange(5)[::2]          # stride-2 view: frames 0, 2, 4
+    out_pos, _ = dcd.read_dcd(path, frame_indices=strided)
+    np.testing.assert_allclose(out_pos, positions[[0, 2, 4]], rtol=1e-6)
+
+
+def test_charmm_cosine_angles(tmp_path):
+    """CHARMM (c22+) stores cos(angle) in the cell record; the reader must
+    convert to degrees (X-PLOR-style degree cells stay unchanged)."""
+    rng = np.random.default_rng(2)
+    positions = rng.normal(size=(2, 3, 3)).astype(np.float32)
+    cos60 = 0.5
+    cells = np.tile([20.0, 21.0, 22.0, 0.0, 0.0, cos60], (2, 1))
+    path = str(tmp_path / 'charmm.dcd')
+    write_dcd(path, positions, cells)
+    _, out_cells = dcd.read_dcd(path)
+    np.testing.assert_allclose(
+        out_cells, np.tile([20.0, 21.0, 22.0, 90.0, 90.0, 60.0], (2, 1)))
+
+    from tfep_tpu.io.frames import DcdFrameStore
+    store = DcdFrameStore(path)
+    np.testing.assert_allclose(
+        store.dimensions, np.tile([20.0, 21.0, 22.0, 90.0, 90.0, 60.0],
+                                  (2, 1)))
+
+
+def test_fixed_atom_dcd_rejected(tmp_path):
+    """Fixed-atom DCDs (NAMNF != 0) store only free atoms after frame 1;
+    the uniform-frame-size readers must reject them loudly."""
+    rng = np.random.default_rng(3)
+    positions = rng.normal(size=(2, 4, 3)).astype(np.float32)
+    path = str(tmp_path / 'fixed.dcd')
+    write_dcd(path, positions, namnf=2)
+    with pytest.raises(ValueError, match='fixed atoms'):
+        dcd.read_dcd_header(path)

@@ -760,3 +760,71 @@ def test_system_from_universe_minimal():
     np.testing.assert_allclose(system.topology.masses, [12.011, 1.008])
     assert system.topology.bonds.shape == (0, 2)
     np.testing.assert_allclose(system.times, [0.0, 1.0])
+
+
+def test_gromacs_top_ifdef_takes_one_branch(tmp_path):
+    """#ifndef/#else blocks are mutually exclusive: the standard flexible-
+    water pattern must not yield both the settles-implied and the flexible
+    bonds (duplicate edges would corrupt the Z-matrix bond graph)."""
+    body = """
+[ moleculetype ]
+SOL 2
+[ atoms ]
+1 OW 1 SOL OW 1 -0.8 15.999
+2 HW 1 SOL HW1 1 0.4 1.008
+3 HW 1 SOL HW2 1 0.4 1.008
+#ifndef FLEXIBLE
+[ settles ]
+1 1 0.1 0.16
+#else
+[ bonds ]
+1 2
+1 3
+#endif
+[ system ]
+water
+[ molecules ]
+SOL 1
+"""
+    top = tmp_path / 'water.top'
+    top.write_text(body)
+    topology = read_gromacs_top(str(top))
+    assert topology.bonds.tolist() == [[0, 1], [0, 2]]
+
+    # With the symbol defined, the #else branch must be skipped instead.
+    top.write_text('#define FLEXIBLE\n' + body)
+    topology = read_gromacs_top(str(top))
+    assert topology.bonds.tolist() == [[0, 1], [0, 2]]
+
+
+def test_pdb_conect_five_digit_serials(tmp_path):
+    """CONECT serials >= 10000 fill their fixed 5-char columns with no
+    separator; whitespace splitting would drop or miswire those bonds."""
+    from tfep_tpu.io.topology import Topology
+    from tfep_tpu.io.traj import read_pdb
+
+    n_atoms = 10002
+    bonds = [(9998, 9999), (9999, 10000), (10000, 10001)]
+    topology = Topology(names=['C'] * n_atoms, bonds=bonds)
+    positions = np.zeros((1, n_atoms, 3), dtype=np.float32)
+    path = str(tmp_path / 'big.pdb')
+    System(topology, positions).save(path)
+    # The file really exercises the abutting-column case.
+    conect_lines = [line for line in open(path) if line.startswith('CONECT')]
+    assert any(len(line.split()) < 3 for line in conect_lines)
+    system = read_pdb(path)
+    assert sorted(map(tuple, system.topology.bonds.tolist())) == bonds
+
+
+def test_get_subsampled_indices_time_step_edges():
+    from tfep_tpu.io.traj import get_subsampled_indices
+    from tfep_tpu.units import ureg
+
+    times = np.array([0.0, 1.0, 2.0, 3.0])
+    # A step overshooting the last frame time must stay in range.
+    got = get_subsampled_indices(4, times=times, step=3.5 * ureg.picosecond)
+    assert got.tolist() == [0]
+    # A step below the frame spacing must not produce duplicates.
+    got = get_subsampled_indices(3, times=times[:3],
+                                 step=0.4 * ureg.picosecond)
+    assert got.tolist() == [0, 1, 2]

@@ -18,7 +18,8 @@ import numpy as np
 
 from tfep_tpu.io.native import native_available, native_lib as _native_lib
 
-__all__ = ['read_dcd_header', 'read_dcd', 'native_available']
+__all__ = ['read_dcd_header', 'read_dcd', 'read_dcd_cells',
+           'native_available']
 
 
 # =============================================================================
@@ -34,6 +35,14 @@ def _py_parse_header(f):
     icntrl = struct.unpack('<20i', f.read(80))
     if struct.unpack('<i', f.read(4))[0] != 84:
         raise ValueError('Corrupt DCD header.')
+    if icntrl[8] != 0:
+        # Fixed-atom DCDs store only the free atoms (plus an index record)
+        # for frames after the first; the uniform frame-size assumption
+        # below would silently decode shifted garbage.
+        raise ValueError(
+            f'DCD file uses fixed atoms (NAMNF={icntrl[8]}), which this '
+            'reader does not support; rewrite the trajectory with all '
+            'atoms free.')
 
     has_cell = icntrl[10] != 0
     title_len = struct.unpack('<i', f.read(4))[0]
@@ -54,6 +63,29 @@ def _py_parse_header(f):
     return n_frames, n_atoms, has_cell, first_offset, frame_size
 
 
+def _unscramble_cell(record):
+    """DCD cell record order (A, gamma, B, beta, alpha, C) ->
+    [lx, ly, lz, alpha, beta, gamma]."""
+    return [record[0], record[2], record[5],
+            record[4], record[3], record[1]]
+
+
+def _normalize_cell_angles(cells):
+    """Convert CHARMM cosine-convention cell angles to degrees in place.
+
+    CHARMM (c22+) stores cos(angle) in the three angle slots; X-PLOR and
+    NAMD store degrees. The standard disambiguation (as in MDAnalysis):
+    when all three angle values lie within [-1, 1], they are cosines.
+    """
+    if cells is None:
+        return None
+    angles = cells[..., 3:]
+    are_cosines = np.all(np.abs(angles) <= 1.0, axis=-1, keepdims=True)
+    degrees = np.degrees(np.arccos(np.clip(angles, -1.0, 1.0)))
+    cells[..., 3:] = np.where(are_cosines, degrees, angles)
+    return cells
+
+
 def _py_read_frames(path, frame_indices):
     with open(path, 'rb') as f:
         n_frames, n_atoms, has_cell, first_offset, frame_size = \
@@ -69,9 +101,7 @@ def _py_read_frames(path, frame_indices):
                 f.read(4)
                 cell = struct.unpack('<6d', f.read(48))
                 f.read(4)
-                # A, gamma, B, beta, alpha, C.
-                cells[i] = [cell[0], cell[2], cell[5],
-                            cell[4], cell[3], cell[1]]
+                cells[i] = _unscramble_cell(cell)
             for dim in range(3):
                 f.read(4)
                 positions[i, :, dim] = np.frombuffer(
@@ -91,11 +121,31 @@ def read_dcd_header(path: str) -> Tuple[int, int, bool]:
         out = (ctypes.c_int64 * 3)()
         status = lib.dcd_read_header(path.encode(), out)
         if status != 0:
+            # Re-parse in Python for a specific message (e.g. fixed atoms).
+            with open(path, 'rb') as f:
+                _py_parse_header(f)
             raise ValueError(f'Failed to parse DCD header ({status}).')
         return int(out[0]), int(out[1]), bool(out[2])
     with open(path, 'rb') as f:
         n_frames, n_atoms, has_cell, _, _ = _py_parse_header(f)
     return n_frames, n_atoms, has_cell
+
+
+def read_dcd_cells(path: str) -> Optional[np.ndarray]:
+    """Seek-read every frame's unit cell without decoding coordinates.
+
+    Returns (n_frames, 6) ``[lx, ly, lz, alpha, beta, gamma]`` (degrees),
+    or ``None`` when the file carries no cell records.
+    """
+    with open(path, 'rb') as f:
+        n_frames, _, has_cell, first_offset, frame_size = _py_parse_header(f)
+        if not has_cell:
+            return None
+        cells = np.empty((n_frames, 6))
+        for i in range(n_frames):
+            f.seek(first_offset + i * frame_size + 4)
+            cells[i] = _unscramble_cell(struct.unpack('<6d', f.read(48)))
+    return _normalize_cell_angles(cells)
 
 
 def read_dcd(path: str, frame_indices: Optional[Sequence[int]] = None
@@ -110,11 +160,15 @@ def read_dcd(path: str, frame_indices: Optional[Sequence[int]] = None
     if frame_indices is None:
         frame_indices = np.arange(n_frames, dtype=np.int64)
     else:
-        frame_indices = np.asarray(frame_indices, dtype=np.int64)
+        # The native decoder reads consecutive int64s through a raw
+        # pointer: a strided view (e.g. arange(10)[::2]) must be copied
+        # contiguous or the wrong frames are read silently.
+        frame_indices = np.ascontiguousarray(frame_indices, dtype=np.int64)
 
     lib = _native_lib()
     if lib is None:
-        return _py_read_frames(path, frame_indices)
+        positions, cells = _py_read_frames(path, frame_indices)
+        return positions, _normalize_cell_angles(cells)
 
     positions = np.empty((len(frame_indices), n_atoms, 3), dtype=np.float32)
     cells = np.empty((len(frame_indices), 6)) if has_cell else None
@@ -127,4 +181,4 @@ def read_dcd(path: str, frame_indices: Optional[Sequence[int]] = None
          if cells is not None else None))
     if status != 0:
         raise ValueError(f'Failed to read DCD frames ({status}).')
-    return positions, cells
+    return positions, _normalize_cell_angles(cells)

@@ -135,10 +135,15 @@ class _XdrFrameStore(FrameStore):
                 raise ValueError(f'Failed to scan {path} ({status}).')
             n_frames = int(info[0])
             offsets = np.zeros(n_frames, dtype=np.int64)
-            getattr(lib, self._SCAN)(
+            status = getattr(lib, self._SCAN)(
                 path.encode(),
                 offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
                 n_frames, info)
+            if status != 0:
+                # A failure here (file truncated/replaced between the two
+                # scans) would otherwise leave all-zero offsets and decode
+                # frame 0 for every request.
+                raise ValueError(f'Failed to scan {path} ({status}).')
             n_atoms = int(info[1])
         else:
             offsets, n_atoms = self._py_scan(path)
@@ -254,24 +259,14 @@ class DcdFrameStore(FrameStore):
     """Lazy DCD coordinates (already angstrom); cells read at open."""
 
     def __init__(self, path: str):
-        from tfep_tpu.io.dcd import read_dcd_header
+        from tfep_tpu.io.dcd import read_dcd_cells, read_dcd_header
         n_frames, n_atoms, has_cell = read_dcd_header(path)
         super().__init__(path, n_frames, n_atoms)
         self.times = np.arange(n_frames, dtype=np.float64)
-        self.dimensions = None
-        if has_cell:
-            # Cells sit in fixed-size records at the head of each frame;
-            # seek-read them without decoding any coordinates.
-            from tfep_tpu.io.dcd import _py_parse_header
-            cells = np.empty((n_frames, 6))
-            with open(path, 'rb') as f:
-                _, _, _, first_offset, frame_size = _py_parse_header(f)
-                for i in range(n_frames):
-                    f.seek(first_offset + i * frame_size + 4)
-                    a, gamma, b, beta, alpha, c = struct.unpack(
-                        '<6d', f.read(48))
-                    cells[i] = [a, b, c, alpha, beta, gamma]
-            self.dimensions = cells
+        # Cells sit in fixed-size records at the head of each frame;
+        # read_dcd_cells seek-reads them (shared record layout + CHARMM
+        # cosine-angle handling) without decoding any coordinates.
+        self.dimensions = read_dcd_cells(path) if has_cell else None
 
     def _load_frames(self, frame_indices) -> np.ndarray:
         from tfep_tpu.io.dcd import read_dcd
@@ -303,7 +298,6 @@ def open_frame_store(path: str) -> FrameStore:
     ValueError
         If the extension has no lazy reader.
     """
-    import os
     ext = os.path.splitext(path)[1].lower()
     stores = {'.xtc': XtcFrameStore, '.trr': TrrFrameStore,
               '.dcd': DcdFrameStore}

@@ -173,18 +173,54 @@ class _MoleculeType:
         return bonds
 
 
-def _top_lines(path: str):
-    """Yield content lines, following resolvable #include directives."""
+def _top_lines(path: str, defines: Optional[set] = None):
+    """Yield content lines, following resolvable #include directives.
+
+    Tracks ``#define``/``#ifdef``/``#ifndef``/``#else``/``#endif`` so
+    mutually exclusive blocks yield only the active branch — e.g. the
+    standard water itp's ``#ifndef FLEXIBLE [settles] #else [bonds]
+    #endif`` must not contribute *both* the settles-implied and the
+    flexible bonds (duplicate edges in the bond graph). Symbols come from
+    file-level ``#define`` lines (shared across includes); ``-D`` grompp
+    defines have no file counterpart, so undefined symbols follow the
+    ``#ifndef`` branch — the GROMACS default.
+    """
+    if defines is None:
+        defines = set()
+    stack: list = []   # one bool per open #if; yield only when all true
     with open(path) as f:
         for raw in f:
             line = raw.split(';', 1)[0].strip()
             if not line:
                 continue
+            if line.startswith('#ifndef'):
+                symbol = (line.split(None, 1) + [''])[1].strip()
+                stack.append(symbol not in defines)
+                continue
+            if line.startswith('#ifdef'):
+                symbol = (line.split(None, 1) + [''])[1].strip()
+                stack.append(symbol in defines)
+                continue
+            if line.startswith('#else'):
+                if stack:
+                    stack[-1] = not stack[-1]
+                continue
+            if line.startswith('#endif'):
+                if stack:
+                    stack.pop()
+                continue
+            if not all(stack):
+                continue
+            if line.startswith('#define'):
+                parts = line.split()
+                if len(parts) >= 2:
+                    defines.add(parts[1])
+                continue
             if line.startswith('#include'):
                 target = line.split(None, 1)[1].strip('"\'<>')
                 resolved = os.path.join(os.path.dirname(path), target)
                 if os.path.isfile(resolved):
-                    yield from _top_lines(resolved)
+                    yield from _top_lines(resolved, defines)
                 # Force-field includes that aren't present are skipped:
                 # they define parameters, not the molecule composition.
                 continue

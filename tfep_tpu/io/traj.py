@@ -347,10 +347,15 @@ def read_pdb(path: str) -> System:
                        float(line[24:33]), float(line[33:40]),
                        float(line[40:47]), float(line[47:54])]
             elif record.startswith('CONECT'):
-                fields = line.split()
-                if len(fields) >= 3:
-                    a = int(fields[1]) - 1
-                    for b_str in fields[2:]:
+                # Fixed 5-char serial columns (6:11, 11:16, ...): for
+                # serials >= 10000 the fields abut with no separator, so
+                # whitespace splitting silently drops or miswires bonds.
+                fields = [line[start:start + 5].strip()
+                          for start in range(6, min(len(line), 31), 5)]
+                fields = [f for f in fields if f]
+                if len(fields) >= 2:
+                    a = int(fields[0]) - 1
+                    for b_str in fields[1:]:
                         b = int(b_str) - 1
                         bonds.add((min(a, b), max(a, b)))
             elif record.startswith('ENDMDL') or record.startswith('END '):
@@ -535,7 +540,12 @@ def get_subsampled_indices(n_frames: int, times: Optional[np.ndarray] = None,
         if times is None:
             raise ValueError('Time-based subsampling requires times.')
         sel_times = np.arange(times[start_f], times[stop_f] + dt * 0.5, dt)
-        return np.searchsorted(times, sel_times - 1e-9)
+        # Guarantee the documented "sorted unique, in range" contract:
+        # selection times past the last frame have no frame (dropping
+        # them, not snapping to the end), and a step below the frame
+        # spacing would repeat indices.
+        sel_times = sel_times[sel_times <= times[stop_f] + 1e-9]
+        return np.unique(np.searchsorted(times, sel_times - 1e-9))
     else:
         step_f = int(step)
     return np.arange(start_f, stop_f + 1, step_f, dtype=np.int64)

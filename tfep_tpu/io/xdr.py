@@ -27,7 +27,8 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 __all__ = ['read_xtc', 'write_xtc', 'read_trr', 'write_trr',
-           'iter_trr_frames', 'scan_xtc_offsets', 'XTC_MAGIC', 'TRR_MAGIC']
+           'iter_trr_frames', 'scan_xtc_offsets', 'scan_trr_offsets',
+           'XTC_MAGIC', 'TRR_MAGIC']
 
 XTC_MAGIC = 1995
 TRR_MAGIC = 1993

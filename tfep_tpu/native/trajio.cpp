@@ -44,6 +44,12 @@ bool parse_header(std::FILE* f, DcdInfo* info) {
     if (std::fread(icntrl, 4, 20, f) != 20) return false;
     if (read_marker(f) != 84) return false;
 
+    // Fixed-atom DCDs (NAMNF != 0) store only the free atoms for frames
+    // after the first; the uniform frame-size assumption below would
+    // silently decode garbage. Reject (the Python wrapper re-parses to
+    // produce the specific error message).
+    if (icntrl[8] != 0) return false;
+
     int64_t n_frames_header = icntrl[0];
     info->has_cell = (icntrl[10] != 0) ? 1 : 0;
 
