@@ -127,6 +127,21 @@ class MergedDataset(Dataset):
             out.update(d.get_batch(indices))
         return out
 
+    @property
+    def n_atoms(self) -> int:
+        """Atom count of the (unique) merged trajectory dataset.
+
+        Lets a merged dataset stand in for a plain trajectory dataset in
+        the app layer (the reference merges aux data the same way,
+        /root/reference/tfep/io/dataset/merged.py), e.g. when
+        ``create_dataset`` attaches precomputed bias/log-weights.
+        """
+        for d in self._datasets:
+            n = getattr(d, 'n_atoms', None)
+            if n is not None:
+                return n
+        raise AttributeError('No merged dataset exposes n_atoms.')
+
 
 class Subset(Dataset):
     """Arbitrary-index view of a dataset.
@@ -161,6 +176,11 @@ class Subset(Dataset):
     def get_batch(self, indices):
         """Batch from the wrapped dataset at the composed indices."""
         return self._dataset.get_batch(self._indices[np.asarray(indices)])
+
+    @property
+    def n_atoms(self) -> int:
+        """Atom count of the wrapped dataset (delegated)."""
+        return self._dataset.n_atoms
 
 
 #: Reference-API alias (the reference names this TrajectorySubset).
