@@ -240,8 +240,9 @@ def test_estimate_from_logger_matches_manual(tmp_path):
     df_manual = float(fep_estimator(jnp.asarray(work)))
     assert result['df'] == pytest.approx(df_manual, rel=1e-6)
     assert result['n_samples'] == n
-    np.testing.assert_allclose(np.sort(result['work']), np.sort(work),
-                               rtol=1e-6)
+    # work rows come back aligned with sample_indices.
+    np.testing.assert_allclose(
+        result['work'], work[result['sample_indices']], rtol=1e-6)
     ci = result['confidence_interval']
     assert ci['low'] < df_manual < ci['high']
 
@@ -304,8 +305,11 @@ def test_estimate_from_logger_multimap(tmp_path):
     work_matrix = np.stack(all_work, axis=-1)
     work = work_matrix.reshape(-1)
     assert result['n_samples'] == n * n_epochs
-    np.testing.assert_allclose(np.sort(result['work']), np.sort(work),
-                               rtol=1e-6)
+    # Multimap work is the frame-aligned (n_frames, n_maps) matrix, with
+    # rows keyed by sample_indices and columns in requested-epoch order.
+    assert result['work'].shape == (n, n_epochs)
+    np.testing.assert_allclose(
+        result['work'], work_matrix[result['sample_indices']], rtol=1e-6)
     assert result['df'] == pytest.approx(
         float(fep_estimator(jnp.asarray(work))), rel=1e-6)
     # Manual cluster bootstrap: resample frame rows, flatten the map axis.

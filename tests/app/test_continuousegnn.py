@@ -145,6 +145,49 @@ def test_hutchinson_probes_vary_per_batch(tmp_path):
     ldj_c = np.asarray(tfep_map.forward(dict(batch))['log_det_J'])
     np.testing.assert_array_equal(ldj_a, ldj_c)
 
+    # Same batch at a different global step -> fresh probes (the trainer
+    # injects the step so probes refresh every epoch even with
+    # shuffle=False, where the same batches recur).
+    step0 = {**batch, 'global_step': jnp.asarray(0, dtype=jnp.uint32)}
+    step7 = {**batch, 'global_step': jnp.asarray(7, dtype=jnp.uint32)}
+    ldj_s0 = np.asarray(tfep_map.forward(step0)['log_det_J'])
+    ldj_s7 = np.asarray(tfep_map.forward(step7)['log_det_J'])
+    assert np.abs(ldj_s0 - ldj_s7).max() > 1e-10
+    # And the same step reproduces exactly (crash/resume determinism).
+    np.testing.assert_array_equal(
+        ldj_s0, np.asarray(tfep_map.forward(dict(step0))['log_det_J']))
+
+
+def test_hutchinson_probes_refresh_across_epochs_without_shuffle(tmp_path):
+    """With shuffle=False the same batches recur every epoch; the trainer
+    must still refresh the probes (via the injected global step) so trace
+    noise is not a fixed per-sample offset the optimizer can exploit."""
+    import optax
+
+    tfep_map = make_map(tmp_path)
+    # Zero learning rate: parameters are frozen, so any epoch-to-epoch
+    # difference in the logged log_det_J comes from the probes alone.
+    trainer = Trainer(save_dir=None, max_epochs=2, shuffle=False,
+                      optimizer=optax.sgd(0.0))
+    # Nudge the field off identity (identity field has zero divergence
+    # everywhere, making the trace probe-independent).
+    tfep_map.setup()
+    leaves, treedef = jax.tree_util.tree_flatten(tfep_map.flow)
+    rngs = jax.random.split(jax.random.key(11), len(leaves))
+    tfep_map.flow = jax.tree_util.tree_unflatten(
+        treedef, [l + 0.05 * jax.random.normal(r, l.shape, l.dtype)
+                  if hasattr(l, 'shape') and np.issubdtype(l.dtype,
+                                                           np.floating)
+                  else l for l, r in zip(leaves, rngs)])
+    trainer.fit(tfep_map)
+
+    e0 = tfep_map.tfep_logger.read_train_tensors(epoch_idx=0)
+    e1 = tfep_map.tfep_logger.read_train_tensors(epoch_idx=1)
+    order0 = np.argsort(e0['dataset_sample_index'])
+    order1 = np.argsort(e1['dataset_sample_index'])
+    assert np.abs(e0['log_det_J'][order0]
+                  - e1['log_det_J'][order1]).max() > 1e-10
+
 
 def test_reference_frame_atoms_rejected(tmp_path):
     tfep_map = make_map(tmp_path, mapped_atoms=[0, 1, 2, 4, 5],

@@ -140,3 +140,21 @@ def test_fixed_atom_dcd_rejected(tmp_path):
     write_dcd(path, positions, namnf=2)
     with pytest.raises(ValueError, match='fixed atoms'):
         dcd.read_dcd_header(path)
+
+
+def test_truncated_dcd_raises_valueerror(tmp_path):
+    """A truncated header must raise the parser's ValueError on both the
+    native-failure fallback and the pure-Python path — not leak
+    struct.error from a short read."""
+    rng = np.random.default_rng(4)
+    positions = rng.normal(size=(2, 4, 3)).astype(np.float32)
+    path = str(tmp_path / 'full.dcd')
+    write_dcd(path, positions)
+    payload = open(path, 'rb').read()
+
+    for cut in (2, 6, 40, 90):
+        trunc = str(tmp_path / f'trunc{cut}.dcd')
+        with open(trunc, 'wb') as f:
+            f.write(payload[:cut])
+        with pytest.raises(ValueError):
+            dcd.read_dcd_header(trunc)

@@ -797,6 +797,60 @@ SOL 1
     assert topology.bonds.tolist() == [[0, 1], [0, 2]]
 
 
+def test_gromacs_top_bare_if_elif(tmp_path):
+    """Bare #if/#elif directives must push/advance a conditional frame:
+    before this was handled, a '#if SYMBOL' line left the stack
+    unbalanced so a later #else flipped an unrelated enclosing
+    conditional and #endif popped the wrong frame."""
+    body = """
+[ moleculetype ]
+MOL 2
+[ atoms ]
+1 C 1 MOL C1 1 0.0 12.011
+2 C 1 MOL C2 1 0.0 12.011
+3 C 1 MOL C3 1 0.0 12.011
+#ifndef OUTER
+#if VARIANT_A
+[ bonds ]
+1 2
+#elif defined(VARIANT_B)
+[ bonds ]
+1 3
+#else
+[ bonds ]
+2 3
+#endif
+#endif
+[ system ]
+mol
+[ molecules ]
+MOL 1
+"""
+    top = tmp_path / 'mol.top'
+
+    # No symbols defined: #if false, #elif false -> the #else branch.
+    top.write_text(body)
+    assert read_gromacs_top(str(top)).bonds.tolist() == [[1, 2]]
+
+    # VARIANT_A defined: the #if branch, and only it.
+    top.write_text('#define VARIANT_A\n' + body)
+    assert read_gromacs_top(str(top)).bonds.tolist() == [[0, 1]]
+
+    # VARIANT_B defined: the #elif branch.
+    top.write_text('#define VARIANT_B\n' + body)
+    assert read_gromacs_top(str(top)).bonds.tolist() == [[0, 2]]
+
+    # OUTER defined: the whole inner conditional is inactive — and the
+    # inner #else must NOT reactivate anything (the pre-fix failure mode).
+    top.write_text('#define OUTER\n#define VARIANT_A\n' + body)
+    assert read_gromacs_top(str(top)).bonds.tolist() == []
+
+    # An unsupported expression warns and includes the block.
+    top.write_text(body.replace('#if VARIANT_A', '#if (X + 1) > 2'))
+    with pytest.warns(UserWarning, match='Unsupported #if'):
+        assert read_gromacs_top(str(top)).bonds.tolist() == [[0, 1]]
+
+
 def test_pdb_conect_five_digit_serials(tmp_path):
     """CONECT serials >= 10000 fill their fixed 5-char columns with no
     separator; whitespace splitting would drop or miswire those bonds."""

@@ -129,8 +129,19 @@ def estimate_from_logger(
     -------
     result : dict
         ``df`` (point estimate), ``confidence_interval`` ({'low','high'}),
-        ``n_samples``, and the assembled per-sample ``work`` array (sorted
-        by dataset sample index, NaN rows dropped by the logger read).
+        and the assembled work values with their provenance:
+
+        - ``work``: the per-sample work (kT units, NaN rows dropped by the
+          logger read). Single-map mode: shape ``(n_samples,)`` in the
+          logger's storage order (epoch visitation order, NOT sorted by
+          sample index). Multimap mode: shape ``(n_frames, n_maps)`` —
+          row i holds frame ``sample_indices[i]``'s work under each
+          requested epoch's map, in the order the epochs were given.
+        - ``sample_indices``: dataset sample index of each ``work`` row,
+          aligned with ``work``'s leading axis.
+        - ``n_samples``: total work-value count, ``work.size`` (frames ×
+          maps in multimap mode — each frame contributes one work value
+          per map).
     """
     from tfep_tpu.analysis.bootstrap import bootstrap
 
@@ -220,5 +231,8 @@ def estimate_from_logger(
             'high': float(boot['confidence_interval']['high']),
         },
         'n_samples': int(work.size),
-        'work': work.reshape(-1),
+        # (n_frames, n_maps) in multimap mode, flat otherwise; rows are
+        # aligned with sample_indices (see docstring).
+        'work': work,
+        'sample_indices': np.asarray(sample_idx),
     }

@@ -165,13 +165,22 @@ class ContinuousEGNNMap(TFEPMapBase):
             **self.cnf_kwargs)
 
     # ------------------------------------------------------------------ #
+    #: Ask the trainer to inject the global step into each batch so the
+    #: Hutchinson probes refresh every optimization step (see _run_flow).
+    needs_global_step = True
+
     def _run_flow(self, flow, batch, inverse: bool):
         """Like the base, but with a per-batch Hutchinson probe key.
 
-        The key is folded from the batch's dataset sample indices:
-        different batches draw different probes (under shuffling, every
-        epoch re-draws them), while a given batch is exactly reproducible
-        — evaluation, crash/resume, and the engine-overlap pipeline see
+        The key is folded from the batch's dataset sample indices AND the
+        trainer's global step (when present in the batch): probes refresh
+        every optimization step even with ``shuffle=False``, where the
+        same batches recur each epoch — without the step fold their trace
+        noise would be a fixed per-sample offset the optimizer can
+        exploit, breaking the unbiased-in-expectation-across-an-epoch
+        property. A given (batch, step) pair stays exactly reproducible
+        because the step is checkpointed — evaluation (no step key),
+        crash/resume, and the engine-overlap pipeline all see
         deterministic values.
         """
         x = batch['positions']
@@ -179,8 +188,11 @@ class ContinuousEGNNMap(TFEPMapBase):
         if self.trace_estimator == 'hutchinson':
             idx = batch['dataset_sample_index'].astype(jnp.uint32)
             weights = 2 * jnp.arange(idx.shape[0], dtype=jnp.uint32) + 1
-            kwargs['key'] = jax.random.fold_in(
+            key = jax.random.fold_in(
                 jax.random.key(self.seed + 1), jnp.sum(idx * weights))
+            if 'global_step' in batch:
+                key = jax.random.fold_in(key, batch['global_step'])
+            kwargs['key'] = key
         out = (flow.inverse(x, **kwargs) if inverse
                else flow.forward(x, **kwargs))
         result = dict(positions=out[0], log_det_J=out[1])

@@ -198,7 +198,8 @@ class Trainer:
             epoch_idx = self.current_epoch
             for batch_indices in sampler:
                 batch_idx = self.global_step % n_batches
-                batch = self._device_batch(tfep_map, batch_indices)
+                batch = self._device_batch(tfep_map, batch_indices,
+                                           step=self.global_step)
 
                 tick = self._profile_tick()
                 flow, opt_state, loss, aux = step_fn(flow, opt_state, batch)
@@ -270,17 +271,24 @@ class Trainer:
             self._profiling = False
 
     # ------------------------------------------------------------------ #
-    def _device_batch(self, tfep_map, batch_indices):
+    def _device_batch(self, tfep_map, batch_indices, step=None):
         batch = tfep_map.dataset.get_batch(batch_indices)
         if self.sharding is None:
-            return {k: jnp.asarray(v) for k, v in batch.items()}
-        # Sharded: each process's rows are its shard of the global batch
-        # (under multi-host, every host runs the same loop over its own
-        # frames and the arrays are assembled globally).
-        from tfep_tpu.parallel.distributed import global_rows_from_local
-        return {name: global_rows_from_local(np.asarray(value),
-                                             self.sharding)
-                for name, value in batch.items()}
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        else:
+            # Sharded: each process's rows are its shard of the global batch
+            # (under multi-host, every host runs the same loop over its own
+            # frames and the arrays are assembled globally).
+            from tfep_tpu.parallel.distributed import global_rows_from_local
+            batch = {name: global_rows_from_local(np.asarray(value),
+                                                  self.sharding)
+                     for name, value in batch.items()}
+        if step is not None and getattr(tfep_map, 'needs_global_step', False):
+            # Replicated scalar (identical on every process), traced by jit
+            # so per-step values don't retrigger compilation. Maps opt in to
+            # fold it into stochastic state (e.g. Hutchinson probe keys).
+            batch['global_step'] = jnp.asarray(step, dtype=jnp.uint32)
+        return batch
 
     def _consume_aux(self, tfep_map, aux, epoch_idx, batch_idx):
         """Materialize a finished step's aux: TFEP logging + loss channel."""
@@ -379,7 +387,8 @@ class Trainer:
                 for batch_indices in sampler:
                     batch_idx = fwd_count % n_batches
                     fwd_count += 1
-                    batch = self._device_batch(tfep_map, batch_indices)
+                    batch = self._device_batch(tfep_map, batch_indices,
+                                               step=fwd_count - 1)
 
                     # Phase A (device): flow forward, dispatched async.
                     # The snapshot MUST be the parameters this forward (and

@@ -27,6 +27,16 @@ __all__ = ['read_dcd_header', 'read_dcd', 'read_dcd_cells',
 # =============================================================================
 
 def _py_parse_header(f):
+    try:
+        return _py_parse_header_impl(f)
+    except struct.error as err:
+        # A truncated file makes f.read() come up short and struct raise
+        # its own error type; callers (and the native-failure fallback in
+        # read_dcd_header) expect the parser's ValueError contract.
+        raise ValueError(f'Truncated or corrupt DCD header: {err}') from err
+
+
+def _py_parse_header_impl(f):
     marker = struct.unpack('<i', f.read(4))[0]
     if marker != 84:
         raise ValueError('Not a DCD file (bad header record length).')

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 import re
+import warnings
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -187,7 +188,29 @@ def _top_lines(path: str, defines: Optional[set] = None):
     """
     if defines is None:
         defines = set()
-    stack: list = []   # one bool per open #if; yield only when all true
+
+    def _eval_if(expr: str) -> bool:
+        """Best-effort truth of a ``#if`` expression: ``defined(X)`` /
+        ``defined X`` / bare symbol test; anything richer (arithmetic,
+        ``||``) is out of scope for molecule-composition parsing, so warn
+        and include the block (conservative — composition sections are
+        never guarded by exotic expressions in practice)."""
+        expr = expr.strip()
+        match = re.fullmatch(r'!?\s*defined\s*[( ]\s*(\w+)\s*\)?', expr)
+        if match:
+            value = match.group(1) in defines
+            return not value if expr.startswith('!') else value
+        if re.fullmatch(r'\w+', expr):
+            return expr in defines
+        warnings.warn(
+            f'Unsupported #if expression {expr!r} in {path}; '
+            'including the block.')
+        return True
+
+    # One frame per open conditional: [active, ever_taken]. ever_taken
+    # tracks whether any prior branch of this #if/#elif/#else chain was
+    # active, so #elif/#else activate at most one branch.
+    stack: list = []
     with open(path) as f:
         for raw in f:
             line = raw.split(';', 1)[0].strip()
@@ -195,21 +218,34 @@ def _top_lines(path: str, defines: Optional[set] = None):
                 continue
             if line.startswith('#ifndef'):
                 symbol = (line.split(None, 1) + [''])[1].strip()
-                stack.append(symbol not in defines)
+                active = symbol not in defines
+                stack.append([active, active])
                 continue
             if line.startswith('#ifdef'):
                 symbol = (line.split(None, 1) + [''])[1].strip()
-                stack.append(symbol in defines)
+                active = symbol in defines
+                stack.append([active, active])
+                continue
+            if line.startswith('#if'):
+                active = _eval_if(line[3:])
+                stack.append([active, active])
+                continue
+            if line.startswith('#elif'):
+                if stack:
+                    active = (not stack[-1][1]) and _eval_if(line[5:])
+                    stack[-1][0] = active
+                    stack[-1][1] = stack[-1][1] or active
                 continue
             if line.startswith('#else'):
                 if stack:
-                    stack[-1] = not stack[-1]
+                    stack[-1][0] = not stack[-1][1]
+                    stack[-1][1] = True
                 continue
             if line.startswith('#endif'):
                 if stack:
                     stack.pop()
                 continue
-            if not all(stack):
+            if not all(frame[0] for frame in stack):
                 continue
             if line.startswith('#define'):
                 parts = line.split()
