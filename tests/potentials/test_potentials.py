@@ -287,23 +287,67 @@ class TestCpmdInput:
 # Engine-gated tests (skipped when engines are absent).
 #
 # Installation status in the development environment (checked 2026-08):
-# none of ase/tblite/openmm/psi4 is importable, and the environment forbids
-# installing packages (no pip/apt; jax/torch/etc. are baked into the
-# image), so these two tests necessarily skip here. Engine *behavioral*
-# coverage — argument plumbing, context-cache reuse, restart files, NaN/
-# failure policies — lives in tests/potentials/test_mock_engines.py against
-# faithful mock modules; what only a real engine can validate is the
-# engines' own API spellings, which these tests exercise wherever the
-# engines exist (mirroring the reference's availability gating,
-# /root/reference/tfep/tests/potentials/test_psi4.py:144).
+# none of ase/tblite/openmm/psi4 is importable. pip itself exists, but the
+# environment has no network route to a package index (pip install fails on
+# DNS resolution), so the engines cannot be installed here and these two
+# tests necessarily skip. Engine *behavioral* coverage — argument plumbing,
+# context-cache reuse, restart files, NaN/failure policies — lives in
+# tests/potentials/test_mock_engines.py against faithful mock modules; what
+# only a real engine can validate is the engines' own API spellings, which
+# these tests exercise wherever the engines exist (mirroring the
+# reference's availability gating,
+# /root/reference/tfep/tests/potentials/test_psi4.py:144). The skip reason
+# self-documents the probe result (see _engine_skip_reason below), so if
+# the environment ever gains an importable engine or network access these
+# tests light up on their own.
 # =============================================================================
+
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def _package_index_reachable() -> bool:
+    """One cheap per-run probe: can pip actually reach an index?
+
+    pip exists in this image; what blocks engine installation is the
+    missing network route. Probing (instead of asserting it in a comment)
+    keeps the skip reason truthful if the environment ever gains network
+    — at which point the right move is installing the engines and letting
+    these tests run.
+    """
+    import subprocess
+    import sys
+    try:
+        proc = subprocess.run(
+            [sys.executable, '-m', 'pip', 'install', '--dry-run',
+             '--quiet', '--no-input', 'ase==3.22.1'],
+            capture_output=True, text=True, timeout=60)
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+    return proc.returncode == 0
+
+
+def _engine_skip_reason(module_name: str) -> str:
+    """Why an engine test is skipping: distinguishes 'not installed and
+    not installable (no route to a package index)' from 'not installed
+    but installable' so the skip message stays truthful across
+    environments."""
+    import importlib.util
+    if importlib.util.find_spec(module_name) is not None:
+        return ''
+    if _package_index_reachable():
+        return (f'{module_name} not importable — but a package index IS '
+                'reachable now; install it and let this test run')
+    return (f'{module_name} not importable and no package index reachable '
+            'to install it (pip exists; the network is blocked)')
 
 from tfep_tpu.potentials.ase import ASE_INSTALLED
 from tfep_tpu.potentials.tblite import TBLITE_INSTALLED
 
 
-@pytest.mark.skipif(not ASE_INSTALLED, reason='requires ase')
 def test_ase_potential_lj():
+    if not ASE_INSTALLED:
+        pytest.skip(_engine_skip_reason('ase'))
     from ase.calculators.lj import LennardJones
     from tfep_tpu.potentials import ASEPotential
 
@@ -315,8 +359,9 @@ def test_ase_potential_lj():
     assert np.all(np.isfinite(np.asarray(grad)))
 
 
-@pytest.mark.skipif(not TBLITE_INSTALLED, reason='requires tblite')
 def test_tblite_potential_water():
+    if not TBLITE_INSTALLED:
+        pytest.skip(_engine_skip_reason('tblite'))
     from tfep_tpu.potentials import TBLitePotential
 
     pot = TBLitePotential('GFN2-xTB', numbers=[8, 1, 1])

@@ -1,0 +1,57 @@
+"""Drive every committed example from the suite.
+
+Each ``examples/*.py`` is a Δf-correctness artifact with real asserts (e.g.
+``multimap_tfep_triatomic.py`` brackets the analytic tutorial answer —
+BASELINE configs 1/3; ``solvated_preflow_tfep.py`` is config 2). Running
+them here keeps those committed claims from rotting on API changes — the
+counterpart of the reference CI exercising its tutorial-adjacent workflows
+through ``tests/app/test_maps.py``.
+
+Each example runs as a subprocess (they pin jax to CPU/f64 themselves and
+exit nonzero on a failed assert). ``distributed_tfep.py`` is excluded: it
+is already driven, with multi-process orchestration, by
+``tests/parallel/test_distributed_example.py``.
+
+Set ``TFEP_SKIP_EXAMPLE_TESTS=1`` to skip (e.g. for a quick local loop).
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+EXAMPLES_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), 'examples')
+
+ALL_EXAMPLES = sorted(
+    name for name in os.listdir(EXAMPLES_DIR) if name.endswith('.py'))
+
+# Driven by tests/parallel/test_distributed_example.py (multi-process).
+DRIVEN_ELSEWHERE = {'distributed_tfep.py'}
+
+# Every example must be driven by the suite — here or in a dedicated test.
+# A new example that isn't listed anywhere fails this module at collection.
+EXAMPLES = [name for name in ALL_EXAMPLES if name not in DRIVEN_ELSEWHERE]
+assert set(ALL_EXAMPLES) == set(EXAMPLES) | DRIVEN_ELSEWHERE
+
+
+@pytest.mark.skipif(os.environ.get('TFEP_SKIP_EXAMPLE_TESTS') == '1',
+                    reason='TFEP_SKIP_EXAMPLE_TESTS=1')
+@pytest.mark.parametrize('example', EXAMPLES)
+def test_example_runs_with_asserts(example, tmp_path):
+    """The example must exit 0 — its internal Δf/CI asserts all hold."""
+    env = dict(os.environ)
+    env['PYTHONPATH'] = (os.path.dirname(EXAMPLES_DIR) + os.pathsep
+                         + env.get('PYTHONPATH', ''))
+    # Examples write logs/checkpoints under /tmp paths of their own; give
+    # them an isolated cwd anyway so relative artifacts can't collide
+    # under pytest-xdist.
+    proc = subprocess.run(
+        [sys.executable, os.path.join(EXAMPLES_DIR, example)],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=1200)
+    assert proc.returncode == 0, (
+        f'{example} failed (rc={proc.returncode}):\n'
+        f'--- stdout ---\n{proc.stdout[-4000:]}\n'
+        f'--- stderr ---\n{proc.stderr[-4000:]}')
