@@ -67,6 +67,7 @@ PARITY = {
     'tfep_tpu.io': [
         'TFEPLogger', 'TrajectoryDataset', 'TrajectorySubset', 'DictDataset',
         'MergedDataset', 'get_subsampled_indices', 'StatefulBatchSampler',
+        'Timestep',
     ],
     # tfep.analysis
     'tfep_tpu.analysis': ['fep_estimator', 'bootstrap'],
@@ -101,6 +102,41 @@ def test_reference_symbols_exist(module_name):
                if not hasattr(module, name)]
     assert not missing, (
         f'{module_name} is missing reference-parity symbols: {missing}')
+
+
+# Method-level parity for the classes whose *member* surface the reference
+# documents as user API (audited against /root/reference/tfep/io: traj.py
+# TrajectoryDataset/TrajectorySubset methods, sampler.py, log.py).
+MEMBER_PARITY = {
+    ('tfep_tpu.io', 'TrajectoryDataset'): [
+        'n_atoms', 'trajectory_sample_indices', 'select_atoms', 'subsample',
+        'get_timestep', 'iterate_as_timestep', '__getitem__', '__len__',
+    ],
+    ('tfep_tpu.io', 'TrajectorySubset'): [
+        'dataset', 'indices', 'from_filter', 'n_atoms',
+        'trajectory_sample_indices', 'select_atoms', 'get_timestep',
+        'iterate_as_timestep', '__getitem__', '__len__',
+    ],
+    ('tfep_tpu.io', 'StatefulBatchSampler'): [
+        'batch_size', 'shuffle', 'drop_last', 'state_dict',
+        'load_state_dict', '__iter__', '__len__',
+    ],
+    ('tfep_tpu.io', 'TFEPLogger'): [
+        'batch_size', 'n_samples_per_epoch', 'n_batches_per_epoch',
+        'save_dir_path', 'read_eval_tensors', 'read_train_tensors',
+        'save_eval_tensors', 'save_train_tensors',
+    ],
+}
+
+
+@pytest.mark.parametrize('module_name,class_name', sorted(MEMBER_PARITY))
+def test_reference_members_exist(module_name, class_name):
+    cls = getattr(importlib.import_module(module_name), class_name)
+    missing = [name for name in MEMBER_PARITY[(module_name, class_name)]
+               if not hasattr(cls, name)]
+    assert not missing, (
+        f'{module_name}.{class_name} is missing reference-parity members: '
+        f'{missing}')
 
 
 def test_pint_style_units_surface():

@@ -6,7 +6,7 @@ from tfep_tpu.io.dataset import (  # noqa: F401
 from tfep_tpu.io.sampler import StatefulBatchSampler  # noqa: F401
 from tfep_tpu.io.log import TFEPLogger  # noqa: F401
 from tfep_tpu.io.traj import (  # noqa: F401
-    System, TrajectoryDataset, get_subsampled_indices,
+    System, Timestep, TrajectoryDataset, get_subsampled_indices,
 )
 from tfep_tpu.io.topfiles import (  # noqa: F401
     guess_bonds, read_gromacs_top, read_prmtop,

@@ -157,6 +157,19 @@ class Subset(Dataset):
         self._dataset = dataset
         self._indices = np.asarray(indices)
 
+    @classmethod
+    def from_filter(cls, dataset, filter_func):
+        """Build a subset from a per-frame boolean filter.
+
+        ``filter_func(idx, ts)`` receives the sample index and its
+        :class:`~tfep_tpu.io.traj.Timestep` record and returns whether to
+        keep the frame — the reference's filter constructor
+        (/root/reference/tfep/io/dataset/traj.py:452-476).
+        """
+        indices = [idx for idx, ts in enumerate(dataset.iterate_as_timestep())
+                   if filter_func(idx, ts)]
+        return cls(dataset, indices)
+
     @property
     def dataset(self):
         """The wrapped dataset."""
@@ -167,15 +180,45 @@ class Subset(Dataset):
         """Subset indices into the wrapped dataset."""
         return self._indices
 
+    @property
+    def trajectory_sample_indices(self) -> np.ndarray:
+        """Absolute trajectory frame number of each subset sample."""
+        return np.asarray(
+            self._dataset.trajectory_sample_indices)[self._indices]
+
     def __len__(self):
         return len(self._indices)
 
     def __getitem__(self, index):
-        return self._dataset[int(self._indices[index])]
+        sample = self._dataset[int(self._indices[index])]
+        if 'dataset_sample_index' in sample:
+            # Samplers/loggers address *this* dataset: the sample index
+            # must be the subset's, not the parent's (reference
+            # TrajectorySubset.__getitem__, traj.py:508-518).
+            sample = dict(sample, dataset_sample_index=np.int64(index))
+        return sample
 
     def get_batch(self, indices):
         """Batch from the wrapped dataset at the composed indices."""
-        return self._dataset.get_batch(self._indices[np.asarray(indices)])
+        indices = np.asarray(indices)
+        batch = self._dataset.get_batch(self._indices[indices])
+        if 'dataset_sample_index' in batch:
+            batch = dict(batch,
+                         dataset_sample_index=indices.astype(np.int64))
+        return batch
+
+    def get_timestep(self, index: int):
+        """The composed-index :class:`~tfep_tpu.io.traj.Timestep` record."""
+        return self._dataset.get_timestep(int(self._indices[index]))
+
+    def iterate_as_timestep(self):
+        """Iterate subset frames as Timestep records (delegated)."""
+        for idx in range(len(self)):
+            yield self.get_timestep(idx)
+
+    def select_atoms(self, selection):
+        """Select atoms on the wrapped dataset (shared with the parent)."""
+        return self._dataset.select_atoms(selection)
 
     @property
     def n_atoms(self) -> int:

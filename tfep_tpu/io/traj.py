@@ -22,9 +22,9 @@ from tfep_tpu.io.dataset import Dataset
 from tfep_tpu.io.topology import Topology, _needs_coordinates
 from tfep_tpu.units import Quantity, ureg
 
-__all__ = ['System', 'TrajectoryDataset', 'read_pdb', 'read_gro', 'read_xyz',
-           'get_subsampled_indices', 'box_vectors_to_dimensions',
-           'dimensions_to_box_vectors']
+__all__ = ['System', 'Timestep', 'TrajectoryDataset', 'read_pdb',
+           'read_gro', 'read_xyz', 'get_subsampled_indices',
+           'box_vectors_to_dimensions', 'dimensions_to_box_vectors']
 
 #: Binary trajectory formats decodable frame-by-frame (lazy stores).
 _BINARY_FORMATS = {'.dcd', '.xtc', '.trr'}
@@ -555,6 +555,45 @@ def get_subsampled_indices(n_frames: int, times: Optional[np.ndarray] = None,
 # Dataset
 # =============================================================================
 
+class Timestep:
+    """One trajectory frame as a structured record.
+
+    The native stand-in for MDAnalysis's ``Timestep`` in the dataset's
+    frame-iteration API (:meth:`TrajectoryDataset.get_timestep` /
+    :meth:`~TrajectoryDataset.iterate_as_timestep`; reference:
+    /root/reference/tfep/io/dataset/traj.py:226-293).
+
+    Attributes
+    ----------
+    frame : int
+        Absolute frame index in the underlying trajectory.
+    positions : ndarray, shape (n_atoms, 3)
+        Coordinates (angstrom) of the dataset's selected atoms.
+    dimensions : ndarray or None
+        Unit-cell ``[lx, ly, lz, alpha, beta, gamma]`` when the
+        trajectory carries one.
+    time : float or None
+        Frame time in picoseconds when the trajectory carries times.
+    """
+
+    __slots__ = ('frame', 'positions', 'dimensions', 'time')
+
+    def __init__(self, frame, positions, dimensions=None, time=None):
+        self.frame = int(frame)
+        self.positions = positions
+        self.dimensions = dimensions
+        self.time = time
+
+    @property
+    def n_atoms(self) -> int:
+        """Number of atoms in this record."""
+        return self.positions.shape[0]
+
+    def __repr__(self):
+        return (f'Timestep(frame={self.frame}, n_atoms={self.n_atoms}, '
+                f'time={self.time})')
+
+
 class TrajectoryDataset(Dataset):
     """Map-style dataset over a :class:`System`'s frames.
 
@@ -653,6 +692,39 @@ class TrajectoryDataset(Dataset):
         for name, values in self._aux.items():
             batch[name] = np.asarray(values)[frames]
         return batch
+
+    # -- Timestep iteration (reference API parity) ------------------------ #
+    def get_timestep(self, index: int) -> 'Timestep':
+        """The ``index``-th dataset sample as a :class:`Timestep` record.
+
+        The native counterpart of the reference's MDAnalysis-Timestep
+        accessor (/root/reference/tfep/io/dataset/traj.py:226-272): frame
+        subsampling and atom selection performed at the dataset level are
+        honored, positions come back un-flattened ``(n_atoms, 3)``.
+        """
+        int_idx = int(index)
+        frame = int(self._frame_indices[int_idx])
+        positions = self.system.positions[frame]
+        if self._atom_indices is not None:
+            positions = positions[self._atom_indices]
+        dimensions = (self.system.dimensions[frame]
+                      if self.system.dimensions is not None else None)
+        time = (float(self.system.times[frame])
+                if self.system.times is not None else None)
+        return Timestep(frame=frame, positions=np.asarray(positions),
+                        dimensions=dimensions, time=time)
+
+    def iterate_as_timestep(self):
+        """Iterate the selected frames/atoms as :class:`Timestep` records.
+
+        Iterating the dataset itself yields flattened training samples;
+        this yields per-frame structured records instead — the equivalent
+        of the reference's ``iterate_as_timestep``
+        (/root/reference/tfep/io/dataset/traj.py:274-293), e.g. for
+        writing out the mapped/selected trajectory frame by frame.
+        """
+        for i in range(len(self)):
+            yield self.get_timestep(i)
 
     def __getitem__(self, index):
         frame = int(self._frame_indices[index])
