@@ -25,14 +25,31 @@ N_ROUNDS = 4          # best-of-N: the TPU tunnel adds ±30% run-to-run noise
 TORCH_TIMED_STEPS = 3
 TORCH_ROUNDS = 2
 
-# Pinned round-2 figures (BASELINE.json "published.r02") — STABLE
-# denominators. The live torch-CPU run's own variance moved the headline
-# ratio 115.6 -> 101.9 between rounds while the absolute number improved;
-# comparing against these committed values makes regressions in THIS
-# repo's numbers visible. The live torch run is still reported
+# Pinned figures from committed BASELINE.json ("published.r02"/"r03") —
+# STABLE denominators. The live torch-CPU run's own variance moved the
+# headline ratio 115.6 -> 101.9 between rounds while the absolute number
+# improved; comparing against these committed values makes regressions in
+# THIS repo's numbers visible. The live torch run is still reported
 # (vs_torch_live) as a sanity check of the pin.
 PINNED_TORCH_CPU_FRAMES_PER_S = 7117.7      # 721170.2 / 101.32 (r02)
 PINNED_R02_SPLINE_FRAMES_PER_S = 721170.2
+# Every tracked metric gets a committed denominator (BENCH_r03.json): a
+# drift in ANY metric now surfaces as a ratio far from 1.0 in the driver
+# record instead of needing a human diff of raw numbers. (The r03 mixed
+# figure itself sat 6.3% below r02's 480896.3 — tunnel noise: r04 measured
+# 481298.3 on the same code path; see docs/PERFORMANCE.md
+# "Round-over-round variance" for each metric's observed noise band.)
+PINNED_R03 = {
+    'spline': 714902.6,
+    'mixed': 450544.5,
+    'cnf': 354615.2,
+    'solvated': 9462.7,
+}
+# The sharding canary's protocol changed in r04 (best-of-3 on BOTH the
+# 1-device denominator and the 8-device numerator — a noisy denominator
+# made r03 read 1.114), so its pin is the first clean r04 measurement
+# under the new protocol, not the r03 number.
+PINNED_SHARDING_CANARY = 1.296
 
 
 def _setup_jax_cache():
@@ -263,6 +280,72 @@ def bench_cnf_jax():
     return batch * n_steps / best_dt
 
 
+def bench_inverse_jax():
+    """Generation-direction (inverse) throughput of the flagship spline MAF.
+
+    Sample generation is half the flow contract
+    (/root/reference/tfep/nn/flows/autoregressive.py:179-229): the MAF
+    inverse runs one conditioner pass per degree group. Tracked at both
+    degree assignments — the default fully-autoregressive degrees (dim
+    groups; the expensive worst case) and the two-block coupling setting
+    ``degrees_repeats = dim // 2`` (2 groups; the documented mitigation,
+    docs/PERFORMANCE.md) — so a regression in the scanned inverse path is
+    visible in the driver record. Returns (full_ar, coupling) frames/s.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    _setup_jax_cache()
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tfep_tpu.nn.conditioners.made import generate_degrees
+    from tfep_tpu.nn.flows import MAF, SequentialFlow
+    from tfep_tpu.nn.transformers import NeuralSplineTransformer
+
+    dim = N_ATOMS * 3
+
+    def build(repeats):
+        keys = jax.random.split(jax.random.key(0), N_MAF_LAYERS)
+        layers = []
+        for i in range(N_MAF_LAYERS):
+            transformer = NeuralSplineTransformer.create(
+                x0=-3.0 * jnp.ones(dim, jnp.float32),
+                xf=3.0 * jnp.ones(dim, jnp.float32), n_bins=N_BINS)
+            layers.append(MAF.create(
+                keys[i], generate_degrees(
+                    dim, order='ascending' if i % 2 == 0 else 'descending',
+                    repeats=repeats),
+                transformer=transformer, dtype=jnp.float32))
+        return SequentialFlow.create(*layers)
+
+    results = []
+    for repeats in (1, dim // 2):
+        flow = build(repeats)
+        y = jax.random.normal(jax.random.key(1), (BATCH, dim), jnp.float32)
+
+        @functools.partial(jax.jit)
+        def inverse_pass(flow, y):
+            x, ldj = flow.inverse(y)
+            return x, ldj
+
+        x, ldj = inverse_pass(flow, y)
+        jax.block_until_ready(ldj)
+
+        # The full-AR inverse is ~30x the forward cost; keep wall time
+        # bounded while best-of-N still rejects tunnel noise spikes.
+        n_steps = 3 if repeats == 1 else 20
+        best_dt = float('inf')
+        for _ in range(max(2, N_ROUNDS // 2)):
+            t0 = time.perf_counter()
+            for _ in range(n_steps):
+                x, ldj = inverse_pass(flow, y)
+            jax.block_until_ready(ldj)
+            best_dt = min(best_dt, time.perf_counter() - t0)
+        results.append(BATCH * n_steps / best_dt)
+    return tuple(results)
+
+
 def bench_torch_baseline():
     """Equivalent spline-MAF training step in PyTorch (CPU), same sizes."""
     import torch
@@ -415,18 +498,21 @@ def _run_sharding_overhead_stage():
 
     Strong scaling at a fixed global batch: total work is identical at 1
     and 8 devices and virtual devices share the same physical cores, so
-    the total-throughput ratio isolates the cost GSPMD partitioning adds
-    to the step (ideal ~1.0). This is the sharded-path regression canary
-    — a pathological sharding (e.g. a per-layer full-activation
-    all-gather) collapses it, while the raw weak-scaling number on
-    virtual devices only ever measured host-core saturation."""
+    the total-throughput ratio isolates what GSPMD partitioning does to
+    the step. Measured ~1.3 on this host (best-of-3 both sides): 8-way
+    partitioning maps onto the cores *better* than single-device intra-op
+    threading, so >1 is the healthy reading. This is the sharded-path
+    regression canary — a pathological sharding (e.g. a per-layer
+    full-activation all-gather) collapses it far below its pin, while the
+    raw weak-scaling number on virtual devices only ever measured
+    host-core saturation."""
     import subprocess
 
     here = os.path.dirname(os.path.abspath(__file__))
     out = subprocess.run(
         [sys.executable, os.path.join(here, 'benchmarks', 'weak_scaling.py'),
          '--force-cpu-devices', '8', '--global-batch', '8192',
-         '--steps', '5'],
+         '--steps', '5', '--rounds', '3'],
         capture_output=True, text=True, timeout=560, cwd=here)
     ratio = None
     for line in out.stdout.splitlines():
@@ -453,6 +539,10 @@ def main():
     except Exception:
         cnf_value = None
     try:
+        inverse_values = _run_stage('bench_inverse_jax()')
+    except Exception:
+        inverse_values = None
+    try:
         solvated_value = _run_solvated_stage()
     except Exception:
         solvated_value = None
@@ -476,22 +566,41 @@ def main():
         'vs_torch_live': (round(vs_torch_live, 2)
                           if vs_torch_live else None),
         'vs_r02_committed': round(value / PINNED_R02_SPLINE_FRAMES_PER_S, 3),
+        'vs_r03_committed': round(value / PINNED_R03['spline'], 3),
     }
     if mixed_value is not None:
         # Flagship secondary metric: MixedMAFMap step incl. the scanned
         # NeRF Cartesian<->internal conversion.
         record['mixed_map_frames_per_s'] = round(mixed_value, 1)
+        record['mixed_vs_r03_committed'] = round(
+            mixed_value / PINNED_R03['mixed'], 3)
     if cnf_value is not None:
         # Continuous-flow path: EGNN-dynamics CNF train step (batch 512).
         record['cnf_frames_per_s'] = round(cnf_value, 1)
+        record['cnf_vs_r03_committed'] = round(
+            cnf_value / PINNED_R03['cnf'], 3)
+    if inverse_values is not None:
+        # Generation direction (MAF inverse): fully-autoregressive degrees
+        # (dim conditioner passes) and two-block coupling degrees
+        # (degrees_repeats = dim//2; the documented mitigation).
+        record['inverse_frames_per_s'] = round(inverse_values[0], 1)
+        record['inverse_coupling_frames_per_s'] = round(inverse_values[1], 1)
     if solvated_value is not None:
         # 900-atom solvated mixed map (benchmarks/solvated_bench.py).
         record['solvated_900atom_frames_per_s'] = round(solvated_value, 1)
+        record['solvated_vs_r03_committed'] = round(
+            solvated_value / PINNED_R03['solvated'], 3)
     if sharding_overhead is not None:
         # Sharded-path canary: same-global-batch throughput on 8 virtual
-        # CPU devices relative to 1 (GSPMD partitioning overhead; ideal
-        # ~1.0 — see _run_sharding_overhead_stage; not an ICI claim).
+        # CPU devices relative to 1 (see _run_sharding_overhead_stage).
+        # Reads ~1.3 on this host: 8-way GSPMD partitioning maps onto the
+        # host cores better than single-device intra-op threading, so >1
+        # is expected — the canary's job is the collapse direction (a
+        # pathological sharding, e.g. a per-layer full-activation
+        # all-gather, drags it far below its pin).
         record['sharding_relative_throughput_8vcpu'] = sharding_overhead
+        record['sharding_vs_committed'] = round(
+            sharding_overhead / PINNED_SHARDING_CANARY, 3)
     print(json.dumps(record))
 
 

@@ -31,12 +31,20 @@ def main():
         help='Strong-scaling mode: hold the GLOBAL batch fixed at this '
              'size for every device count (total work constant). On '
              'shared-host virtual devices the 1-vs-N throughput ratio '
-             'then isolates GSPMD partitioning overhead (ideal ~1.0), '
+             'then isolates GSPMD partitioning cost (reads >1 when '
+             'partitioned execution uses the host cores better than '
+             'single-device intra-op threading; regression = collapse), '
              'instead of the core-saturation number weak scaling gives.')
     parser.add_argument('--n-atoms', type=int, default=32)
     parser.add_argument('--n-layers', type=int, default=6)
     parser.add_argument('--n-bins', type=int, default=8)
     parser.add_argument('--steps', type=int, default=10)
+    parser.add_argument(
+        '--rounds', type=int, default=1,
+        help='Best-of-N timing rounds per device count. The canary ratio '
+             'divides two measurements, so BOTH sides need the same '
+             'noise rejection — a noisy 1-device denominator once made '
+             'the 8-device ratio read 1.114 (above ideal).')
     parser.add_argument('--force-cpu-devices', type=int, default=None)
     args = parser.parse_args()
 
@@ -111,11 +119,13 @@ def main():
 
         flow, opt_state, loss = train_step(flow, opt_state, x)
         jax.block_until_ready(loss)
-        t0 = time.perf_counter()
-        for _ in range(args.steps):
-            flow, opt_state, loss = train_step(flow, opt_state, x)
-        jax.block_until_ready(loss)
-        dt = time.perf_counter() - t0
+        dt = float('inf')
+        for _ in range(max(1, args.rounds)):
+            t0 = time.perf_counter()
+            for _ in range(args.steps):
+                flow, opt_state, loss = train_step(flow, opt_state, x)
+            jax.block_until_ready(loss)
+            dt = min(dt, time.perf_counter() - t0)
         frames_per_s = batch * args.steps / dt
         per_chip = frames_per_s / n_devices
         record = {
@@ -138,7 +148,8 @@ def main():
             # throughput saturates and weak-scaling per-chip efficiency
             # MUST drop with device count — on virtual devices prefer
             # --global-batch, whose relative_throughput isolates GSPMD
-            # partitioning overhead (ideal ~1.0) instead.
+            # partitioning cost instead (>1 = partitioning uses the
+            # cores better than intra-op threading; collapse = bug).
             record['virtual_devices'] = True
             record['note'] = ('shared-host CPU: weak-scaling efficiency '
                               'reflects core saturation, not ICI scaling')
