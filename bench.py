@@ -512,7 +512,7 @@ def _run_sharding_overhead_stage():
     out = subprocess.run(
         [sys.executable, os.path.join(here, 'benchmarks', 'weak_scaling.py'),
          '--force-cpu-devices', '8', '--global-batch', '8192',
-         '--steps', '5', '--rounds', '3'],
+         '--steps', '5', '--rounds', '3', '--device-counts', '1,8'],
         capture_output=True, text=True, timeout=560, cwd=here)
     ratio = None
     for line in out.stdout.splitlines():

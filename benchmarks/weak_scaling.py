@@ -45,6 +45,13 @@ def main():
              'divides two measurements, so BOTH sides need the same '
              'noise rejection — a noisy 1-device denominator once made '
              'the 8-device ratio read 1.114 (above ideal).')
+    parser.add_argument(
+        '--device-counts', type=str, default=None,
+        help='Comma-separated device counts to measure (default: powers '
+             'of two up to the available devices). The bench canary '
+             'passes "1,8" — it only consumes those two points, and '
+             'measuring 2/4 as well would waste most of its stage '
+             'budget.')
     parser.add_argument('--force-cpu-devices', type=int, default=None)
     args = parser.parse_args()
 
@@ -87,8 +94,12 @@ def main():
     optimizer = optax.adamw(1e-4)
 
     n_available = len(jax.devices())
-    device_counts = [n for n in (1, 2, 4, 8, 16, 32)
-                     if n <= n_available]
+    if args.device_counts:
+        device_counts = [int(n) for n in args.device_counts.split(',')
+                         if int(n) <= n_available]
+    else:
+        device_counts = [n for n in (1, 2, 4, 8, 16, 32)
+                         if n <= n_available]
 
     baseline = None
     for n_devices in device_counts:

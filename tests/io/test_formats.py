@@ -850,6 +850,23 @@ MOL 1
     with pytest.warns(UserWarning, match='Unsupported #if'):
         assert read_gromacs_top(str(top)).bonds.tolist() == [[0, 1]]
 
+    # ... but NOT when the enclosing region is inactive: the block is
+    # excluded by the outer gate, so no misleading warning may fire.
+    import warnings as _warnings
+    top.write_text('#define OUTER\n'
+                   + body.replace('#if VARIANT_A', '#if (X + 1) > 2'))
+    with _warnings.catch_warnings():
+        _warnings.simplefilter('error')
+        assert read_gromacs_top(str(top)).bonds.tolist() == []
+
+    # Numeric literals follow C semantics: '#if 1' includes, '#if 0'
+    # takes the #else chain (a '#if 1' block silently dropped would
+    # corrupt the bond graph with no diagnostic).
+    top.write_text(body.replace('#if VARIANT_A', '#if 1'))
+    assert read_gromacs_top(str(top)).bonds.tolist() == [[0, 1]]
+    top.write_text(body.replace('#if VARIANT_A', '#if 0'))
+    assert read_gromacs_top(str(top)).bonds.tolist() == [[1, 2]]
+
 
 def test_pdb_conect_five_digit_serials(tmp_path):
     """CONECT serials >= 10000 fill their fixed 5-char columns with no

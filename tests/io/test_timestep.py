@@ -93,3 +93,12 @@ def test_subset_remaps_dataset_sample_index():
     np.testing.assert_allclose(
         batch['positions'][1],
         dataset.system.positions[7].reshape(-1))
+
+    # Negative indices normalize before being stamped: a raw -1 would
+    # later silently select the wrong row from anything indexed by
+    # dataset_sample_index (e.g. reference_potentials in the estimator).
+    sample = subset[-1]
+    assert int(sample['dataset_sample_index']) == 2
+    assert int(sample['trajectory_sample_index']) == 7
+    batch = subset.get_batch([-1, 0])
+    assert batch['dataset_sample_index'].tolist() == [2, 0]

@@ -284,10 +284,13 @@ class Trainer:
                                                   self.sharding)
                      for name, value in batch.items()}
         if step is not None and getattr(tfep_map, 'needs_global_step', False):
-            # Replicated scalar (identical on every process), traced by jit
-            # so per-step values don't retrigger compilation. Maps opt in to
+            # Host scalar (identical on every process), traced by jit so
+            # per-step values don't retrigger compilation. Kept as numpy —
+            # NOT device_put — so under multi-host sharding jit replicates
+            # it itself instead of receiving a process-local committed
+            # array mixed with the batch's global arrays. Maps opt in to
             # fold it into stochastic state (e.g. Hutchinson probe keys).
-            batch['global_step'] = jnp.asarray(step, dtype=jnp.uint32)
+            batch['global_step'] = np.uint32(step)
         return batch
 
     def _consume_aux(self, tfep_map, aux, epoch_idx, batch_idx):

@@ -190,6 +190,13 @@ class Subset(Dataset):
         return len(self._indices)
 
     def __getitem__(self, index):
+        # Normalize now: the raw caller index is stamped into
+        # dataset_sample_index below, and a negative value would later
+        # silently select the wrong row from anything indexed by it
+        # (e.g. reference_potentials[sample_idx] in the estimator).
+        index = int(index)
+        if index < 0:
+            index += len(self)
         sample = self._dataset[int(self._indices[index])]
         if 'dataset_sample_index' in sample:
             # Samplers/loggers address *this* dataset: the sample index
@@ -201,6 +208,7 @@ class Subset(Dataset):
     def get_batch(self, indices):
         """Batch from the wrapped dataset at the composed indices."""
         indices = np.asarray(indices)
+        indices = np.where(indices < 0, indices + len(self), indices)
         batch = self._dataset.get_batch(self._indices[indices])
         if 'dataset_sample_index' in batch:
             batch = dict(batch,

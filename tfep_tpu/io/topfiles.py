@@ -190,12 +190,15 @@ def _top_lines(path: str, defines: Optional[set] = None):
         defines = set()
 
     def _eval_if(expr: str) -> bool:
-        """Best-effort truth of a ``#if`` expression: ``defined(X)`` /
-        ``defined X`` / bare symbol test; anything richer (arithmetic,
+        """Best-effort truth of a ``#if`` expression: integer literal
+        (C semantics: nonzero = true, so ``#if 1`` includes), ``defined(X)``
+        / ``defined X``, or bare symbol test; anything richer (arithmetic,
         ``||``) is out of scope for molecule-composition parsing, so warn
         and include the block (conservative — composition sections are
         never guarded by exotic expressions in practice)."""
         expr = expr.strip()
+        if re.fullmatch(r'[+-]?\d+', expr):
+            return int(expr) != 0
         match = re.fullmatch(r'!?\s*defined\s*[( ]\s*(\w+)\s*\)?', expr)
         if match:
             value = match.group(1) in defines
@@ -227,12 +230,21 @@ def _top_lines(path: str, defines: Optional[set] = None):
                 stack.append([active, active])
                 continue
             if line.startswith('#if'):
-                active = _eval_if(line[3:])
+                # Inside an inactive region the branch value is irrelevant
+                # (and evaluating it could emit a misleading 'including
+                # the block' warning for content the outer gate drops).
+                if all(frame[0] for frame in stack):
+                    active = _eval_if(line[3:])
+                else:
+                    active = False
                 stack.append([active, active])
                 continue
             if line.startswith('#elif'):
                 if stack:
-                    active = (not stack[-1][1]) and _eval_if(line[5:])
+                    enclosing_active = all(
+                        frame[0] for frame in stack[:-1])
+                    active = (enclosing_active and not stack[-1][1]
+                              and _eval_if(line[5:]))
                     stack[-1][0] = active
                     stack[-1][1] = stack[-1][1] or active
                 continue
