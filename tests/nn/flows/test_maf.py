@@ -252,3 +252,75 @@ def test_sequential_flow_remat_equivalence():
 
     x_back, _ = remat.inverse(y_r)
     np.testing.assert_allclose(np.asarray(x_back), np.asarray(x), atol=1e-8)
+
+
+@pytest.mark.parametrize('transformer_name', ['affine', 'spline',
+                                              'spline_circular', 'sos'])
+@pytest.mark.parametrize('conditioning_indices,repeats', [
+    (None, 1),
+    ([0, 1], 1),
+    (None, 3),      # 10 % 3 != 0: exercises the padded last group
+    ([2], 4),
+])
+def test_fast_inverse_matches_reference_path(transformer_name,
+                                             conditioning_indices, repeats):
+    """The restricted (per-degree-group) inverse must equal the full-pass
+    inverse exactly — it computes the same conditioner rows and the same
+    transformer math, just nothing else."""
+    n_features = 10
+    degrees = generate_degrees(n_features,
+                               conditioning_indices=conditioning_indices,
+                               repeats=repeats)
+    if transformer_name == 'affine':
+        transformer = AffineTransformer()
+    elif transformer_name == 'sos':
+        from tfep_tpu.nn.transformers.sos import SOSPolynomialTransformer
+        transformer = SOSPolynomialTransformer()
+    else:
+        from tfep_tpu.nn.transformers.spline import NeuralSplineTransformer
+        n_t = n_features - (0 if conditioning_indices is None
+                            else len(conditioning_indices))
+        transformer = NeuralSplineTransformer.create(
+            x0=-4.0 * jnp.ones(n_t), xf=4.0 * jnp.ones(n_t), n_bins=4,
+            circular=(transformer_name == 'spline_circular'))
+
+    flow = MAF.create(jax.random.key(3), degrees, transformer=transformer,
+                      initialize_identity=False)
+    assert flow._can_fast_inverse
+    slow = flow.replace(inverse_groups_t=None)
+    assert not slow._can_fast_inverse
+
+    y = jax.random.normal(jax.random.key(4), (7, n_features))
+    x_fast, ldj_fast = jax.jit(lambda y: flow.inverse(y))(y)
+    x_slow, ldj_slow = jax.jit(lambda y: slow.inverse(y))(y)
+    np.testing.assert_allclose(np.asarray(x_fast), np.asarray(x_slow),
+                               rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(ldj_fast), np.asarray(ldj_slow),
+                               rtol=1e-12, atol=1e-13)
+
+    # And it really is an inverse (belt and braces — the round-trip tests
+    # above already run through the fast path).
+    y_rt, ldj_fwd = flow.forward(x_fast)
+    np.testing.assert_allclose(np.asarray(y_rt), np.asarray(y), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(ldj_fwd + ldj_fast), 0.0,
+                               atol=1e-8)
+
+
+def test_mixed_transformer_uses_reference_inverse_path():
+    """MixedTransformer's parameter layout is not the standard tiling, so
+    it must NOT take the restricted path (no slice_features)."""
+    from tfep_tpu.nn.transformers.mixed import MixedTransformer
+    from tfep_tpu.nn.transformers.spline import NeuralSplineTransformer
+
+    spline = NeuralSplineTransformer.create(
+        x0=-4.0 * jnp.ones(3), xf=4.0 * jnp.ones(3), n_bins=4)
+    mixed = MixedTransformer.create(
+        transformers=[AffineTransformer(), spline],
+        indices=[[0, 2, 4], [1, 3, 5]])
+    flow = MAF.create(jax.random.key(5), generate_degrees(6),
+                      transformer=mixed, initialize_identity=False)
+    assert not flow._can_fast_inverse
+    y = jax.random.normal(jax.random.key(6), (5, 6))
+    x, ldj = flow.inverse(y)
+    y_rt, ldj_fwd = flow.forward(x)
+    np.testing.assert_allclose(np.asarray(y_rt), np.asarray(y), atol=1e-8)

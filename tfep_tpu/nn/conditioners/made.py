@@ -267,3 +267,18 @@ class MADE(Conditioner):
         (/root/reference/tfep/nn/conditioners/conditioner.py:26-63)."""
         new_last = self.layers[-1].set_output(output)
         return self.replace(layers=self.layers[:-1] + (new_last,))
+
+    def forward_rows(self, x: jnp.ndarray, rows: jnp.ndarray) -> jnp.ndarray:
+        """Compute only the given output rows (hidden layers run in full).
+
+        Exactly ``self(x)[:, rows]`` — the hidden stack is shared by every
+        output, but the final (largest) matmul is restricted to ``rows``
+        via :meth:`MaskedLinear.restrict_rows`. This powers the fast
+        autoregressive inverse: each iteration needs one degree-group's
+        transformer parameters, not all of them.
+        """
+        if self.embedding is not None:
+            x = self.embedding(x)
+        for layer in self.layers[:-1]:
+            x = jax.nn.elu(layer(x))
+        return self.layers[-1].restrict_rows(rows)(x)

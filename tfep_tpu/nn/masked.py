@@ -214,3 +214,23 @@ class MaskedLinear(Module):
         if self.use_weight_norm:
             return self.replace(gain=jnp.zeros_like(self.gain), bias=output)
         return self.replace(weight=jnp.zeros_like(self.weight), bias=output)
+
+    def restrict_rows(self, rows: jnp.ndarray) -> 'MaskedLinear':
+        """A view of the layer computing only the given output rows.
+
+        ``rows`` may be a traced index array (dynamic values, static
+        shape), so this works inside scans — e.g. the autoregressive
+        inverse, where each iteration needs only one degree-group's
+        parameters and the full output matmul would waste ~(n_groups-1)/
+        n_groups of the layer's FLOPs. Weight normalization is per output
+        row, so restricting rows computes exactly the corresponding rows
+        of the full layer's output (duplicate indices are allowed and
+        yield duplicate outputs).
+        """
+        return self.replace(
+            weight=self.weight[rows],
+            bias=None if self.bias is None else self.bias[rows],
+            gain=None if self.gain is None else self.gain[rows],
+            mask=None if self.mask is None else self.mask[rows],
+            degrees_out=(None if self.degrees_out is None
+                         else self.degrees_out[rows]))

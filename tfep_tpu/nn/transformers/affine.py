@@ -63,6 +63,10 @@ class AffineTransformer(MAFTransformer):
     def get_degrees_out(self, degrees_in: np.ndarray) -> np.ndarray:
         return np.tile(np.asarray(degrees_in), self.n_parameters_per_feature)
 
+    def slice_features(self, feature_indices) -> 'AffineTransformer':
+        """Feature-subset view (stateless: the transformer itself)."""
+        return self
+
 
 class VolumePreservingShiftTransformer(MAFTransformer):
     """Volume-preserving shift ``y_i = x_i + b_i`` with optional periodic wrap.

@@ -91,6 +91,10 @@ class SOSPolynomialTransformer(MAFTransformer):
     def get_degrees_out(self, degrees_in: np.ndarray) -> np.ndarray:
         return np.tile(np.asarray(degrees_in), self.n_parameters_per_feature)
 
+    def slice_features(self, feature_indices) -> 'SOSPolynomialTransformer':
+        """Feature-subset view (stateless: the transformer itself)."""
+        return self
+
 
 def sos_polynomial_transformer(x, parameters):
     """Functional SOS transformer (reference: sos.py:163-306).

@@ -224,6 +224,17 @@ class NeuralSplineTransformer(MAFTransformer):
     def get_degrees_out(self, degrees_in: np.ndarray) -> np.ndarray:
         return np.tile(np.asarray(degrees_in), self.n_parameters_per_feature)
 
+    def slice_features(self, feature_indices) -> 'NeuralSplineTransformer':
+        """Feature-subset view: per-feature domain bounds are gathered.
+
+        ``feature_indices`` may be traced (dynamic values, static shape),
+        so the autoregressive inverse can slice per degree group inside a
+        scan. All other configuration is static and shared.
+        """
+        return self.replace(
+            x0=self.x0[feature_indices], xf=self.xf[feature_indices],
+            y0=self.y0[feature_indices], yf=self.yf[feature_indices])
+
     # ------------------------------------------------------------------ #
     def _get_parameters(self, parameters):
         """Normalize raw conditioner outputs into knot widths/heights/slopes.

@@ -59,3 +59,13 @@ class MAFTransformer(Transformer):
     def get_degrees_out(self, degrees_in: np.ndarray) -> np.ndarray:
         """Degrees of each conditioner output parameter (host-side numpy)."""
         raise NotImplementedError
+
+    # Transformers whose parameters follow the standard tiled layout
+    # (params reshaped (batch, n_parameters_per_feature, n_features) —
+    # what the default tile-based get_degrees_out encodes) and whose
+    # per-feature state (if any) is sliceable may implement
+    # ``slice_features(indices) -> transformer`` returning a view over a
+    # feature subset. The autoregressive inverse uses it to evaluate only
+    # the current degree-group's features per iteration instead of all of
+    # them (tfep_tpu/nn/flows/autoregressive.py). Transformers with a
+    # non-tiled layout (e.g. MixedTransformer) must NOT implement it.
