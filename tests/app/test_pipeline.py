@@ -248,3 +248,67 @@ def test_overlap_hides_device_time_behind_engine(tmp_path):
     assert median < engine_s + 0.5 * device_s, (
         f'no overlap: median engine start-to-start {median:.3f}s vs '
         f'serial >= {engine_s + device_s:.3f}s')
+
+
+def test_pipelined_crash_resume_invariant(tmp_path):
+    """The mid-epoch resume invariant holds in pipelined mode too: the
+    union of visited samples across an engine crash partitions each epoch
+    with no repeats, and the resumed run picks up from the acknowledged
+    global step."""
+    visited = []
+
+    class CrashingEngine(QuadraticEngine):
+        def __init__(self, crash_on_call=None, **kwargs):
+            super().__init__(**kwargs)
+            self.crash_on_call = crash_on_call
+
+        def _compute_batch(self, positions, cell, compute_forces):
+            if self.crash_on_call is not None and \
+                    len(self.calls) + 1 == self.crash_on_call:
+                raise RuntimeError('engine died mid-run')
+            return super()._compute_batch(positions, cell, compute_forces)
+
+    class RecordingMap(CartesianMAFMap):
+        def log_train_tensors(self, aux, epoch_idx, batch_idx):
+            visited.append((epoch_idx,
+                            np.asarray(aux['dataset_sample_index']).tolist()))
+            super().log_train_tensors(aux, epoch_idx, batch_idx)
+
+    ckpt = str(tmp_path / 'ckpt')
+
+    # The engine dies evaluating its 4th batch: steps 1-3 are applied and
+    # checkpointed (the pipeline runs the engine one batch ahead).
+    engine = CrashingEngine(crash_on_call=4)
+    tfep_map = RecordingMap(
+        potential_energy_func=engine,
+        temperature=300.0 * ureg.kelvin,
+        system=make_system(), batch_size=5, n_maf_layers=2,
+        tfep_logger_dir_path=str(tmp_path / 'logs1'))
+    t1 = Trainer(save_dir=ckpt, max_epochs=3, shuffle=True,
+                 engine_overlap=True)
+    with pytest.raises(RuntimeError, match='engine died'):
+        t1.fit(tfep_map)
+    assert t1.global_step == 3      # 1.5 epochs at 2 batches/epoch
+
+    # Resume with a healthy engine and finish all 3 epochs.
+    tfep_map2 = RecordingMap(
+        potential_energy_func=CrashingEngine(crash_on_call=None),
+        temperature=300.0 * ureg.kelvin,
+        system=make_system(), batch_size=5, n_maf_layers=2,
+        tfep_logger_dir_path=str(tmp_path / 'logs1'))
+    t2 = Trainer(save_dir=ckpt, max_epochs=3, shuffle=True,
+                 engine_overlap=True)
+    t2.fit(tfep_map2, resume=True)
+    assert t2.global_step == 6
+
+    # Every epoch's visited batches partition the dataset exactly —
+    # including epoch 1, split across the crash.
+    for epoch in range(3):
+        batches = [s for e, s in visited if e == epoch]
+        flat = [i for b in batches for i in b]
+        assert sorted(flat) == list(range(10)), (epoch, batches)
+
+    # And the on-disk log agrees (no lost acknowledged rows).
+    for epoch in range(3):
+        logged = tfep_map2.tfep_logger.read_train_tensors(epoch_idx=epoch)
+        assert set(logged['dataset_sample_index'].tolist()) == set(range(10))
