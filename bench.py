@@ -16,6 +16,12 @@ import time
 
 import numpy as np
 
+# Global wall-clock budget for retries: a stage may re-attempt (the
+# remote-compile tunnel flakes) only while the whole bench stays inside
+# this envelope, so retry generosity can't blow the driver's budget.
+_BENCH_START = time.monotonic()
+_BENCH_RETRY_DEADLINE_S = 1700.0
+
 N_ATOMS = 32          # 96 DOFs
 BATCH = 4096
 N_MAF_LAYERS = 6
@@ -458,7 +464,10 @@ def _run_stage(expr: str):
 
     code = (f'import bench; print("RESULT", bench.{expr})')
     last_err = None
-    for _attempt in range(2):   # the remote-compile tunnel flakes (HTTP 500)
+    for attempt in range(3):    # the remote-compile tunnel flakes (HTTP 500)
+        if attempt > 0 and (time.monotonic() - _BENCH_START
+                            > _BENCH_RETRY_DEADLINE_S):
+            break               # out of retry budget; report the last error
         try:
             out = subprocess.run(
                 [sys.executable, '-c', code], capture_output=True, text=True,

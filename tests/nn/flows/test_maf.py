@@ -306,9 +306,12 @@ def test_fast_inverse_matches_reference_path(transformer_name,
                                atol=1e-8)
 
 
-def test_mixed_transformer_uses_reference_inverse_path():
+def test_mixed_transformer_row_restricted_inverse():
     """MixedTransformer's parameter layout is not the standard tiling, so
-    it must NOT take the restricted path (no slice_features)."""
+    it must NOT take the sliced path — it takes the layout-agnostic
+    row-restricted path instead (per-group conditioner rows scattered
+    into an identity-parameter fill), which must match the full-pass
+    inverse exactly."""
     from tfep_tpu.nn.transformers.mixed import MixedTransformer
     from tfep_tpu.nn.transformers.spline import NeuralSplineTransformer
 
@@ -320,7 +323,38 @@ def test_mixed_transformer_uses_reference_inverse_path():
     flow = MAF.create(jax.random.key(5), generate_degrees(6),
                       transformer=mixed, initialize_identity=False)
     assert not flow._can_fast_inverse
+    assert flow._can_row_restricted_inverse
+    slow = flow.replace(inverse_param_rows=None)
+
     y = jax.random.normal(jax.random.key(6), (5, 6))
-    x, ldj = flow.inverse(y)
+    x, ldj = jax.jit(lambda y: flow.inverse(y))(y)
+    x_slow, ldj_slow = jax.jit(lambda y: slow.inverse(y))(y)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_slow),
+                               rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(ldj), np.asarray(ldj_slow),
+                               rtol=1e-12, atol=1e-13)
+
     y_rt, ldj_fwd = flow.forward(x)
     np.testing.assert_allclose(np.asarray(y_rt), np.asarray(y), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(ldj_fwd + ldj), 0.0, atol=1e-8)
+
+
+def test_row_restricted_inverse_falls_back_without_identity():
+    """A transformer that cannot express the identity (spline with
+    x0 != y0) must fall back to the full-pass inverse at trace time —
+    and still invert correctly."""
+    from tfep_tpu.nn.transformers.spline import NeuralSplineTransformer
+
+    spline = NeuralSplineTransformer.create(
+        x0=-4.0 * jnp.ones(6), xf=4.0 * jnp.ones(6),
+        y0=-2.0 * jnp.ones(6), yf=2.0 * jnp.ones(6), n_bins=4)
+    flow = MAF.create(jax.random.key(7), generate_degrees(6),
+                      transformer=spline, initialize_identity=False)
+    # The sliced path doesn't need identity parameters, so it still
+    # applies; force it off to exercise the row-restricted gate.
+    flow = flow.replace(inverse_groups_t=None)
+    assert flow._can_row_restricted_inverse       # table exists...
+    y = 1.5 * jax.random.normal(jax.random.key(8), (5, 6))
+    x, ldj = flow.inverse(y)                      # ...but falls back
+    y_rt, ldj_fwd = flow.forward(x)
+    np.testing.assert_allclose(np.asarray(y_rt), np.asarray(y), atol=1e-7)

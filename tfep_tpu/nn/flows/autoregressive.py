@@ -74,12 +74,17 @@ class AutoregressiveFlow(Flow):
     # (host tuple-of-tuples): not a pytree leaf, so checkpoints are
     # layout-compatible with flows saved before it existed.
     inverse_groups_t: Optional[tuple] = static(default=None)
+    # (n_iterations, r_max) conditioner-output rows per degree group,
+    # padded by repetition — the layout-agnostic fast-inverse table (set
+    # by MAF.create from the transformer's get_degrees_out; see inverse()).
+    inverse_param_rows: Optional[tuple] = static(default=None)
 
     @classmethod
     def create(cls, n_features_in: int, transformer_indices,
                conditioner, transformer,
                conditioner_indices=None,
-               initialize_identity: bool = True) -> 'AutoregressiveFlow':
+               initialize_identity: bool = True,
+               inverse_param_rows=None) -> 'AutoregressiveFlow':
         """Build the flow from index groups + conditioner + transformer.
 
         Parameters
@@ -101,6 +106,13 @@ class AutoregressiveFlow(Flow):
             If ``True`` (default), zero the conditioner's output layer and
             bias it to the transformer's identity parameters so the flow
             starts as the identity map.
+        inverse_param_rows : sequence of sequence of int, optional
+            For each degree group (in ``transformer_indices`` order), the
+            conditioner-output rows holding that group's transformer
+            parameters. Enables the layout-agnostic restricted inverse
+            for transformers without ``slice_features`` (e.g. Mixed);
+            :class:`~tfep_tpu.nn.flows.MAF` derives it from the
+            transformer's ``get_degrees_out``.
 
         Returns
         -------
@@ -144,6 +156,18 @@ class AutoregressiveFlow(Flow):
             + (position[int(g[0])],) * (g_max - len(g))
             for g in groups)
 
+        if inverse_param_rows is not None:
+            rows_list = [tuple(int(r) for r in np.asarray(rows).reshape(-1))
+                         for rows in inverse_param_rows]
+            if len(rows_list) != len(groups) or any(
+                    len(r) == 0 for r in rows_list):
+                raise ValueError(
+                    'inverse_param_rows needs one non-empty row list per '
+                    'transformer_indices group.')
+            r_max = max(len(r) for r in rows_list)
+            inverse_param_rows = tuple(
+                r + (r[0],) * (r_max - len(r)) for r in rows_list)
+
         return cls(
             conditioner=conditioner,
             transformer=transformer,
@@ -156,6 +180,7 @@ class AutoregressiveFlow(Flow):
                 else jnp.asarray(conditioner_indices)),
             n_features_in=int(n_features_in),
             inverse_groups_t=groups_t,
+            inverse_param_rows=inverse_param_rows,
         )
 
     @property
@@ -198,6 +223,19 @@ class AutoregressiveFlow(Flow):
                 and hasattr(self.transformer, 'slice_features')
                 and getattr(self.transformer, 'n_parameters_per_feature',
                             None) is not None)
+
+    @property
+    def _can_row_restricted_inverse(self) -> bool:
+        """Whether the layout-agnostic restricted inverse applies: needs
+        the per-group conditioner-row table (built by MAF.create from the
+        transformer's get_degrees_out) and a row-restrictable conditioner.
+        The transformer's identity parameters supply the fill for rows
+        outside the current group; a transformer that cannot express the
+        identity (get_identity_parameters raises) falls back to the full
+        path at trace time."""
+        return (self.inverse_param_rows is not None
+                and len(self.inverse_param_rows) > 0
+                and hasattr(self.conditioner, 'forward_rows'))
 
     def inverse(self, y: jnp.ndarray):
         """Exact inverse in ``n_degree_groups`` conditioner passes.
@@ -266,6 +304,36 @@ class AutoregressiveFlow(Flow):
                 return x.at[:, pos].set(x_g)
 
             x = jax.lax.fori_loop(0, n_iterations - 1, fast_step, x0)
+        elif self._can_row_restricted_inverse and (identity := \
+                _identity_parameters_or_none(
+                    self.transformer, y_t.shape[1], y.dtype)) is not None:
+            # Layout-agnostic variant for transformers without
+            # slice_features (e.g. Mixed): compute only the group's
+            # conditioner-output rows, scatter them into an
+            # identity-parameter fill, and run the transformer full-width
+            # — positions outside the group see the identity transform
+            # (finite everywhere) and are discarded by the masked update.
+            # Saves the MADE output matmul (~80% of a pass's FLOPs); the
+            # elementwise transformer inverse stays full-width.
+            rows_t = jnp.asarray(self.inverse_param_rows, dtype=jnp.int32)
+
+            def row_step(i, x):
+                rows = rows_t[i]                       # (r_max,)
+                x_cond = x
+                if self.conditioner_indices is not None:
+                    x_cond = x[:, self.conditioner_indices]
+                values = self.conditioner.forward_rows(x_cond, rows)
+                parameters = jnp.broadcast_to(
+                    identity[None, :], (x.shape[0], identity.shape[0])
+                ).at[:, rows].set(values)
+                x_temp, _ = self.transformer.inverse(y_t, parameters)
+                mask_t = inverse_masks_t[i]
+                if idx is not None:
+                    return x.at[:, idx].set(
+                        jnp.where(mask_t[None, :], x_temp, x[:, idx]))
+                return jnp.where(mask_t[None, :], x_temp, x)
+
+            x = jax.lax.fori_loop(0, n_iterations - 1, row_step, x0)
         else:
             x = jax.lax.fori_loop(
                 0, n_iterations - 1, lambda i, x: step(i, x)[0], x0)
@@ -274,3 +342,21 @@ class AutoregressiveFlow(Flow):
         # reference's last-pass log_det_J).
         x, log_det_J = step(n_iterations - 1, x)
         return x, log_det_J
+
+
+def _identity_parameters_or_none(transformer, n_features: int, dtype):
+    """The transformer's identity parameters as a device constant, or
+    ``None`` when they cannot be obtained at trace time — either the
+    transformer cannot express the identity (e.g. a neural spline with
+    x0 != y0) or its buffers are themselves traced (the flow was passed
+    as a jit *argument* rather than closed over, so host-side validation
+    like ``np.allclose(x0, y0)`` cannot run). Both cases fall back to the
+    full-pass inverse; for the fast generation path, close the flow over
+    the jitted function instead of passing it as an argument."""
+    try:
+        identity = transformer.get_identity_parameters(n_features)
+    except (ValueError, NotImplementedError,
+            jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError):
+        return None
+    return jnp.asarray(identity, dtype=dtype)

@@ -86,12 +86,22 @@ class MAF(AutoregressiveFlow):
             hidden_layers=hidden_layers, weight_norm=weight_norm,
             embedding=embedding, dtype=dtype, compute_dtype=compute_dtype)
 
+        # Per-degree-group conditioner-output rows: a parameter row's
+        # degree equals its feature's degree, so the rows of degree d are
+        # exactly degree-group d's transformer parameters — regardless of
+        # the transformer's layout. Powers the layout-agnostic restricted
+        # inverse (AutoregressiveFlow.inverse) for transformers without
+        # slice_features (e.g. the mixed map's MixedTransformer).
+        inverse_param_rows = [np.nonzero(degrees_out == d)[0]
+                              for d in range(max_d + 1)]
+
         return super().create(
             n_features_in=len(degrees_in),
             transformer_indices=transformer_indices,
             conditioner=conditioner,
             transformer=transformer,
             initialize_identity=initialize_identity,
+            inverse_param_rows=inverse_param_rows,
         )
 
     def n_parameters(self) -> int:
