@@ -70,6 +70,11 @@ def main():
     parser.add_argument('--n-bins', type=int, default=5)
     parser.add_argument('--timed-steps', type=int, default=5)
     parser.add_argument('--rounds', type=int, default=3)
+    parser.add_argument('--compute-dtype', type=str, default=None,
+                        help="Mixed-precision matmul policy for the MADE "
+                             "stacks (e.g. 'bfloat16'); parameters stay "
+                             "f32. Off by default: the tracked metric is "
+                             "the f32 step.")
     parser.add_argument('--force-cpu-devices', type=int, default=0)
     args = parser.parse_args()
 
@@ -124,7 +129,9 @@ def main():
         system=system, batch_size=args.batch,
         tfep_logger_dir_path=None,
         n_maf_layers=args.n_maf_layers, n_bins=args.n_bins,
-        flow_kwargs={'hidden_layers': [args.hidden]})
+        flow_kwargs={'hidden_layers': [args.hidden],
+                     **({'compute_dtype': args.compute_dtype}
+                        if args.compute_dtype else {})})
     tfep_map.setup()
     t_setup = time.time() - t0
 
