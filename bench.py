@@ -68,6 +68,40 @@ def _setup_jax_cache():
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
 
+def _steady_state_best(run_block, units_per_block, *, min_blocks=8,
+                       patience=6, improve_tol=0.01, max_blocks=60,
+                       budget_s=90.0):
+    """Best block throughput at steady state (units/s).
+
+    A fixed small best-of-N samples the tunnel's warm-up ramp, not the
+    code: a freshly compiled executable starts ~20-40% below steady state
+    and climbs over the first ~10 invocation blocks (measured on the CNF
+    step: blocks ramp 248k -> 355k frames/s within 0.5 s of device time,
+    and a best-of-2 read 0.8x the committed figure on an unchanged code
+    path). Keep timing blocks until the best has not improved by more
+    than ``improve_tol`` for ``patience`` consecutive blocks, bounded by
+    ``max_blocks`` and a wall-clock ``budget_s`` so a slow stage can
+    never blow the driver's envelope.
+    """
+    best_dt = float('inf')
+    stale = 0
+    t_start = time.monotonic()
+    for n in range(max_blocks):
+        t0 = time.perf_counter()
+        run_block()
+        dt = time.perf_counter() - t0
+        if dt < best_dt * (1.0 - improve_tol):
+            stale = 0
+        else:
+            stale += 1
+        best_dt = min(best_dt, dt)
+        if n + 1 >= min_blocks and stale >= patience:
+            break
+        if time.monotonic() - t_start > budget_s:
+            break
+    return units_per_block / best_dt
+
+
 def build_spline_maf_train_step():
     """Build the headline model/step: returns (train_step, flow, opt_state, x).
 
@@ -132,14 +166,18 @@ def bench_jax():
     flow, opt_state, loss = train_step(flow, opt_state, x)
     jax.block_until_ready(loss)
 
-    best_dt = float('inf')
-    for _ in range(N_ROUNDS):
-        t0 = time.perf_counter()
+    state = [flow, opt_state]
+
+    def run_block():
+        f, o = state
         for _ in range(N_TIMED_STEPS):
-            flow, opt_state, loss = train_step(flow, opt_state, x)
+            f, o, loss = train_step(f, o, x)
         jax.block_until_ready(loss)
-        best_dt = min(best_dt, time.perf_counter() - t0)
-    return BATCH * N_TIMED_STEPS / best_dt, jax.devices()[0].platform
+        state[:] = [f, o]
+
+    value = _steady_state_best(run_block, BATCH * N_TIMED_STEPS,
+                               min_blocks=N_ROUNDS)
+    return value, jax.devices()[0].platform
 
 
 def bench_mixed_jax():
@@ -213,17 +251,19 @@ def bench_mixed_jax():
     flow, opt_state, loss = train_step(flow, opt_state, batch)
     jax.block_until_ready(loss)
 
-    # Fewer timed steps than the Cartesian bench: the scanned conversion
-    # makes each step heavier and the number only needs ~10% fidelity.
+    # Fewer timed steps per block than the Cartesian bench: the scanned
+    # conversion makes each step heavier.
     n_steps = max(5, N_TIMED_STEPS // 3)
-    best_dt = float('inf')
-    for _ in range(max(2, N_ROUNDS // 2)):
-        t0 = time.perf_counter()
+    state = [flow, opt_state]
+
+    def run_block():
+        f, o = state
         for _ in range(n_steps):
-            flow, opt_state, loss = train_step(flow, opt_state, batch)
+            f, o, loss = train_step(f, o, batch)
         jax.block_until_ready(loss)
-        best_dt = min(best_dt, time.perf_counter() - t0)
-    return BATCH * n_steps / best_dt
+        state[:] = [f, o]
+
+    return _steady_state_best(run_block, BATCH * n_steps)
 
 
 def bench_cnf_jax():
@@ -276,14 +316,16 @@ def bench_cnf_jax():
     jax.block_until_ready(loss)
 
     n_steps = 10
-    best_dt = float('inf')
-    for _ in range(max(2, N_ROUNDS // 2)):
-        t0 = time.perf_counter()
+    state = [flow, opt_state]
+
+    def run_block():
+        f, o = state
         for _ in range(n_steps):
-            flow, opt_state, loss = train_step(flow, opt_state, x)
+            f, o, loss = train_step(f, o, x)
         jax.block_until_ready(loss)
-        best_dt = min(best_dt, time.perf_counter() - t0)
-    return batch * n_steps / best_dt
+        state[:] = [f, o]
+
+    return _steady_state_best(run_block, batch * n_steps)
 
 
 def bench_inverse_jax():
@@ -338,17 +380,18 @@ def bench_inverse_jax():
         x, ldj = inverse_pass(flow, y)
         jax.block_until_ready(ldj)
 
-        # The full-AR inverse is ~30x the forward cost; keep wall time
-        # bounded while best-of-N still rejects tunnel noise spikes.
+        # The full-AR inverse is ~30x the forward cost; smaller blocks
+        # keep its wall time bounded under the adaptive loop.
         n_steps = 3 if repeats == 1 else 20
-        best_dt = float('inf')
-        for _ in range(max(2, N_ROUNDS // 2)):
-            t0 = time.perf_counter()
-            for _ in range(n_steps):
+
+        def run_block():
+            x, ldj = inverse_pass(flow, y)
+            for _ in range(n_steps - 1):
                 x, ldj = inverse_pass(flow, y)
             jax.block_until_ready(ldj)
-            best_dt = min(best_dt, time.perf_counter() - t0)
-        results.append(BATCH * n_steps / best_dt)
+
+        results.append(_steady_state_best(run_block, BATCH * n_steps,
+                                          budget_s=60.0))
     return tuple(results)
 
 

@@ -159,13 +159,26 @@ def main():
     jax.block_until_ready(loss)
     t_compile = time.time() - t0
 
+    # Adaptive steady-state best-of (same protocol as bench.py
+    # _steady_state_best): a freshly compiled executable ramps ~20-40%
+    # below steady state over its first ~10 invocation blocks on the
+    # tunnel, so keep timing while the best still improves; --rounds is
+    # the minimum block count.
     best_dt = float('inf')
-    for _ in range(args.rounds):
+    stale = 0
+    t_loop = time.monotonic()
+    for n in range(60):
         t0 = time.perf_counter()
         for _ in range(args.timed_steps):
             flow, opt_state, loss = train_step(flow, opt_state, batch)
         jax.block_until_ready(loss)
-        best_dt = min(best_dt, time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        stale = 0 if dt < best_dt * 0.99 else stale + 1
+        best_dt = min(best_dt, dt)
+        if n + 1 >= args.rounds and stale >= 6:
+            break
+        if time.monotonic() - t_loop > 90.0:
+            break
 
     frames_per_s = args.batch * args.timed_steps / best_dt
     print(f'platform={jax.devices()[0].platform} atoms={n_atoms} '
