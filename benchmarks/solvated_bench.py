@@ -159,28 +159,27 @@ def main():
     jax.block_until_ready(loss)
     t_compile = time.time() - t0
 
-    # Adaptive steady-state best-of (same protocol as bench.py
-    # _steady_state_best): a freshly compiled executable ramps ~20-40%
-    # below steady state over its first ~10 invocation blocks on the
-    # tunnel, so keep timing while the best still improves; --rounds is
-    # the minimum block count.
-    best_dt = float('inf')
-    stale = 0
-    t_loop = time.monotonic()
-    for n in range(60):
-        t0 = time.perf_counter()
-        for _ in range(args.timed_steps):
-            flow, opt_state, loss = train_step(flow, opt_state, batch)
-        jax.block_until_ready(loss)
-        dt = time.perf_counter() - t0
-        stale = 0 if dt < best_dt * 0.99 else stale + 1
-        best_dt = min(best_dt, dt)
-        if n + 1 >= args.rounds and stale >= 6:
-            break
-        if time.monotonic() - t_loop > 90.0:
-            break
+    # Adaptive steady-state best-of, shared with every bench.py stage so
+    # the tracked metrics stay protocol-comparable (the repo root is
+    # already on sys.path, inserted above before the tfep_tpu imports).
+    from bench import _steady_state_best
 
-    frames_per_s = args.batch * args.timed_steps / best_dt
+    state = [flow, opt_state]
+    loss_box = [None]
+
+    def run_block():
+        f, o = state
+        for _ in range(args.timed_steps):
+            f, o, loss = train_step(f, o, batch)
+        jax.block_until_ready(loss)
+        state[:] = [f, o]
+        loss_box[0] = loss
+
+    frames_per_s = _steady_state_best(run_block,
+                                      args.batch * args.timed_steps,
+                                      min_blocks=args.rounds)
+    flow, opt_state = state
+    loss = loss_box[0]
     print(f'platform={jax.devices()[0].platform} atoms={n_atoms} '
           f'dof={3 * n_atoms} batch={args.batch} '
           f'maf_layers={args.n_maf_layers} hidden={args.hidden} '

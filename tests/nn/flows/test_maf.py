@@ -287,8 +287,11 @@ def test_fast_inverse_matches_reference_path(transformer_name,
     flow = MAF.create(jax.random.key(3), degrees, transformer=transformer,
                       initialize_identity=False)
     assert flow._can_fast_inverse
-    slow = flow.replace(inverse_groups_t=None)
+    # Disable BOTH fast tables so the baseline is the original full-pass
+    # inverse, not the row-restricted variant.
+    slow = flow.replace(inverse_groups_t=None, inverse_param_rows=None)
     assert not slow._can_fast_inverse
+    assert not slow._can_row_restricted_inverse
 
     y = jax.random.normal(jax.random.key(4), (7, n_features))
     x_fast, ldj_fast = jax.jit(lambda y: flow.inverse(y))(y)
@@ -358,3 +361,45 @@ def test_row_restricted_inverse_falls_back_without_identity():
     x, ldj = flow.inverse(y)                      # ...but falls back
     y_rt, ldj_fwd = flow.forward(x)
     np.testing.assert_allclose(np.asarray(y_rt), np.asarray(y), atol=1e-7)
+
+
+def test_fast_inverse_scalar_spline_bounds():
+    """Scalar (0-d) spline domain bounds broadcast over all features;
+    slice_features must keep them intact so the fast inverse works on
+    flows built with scalar bounds (regression: IndexError on 0-d gather)."""
+    from tfep_tpu.nn.transformers.spline import NeuralSplineTransformer
+
+    spline = NeuralSplineTransformer.create(x0=-4.0, xf=4.0, n_bins=4)
+    flow = MAF.create(jax.random.key(9), generate_degrees(6),
+                      transformer=spline, initialize_identity=False)
+    assert flow._can_fast_inverse
+    y = jax.random.normal(jax.random.key(10), (5, 6))
+    x, ldj = jax.jit(lambda y: flow.inverse(y))(y)
+    slow = flow.replace(inverse_groups_t=None, inverse_param_rows=None)
+    x_slow, ldj_slow = jax.jit(lambda y: slow.inverse(y))(y)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_slow),
+                               rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(ldj), np.asarray(ldj_slow),
+                               rtol=1e-12, atol=1e-13)
+
+
+def test_autoregressive_empty_group_dropped():
+    """Empty transformer_indices groups (e.g. from a degree histogram with
+    holes) are legal and contribute nothing — create() must not crash on
+    them (regression: IndexError building the padded group table)."""
+    from tfep_tpu.nn.conditioners.made import MADE
+    from tfep_tpu.nn.flows.autoregressive import AutoregressiveFlow
+
+    degrees_in = np.array([0, 1, 3])
+    made = MADE.create(
+        jax.random.key(11), degrees_in=degrees_in,
+        degrees_out=np.tile(degrees_in, 2), hidden_layers=[8])
+    flow = AutoregressiveFlow.create(
+        3, [[0], [1], [], [2]], made, AffineTransformer(),
+        initialize_identity=False)
+    assert len(flow.inverse_groups_t) == 3     # the empty group is dropped
+    y = jax.random.normal(jax.random.key(12), (4, 3))
+    x, ldj = flow.inverse(y)
+    y_rt, ldj_fwd = flow.forward(x)
+    np.testing.assert_allclose(np.asarray(y_rt), np.asarray(y), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(ldj_fwd + ldj), 0.0, atol=1e-8)

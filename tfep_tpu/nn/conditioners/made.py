@@ -271,8 +271,11 @@ class MADE(Conditioner):
     def forward_rows(self, x: jnp.ndarray, rows: jnp.ndarray) -> jnp.ndarray:
         """Compute only the given output rows (hidden layers run in full).
 
-        Exactly ``self(x)[:, rows]`` — the hidden stack is shared by every
-        output, but the final (largest) matmul is restricted to ``rows``
+        The same math as ``self(x)[:, rows]`` (numerically equivalent; XLA
+        may fuse/reorder the restricted matmul differently, so float32
+        results can differ at the last few ulps) — the hidden stack is
+        shared by every output, but the final (largest) matmul is
+        restricted to ``rows``
         via :meth:`MaskedLinear.restrict_rows`. This powers the fast
         autoregressive inverse: each iteration needs one degree-group's
         transformer parameters, not all of them.

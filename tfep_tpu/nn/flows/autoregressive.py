@@ -122,6 +122,16 @@ class AutoregressiveFlow(Flow):
         for g in groups:
             if np.any((g < 0) | (g >= n_features_in)):
                 raise ValueError('All indices must be 0 <= i < n_features_in.')
+        # Empty groups are legal (e.g. programmatically generated from a
+        # degree histogram) but contribute nothing: drop them — each would
+        # only add a no-op inverse iteration — keeping any per-group
+        # inverse_param_rows aligned.
+        if any(len(g) == 0 for g in groups):
+            keep = [i for i, g in enumerate(groups) if len(g)]
+            if inverse_param_rows is not None \
+                    and len(inverse_param_rows) == len(groups):
+                inverse_param_rows = [inverse_param_rows[i] for i in keep]
+            groups = [groups[i] for i in keep]
         if conditioner_indices is not None:
             conditioner_indices = np.asarray(conditioner_indices)
             if np.any((conditioner_indices < 0) |

@@ -229,11 +229,15 @@ class NeuralSplineTransformer(MAFTransformer):
 
         ``feature_indices`` may be traced (dynamic values, static shape),
         so the autoregressive inverse can slice per degree group inside a
-        scan. All other configuration is static and shared.
+        scan. All other configuration is static and shared. A scalar (0-d)
+        bound broadcasts over all features, so it is kept as is.
         """
+        def gather(bound):
+            return bound if np.ndim(bound) == 0 else bound[feature_indices]
+
         return self.replace(
-            x0=self.x0[feature_indices], xf=self.xf[feature_indices],
-            y0=self.y0[feature_indices], yf=self.yf[feature_indices])
+            x0=gather(self.x0), xf=gather(self.xf),
+            y0=gather(self.y0), yf=gather(self.yf))
 
     # ------------------------------------------------------------------ #
     def _get_parameters(self, parameters):
