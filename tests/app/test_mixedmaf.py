@@ -315,3 +315,50 @@ def test_two_mapped_fragments_round_trip_and_jacobian(tmp_path):
                                atol=1e-5)
     x_back, _ = flow.inverse(y)
     np.testing.assert_allclose(np.asarray(x_back), np.asarray(x), atol=1e-5)
+
+
+def test_small_fragments_diatomic_and_ion(tmp_path):
+    """Fragments with fewer than 3 atoms (a diatomic + a monatomic ion)
+    have no complete internal frame: they stay (partly) Cartesian. The
+    map must remain exactly invertible with an oracle-exact log-det
+    (the reference's BFS Z-matrix covers >=3-atom fragments only;
+    /root/reference/tfep/app/mixedmaf.py:482-566)."""
+    rng = np.random.default_rng(0)
+    names = ['O1', 'O2', 'NA', 'C1', 'C2', 'C3', 'C4',
+             'H1', 'H2', 'H3', 'H4']
+    elements = ['O', 'O', 'Na', 'C', 'C', 'C', 'C', 'H', 'H', 'H', 'H']
+    bonds = [(0, 1), (3, 4), (4, 5), (5, 6), (3, 7), (4, 8), (5, 9),
+             (6, 10)]
+    base = np.array([
+        [5.0, 5.0, 5.0], [6.2, 5.0, 5.0],
+        [-3.0, -3.0, -3.0],
+        [0.0, 0.0, 0.0], [1.5, 0.0, 0.0], [2.25, 1.3, 0.0],
+        [1.5, 2.2, 1.1],
+        [-0.5, -0.7, 0.6], [1.9, -0.6, 0.8], [3.3, 1.4, 0.4],
+        [1.0, 3.0, 0.4]])
+    positions = base[None] + 0.05 * rng.normal(size=(N_FRAMES, 11, 3))
+    system = System(Topology(names=names, elements=elements, bonds=bonds),
+                    positions)
+
+    tfep_map = MixedMAFMap(
+        potential_energy_func=MockPotential(),
+        temperature=300.0 * ureg.kelvin,
+        system=system, batch_size=8, n_maf_layers=2,
+        tfep_logger_dir_path=None)
+    tfep_map.setup()
+
+    batch = {k: jnp.asarray(v)
+             for k, v in tfep_map.dataset.get_batch(list(range(8))).items()}
+    out = tfep_map.forward(batch)
+    back = tfep_map.inverse({**batch, 'positions': out['positions']})
+    np.testing.assert_allclose(np.asarray(back['positions']),
+                               np.asarray(batch['positions']), atol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(out['log_det_J'] + back['log_det_J']), 0.0, atol=1e-12)
+
+    x = batch['positions']
+    oracle = batch_log_abs_det_J(
+        lambda z: tfep_map.forward({**batch, 'positions': z})['positions'],
+        x)
+    np.testing.assert_allclose(np.asarray(out['log_det_J']),
+                               np.asarray(oracle), atol=1e-12)
