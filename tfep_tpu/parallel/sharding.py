@@ -29,7 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ['make_mesh', 'batch_sharding', 'replicated_sharding',
            'shard_batch', 'replicate', 'tensor_parallel_specs',
-           'shard_module']
+           'shard_module', 'shard_ensemble']
 
 BATCH_AXIS = 'dp'
 MODEL_AXIS = 'tp'
@@ -172,6 +172,37 @@ def tensor_parallel_specs(tree, axis_name: str = MODEL_AXIS,
             node, is_leaf=lambda x: isinstance(x, Module))
 
     return rec(tree)
+
+
+def shard_ensemble(stacked, mesh: Mesh, axis_name: str = BATCH_AXIS):
+    """Shard a stacked ensemble's member axis over the mesh.
+
+    Ensemble members (:func:`tfep_tpu.nn.ensemble.stack_modules`) are
+    fully independent, so splitting the leading member axis of every
+    trainable leaf over ``axis_name`` makes the vmapped training step
+    embarrassingly parallel: each device trains its member shard with
+    zero cross-device communication (the batch and the buffers are
+    replicated). Optimizer states built from the sharded trainable
+    partition inherit the placement (``optax`` inits with ``zeros_like``).
+
+    The member count must be divisible by the mesh axis size
+    (``device_put`` cannot pad uneven shards).
+    """
+    from tfep_tpu.nn.ensemble import n_members
+    from tfep_tpu.nn.module import combine, partition
+
+    k = n_members(stacked)
+    axis_size = mesh.shape[axis_name]
+    if k % axis_size:
+        raise ValueError(
+            f'The member count ({k}) must be divisible by the '
+            f'{axis_name!r} mesh axis size ({axis_size}).')
+    member_sharding = NamedSharding(mesh, P(axis_name))
+    trainable, frozen = partition(stacked)
+    trainable = jax.tree_util.tree_map(
+        lambda leaf: jax.device_put(leaf, member_sharding), trainable)
+    frozen = jax.device_put(frozen, replicated_sharding(mesh))
+    return combine(trainable, frozen)
 
 
 def shard_module(tree, mesh: Mesh, axis_name: str = MODEL_AXIS):
