@@ -36,6 +36,12 @@ def main():
     import optax
 
     if args.force_cpu_devices:
+        # Must land in XLA_FLAGS before backend init (same pattern as the
+        # sibling benchmarks), or the device count is silently ignored.
+        os.environ['XLA_FLAGS'] = (
+            os.environ.get('XLA_FLAGS', '')
+            + f' --xla_force_host_platform_device_count='
+              f'{args.force_cpu_devices}').strip()
         jax.config.update('jax_platforms', 'cpu')
     jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache_tfep_bench')
     jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
@@ -44,7 +50,9 @@ def main():
     from bench import _steady_state_best
     from tfep_tpu.app.trainer import _dealias
     from tfep_tpu.nn.conditioners.made import generate_degrees
-    from tfep_tpu.nn.ensemble import make_ensemble_train_step, stack_modules
+    from tfep_tpu.nn.ensemble import (
+        ensemble_init, make_ensemble_train_step, stack_modules,
+    )
     from tfep_tpu.nn.flows import MAF, SequentialFlow
     from tfep_tpu.nn.module import partition
     from tfep_tpu.nn.transformers.spline import NeuralSplineTransformer
@@ -76,8 +84,7 @@ def main():
     single_member_s = None
     for k in (int(s) for s in args.members.split(',')):
         stacked = stack_modules([build_flow(i) for i in range(k)])
-        trainable, _ = partition(stacked)
-        opt_state = optimizer.init(trainable)
+        opt_state = ensemble_init(optimizer, stacked)
         step = jax.jit(make_ensemble_train_step(loss_fn, optimizer),
                        donate_argnums=(0, 1))
 
@@ -97,7 +104,6 @@ def main():
         # units = member-steps per block
         member_steps_per_s = _steady_state_best(run_block, k * n_steps,
                                                 budget_s=45.0)
-        per_member_ms = 1e3 / member_steps_per_s * 1
         step_ms = k * 1e3 / member_steps_per_s
         if k == 1:
             single_member_s = member_steps_per_s

@@ -30,7 +30,8 @@ from tfep_tpu.io.topology import Topology
 from tfep_tpu.io.traj import System
 from tfep_tpu.nn.conditioners import generate_degrees
 from tfep_tpu.nn.ensemble import (
-    ensemble_map, make_ensemble_train_step, stack_modules, unstack_module,
+    ensemble_init, ensemble_map, make_ensemble_train_step, stack_modules,
+    unstack_module,
 )
 from tfep_tpu.nn.flows import MAF, SequentialFlow
 from tfep_tpu.nn.module import partition
@@ -81,8 +82,7 @@ for k in range(K_MEMBERS):
 stacked = stack_modules(members)
 
 optimizer = optax.adamw(5e-3)
-trainable, _ = partition(stacked)
-opt_state = optimizer.init(trainable)
+opt_state = ensemble_init(optimizer, stacked)
 step = jax.jit(make_ensemble_train_step(
     lambda flow, batch: tfep_map.training_step_fn(flow, batch),
     optimizer, has_aux=True))

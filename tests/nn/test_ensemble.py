@@ -10,8 +10,8 @@ import optax
 import pytest
 
 from tfep_tpu.nn import (
-    ensemble_map, make_ensemble_train_step, n_members, stack_modules,
-    unstack_module,
+    ensemble_init, ensemble_map, make_ensemble_train_step, n_members,
+    stack_modules, unstack_module,
 )
 from tfep_tpu.nn.conditioners.made import generate_degrees
 from tfep_tpu.nn.flows import MAF
@@ -116,8 +116,7 @@ def test_ensemble_training_matches_separate_runs(share_batch):
     step = jax.jit(make_ensemble_train_step(single_loss, optimizer,
                                             share_batch=share_batch))
 
-    trainable, _ = partition(stacked)
-    opt_state = optimizer.init(trainable)
+    opt_state = ensemble_init(optimizer, stacked)
     if share_batch:
         batches = [jax.random.normal(jax.random.key(20 + s),
                                      (BATCH, N_FEATURES))
@@ -197,8 +196,7 @@ def test_sharded_ensemble_matches_unsharded():
                                  (BATCH, N_FEATURES)) for s in range(2)]
 
     # Unsharded run.
-    t, _ = partition(stacked)
-    opt_state = optimizer.init(t)
+    opt_state = ensemble_init(optimizer, stacked)
     ref, ref_opt = stacked, opt_state
     ref_losses = []
     for b in batches:
@@ -211,7 +209,7 @@ def test_sharded_ensemble_matches_unsharded():
     t_s, _ = partition(sharded)
     leaf = jax.tree_util.tree_leaves(t_s)[0]
     assert len(leaf.sharding.device_set) == 8
-    opt_s = optimizer.init(t_s)
+    opt_s = ensemble_init(optimizer, sharded)
     sh_losses = []
     for b in batches:
         sharded, opt_s, losses = step(sharded, opt_s, b)
@@ -239,3 +237,51 @@ def test_shard_ensemble_rejects_uneven_members():
     stacked = stack_modules(build_members(3))
     with pytest.raises(ValueError, match='divisible'):
         shard_ensemble(stacked, make_mesh(8))
+
+
+def test_ensemble_matches_separate_runs_with_global_norm_clipping():
+    """Whole-tree optax transforms must see one member at a time: with
+    clip_by_global_norm, a shared update over the stacked tree would let
+    the largest member's gradient norm over-clip the others (regression:
+    the update is vmapped over members and the state is built per member
+    by ensemble_init)."""
+    members = build_members()
+    stacked = stack_modules(members)
+    optimizer = optax.chain(optax.clip_by_global_norm(0.01),
+                            optax.sgd(1e-2))
+    step = jax.jit(make_ensemble_train_step(single_loss, optimizer))
+    opt_state = ensemble_init(optimizer, stacked)
+
+    batches = [jax.random.normal(jax.random.key(50 + s),
+                                 (BATCH, N_FEATURES)) for s in range(2)]
+
+    ref_flows = list(members)
+    ref_states = []
+    for m in ref_flows:
+        t, _ = partition(m)
+        ref_states.append(optimizer.init(t))
+    for b in batches:
+        for k in range(K):
+            _, grads = filter_value_and_grad(
+                lambda f: single_loss(f, b))(ref_flows[k])
+            t, _ = partition(ref_flows[k])
+            updates, ref_states[k] = optimizer.update(
+                grads, ref_states[k], t)
+            ref_flows[k] = apply_updates(ref_flows[k], updates)
+
+    for b in batches:
+        stacked, opt_state, _ = step(stacked, opt_state, b)
+
+    for k, m in enumerate(unstack_module(stacked)):
+        for a, b in zip(jax.tree_util.tree_leaves(partition(m)[0]),
+                        jax.tree_util.tree_leaves(partition(ref_flows[k])[0])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-9, atol=1e-13)
+
+
+def test_shard_ensemble_rejects_unstacked_module():
+    from tfep_tpu.parallel.sharding import make_mesh, shard_ensemble
+
+    flow = build_members(1)[0]     # a plain flow, NOT a stacked ensemble
+    with pytest.raises(ValueError, match='Not a stacked ensemble'):
+        shard_ensemble(flow, make_mesh(8))

@@ -8,5 +8,5 @@ from tfep_tpu.nn.module import (  # noqa: F401
 from tfep_tpu.nn import ensemble, graph, ode  # noqa: F401
 from tfep_tpu.nn.ensemble import (  # noqa: F401
     stack_modules, unstack_module, n_members, ensemble_map,
-    make_ensemble_train_step,
+    ensemble_init, make_ensemble_train_step,
 )

@@ -19,9 +19,11 @@ Design: a "stacked" module is an ordinary module pytree whose *trainable*
 leaves carry a leading member axis K while buffers and statics stay
 shared (members are structurally identical by construction — same
 topology, same degree tables — only their parameters differ). Because it
-is a normal pytree, ``optax`` states built from its trainable partition
-inherit the member axis, updates stay per-member elementwise, and the
-whole ensemble checkpoints exactly like a single flow.
+is a normal pytree, ``optax`` states built per member
+(:func:`ensemble_init`) carry the member axis on every leaf, the update
+is vmapped over members (so even whole-tree transforms like
+``clip_by_global_norm`` see one member at a time), and the whole
+ensemble checkpoints exactly like a single flow.
 """
 
 from __future__ import annotations
@@ -34,7 +36,7 @@ import jax.numpy as jnp
 from tfep_tpu.nn.module import combine, partition
 
 __all__ = ['stack_modules', 'unstack_module', 'n_members', 'ensemble_map',
-           'make_ensemble_train_step']
+           'ensemble_init', 'make_ensemble_train_step']
 
 
 def _check_same_structure(treedefs):
@@ -152,6 +154,23 @@ def ensemble_map(fn: Callable, stacked, *args, member_axes=None):
         trainable, *args)
 
 
+def ensemble_init(optimizer, stacked):
+    """Per-member optimizer state for a stacked ensemble.
+
+    ``jax.vmap`` of ``optimizer.init`` over the member axis, so EVERY
+    state leaf — including scalars like step counts and any
+    non-elementwise bookkeeping (factored second moments, clipping
+    statistics) — carries a leading member axis. This is what keeps
+    :func:`make_ensemble_train_step` exactly equal to K separate
+    single-model runs for arbitrary optax transforms; a plain
+    ``optimizer.init(partition(stacked)[0])`` would share the scalar
+    state across members and let whole-tree reductions (e.g.
+    ``clip_by_global_norm``) couple them.
+    """
+    trainable, _ = partition(stacked)
+    return jax.vmap(optimizer.init)(trainable)
+
+
 def make_ensemble_train_step(loss_fn: Callable, optimizer,
                              share_batch: bool = True,
                              has_aux: bool = False) -> Callable:
@@ -164,9 +183,12 @@ def make_ensemble_train_step(loss_fn: Callable, optimizer,
         ``has_aux=True``) for a single module — e.g. a closure over
         ``tfep_map.training_step_fn``.
     optimizer : optax.GradientTransformation
-        Shared optimizer; its state must be built from the *stacked*
-        trainable partition (``optimizer.init(partition(stacked)[0])``)
-        so the moments inherit the member axis.
+        Shared optimizer definition; build its state with
+        :func:`ensemble_init` (NOT a plain ``optimizer.init``) so every
+        state leaf carries the member axis. The update itself is vmapped
+        over members, so whole-tree transforms (``clip_by_global_norm``,
+        LAMB/LARS trust ratios, adafactor's factored moments) see one
+        member at a time, exactly as in K separate runs.
     share_batch : bool, optional
         If ``True`` (default) every member sees the same batch (seed
         ensembles); if ``False``, ``batch`` must carry a leading member
@@ -193,8 +215,8 @@ def make_ensemble_train_step(loss_fn: Callable, optimizer,
             jax.value_and_grad(member_loss, has_aux=has_aux),
             in_axes=(0, None if share_batch else 0))
         values, grads = grad_fn(trainable, batch)
-        updates, new_opt_state = optimizer.update(grads, opt_state,
-                                                  trainable)
+        updates, new_opt_state = jax.vmap(optimizer.update)(
+            grads, opt_state, trainable)
         new_trainable = jax.tree_util.tree_map(
             lambda p, u: p + u, trainable, updates)
         new_stacked = combine(new_trainable, frozen)

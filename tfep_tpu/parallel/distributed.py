@@ -54,16 +54,19 @@ def initialize(coordinator_address: Optional[str] = None,
 
 
 def is_distributed() -> bool:
+    """Whether this run spans more than one jax process (host)."""
     import jax
     return jax.process_count() > 1
 
 
 def process_index() -> int:
+    """This host's process index (0 on single-process runs)."""
     import jax
     return jax.process_index()
 
 
 def process_count() -> int:
+    """Total number of jax processes (hosts) in the run."""
     import jax
     return jax.process_count()
 

@@ -192,13 +192,23 @@ def shard_ensemble(stacked, mesh: Mesh, axis_name: str = BATCH_AXIS):
     from tfep_tpu.nn.module import combine, partition
 
     k = n_members(stacked)
+    trainable, frozen = partition(stacked)
+    # Sanity: a genuinely stacked ensemble has the member count as axis 0
+    # of EVERY trainable leaf; a plain (unstacked) module passed by
+    # mistake would have its first weight dimension silently misread as K.
+    axis0 = {leaf.shape[0] if leaf.ndim else None
+             for leaf in jax.tree_util.tree_leaves(trainable)}
+    if axis0 != {k}:
+        raise ValueError(
+            f'Not a stacked ensemble: trainable leaves disagree on the '
+            f'leading (member) axis ({sorted(map(str, axis0))}). Build '
+            f'the input with tfep_tpu.nn.ensemble.stack_modules.')
     axis_size = mesh.shape[axis_name]
     if k % axis_size:
         raise ValueError(
             f'The member count ({k}) must be divisible by the '
             f'{axis_name!r} mesh axis size ({axis_size}).')
     member_sharding = NamedSharding(mesh, P(axis_name))
-    trainable, frozen = partition(stacked)
     trainable = jax.tree_util.tree_map(
         lambda leaf: jax.device_put(leaf, member_sharding), trainable)
     frozen = jax.device_put(frozen, replicated_sharding(mesh))
