@@ -150,6 +150,7 @@ def affine_transformer_inverse(y, shift, log_scale):
 def _periodic_wrap(x, periodic_indices, periodic_limits):
     if periodic_indices is None:
         return x
+    x = jnp.asarray(x)  # .at[] indexing below requires a jax array
     lo, hi = periodic_limits[0], periodic_limits[1]
     wrapped = (x[:, periodic_indices] - lo) % (hi - lo) + lo
     return x.at[:, periodic_indices].set(wrapped)
