@@ -208,6 +208,7 @@ class AutoregressiveFlow(Flow):
         Returns ``(y, log_det_J)`` with shapes ``(batch, n_features)`` and
         ``(batch,)``.
         """
+        x = jnp.asarray(x)  # .at[] update below requires a jax array
         parameters = self.get_transformer_parameters(x)
         if self.has_fixed_indices:
             idx = self.transformer_indices_buf
@@ -264,6 +265,7 @@ class AutoregressiveFlow(Flow):
         transformer pass — the same contract as the reference's last-pass
         log_det_J (and exact regardless of which path ran before it).
         """
+        y = jnp.asarray(y)  # traced indexing below requires a jax array
         n_iterations = self.inverse_masks.shape[0]
 
         if self.has_fixed_indices:
