@@ -26,7 +26,7 @@ import numpy as np
 from tfep_tpu.io.native import native_lib
 
 __all__ = ['FrameStore', 'XtcFrameStore', 'TrrFrameStore', 'DcdFrameStore',
-           'open_frame_store']
+           'NetCDFFrameStore', 'open_frame_store']
 
 _NM_TO_ANGSTROM = 10.0
 
@@ -274,18 +274,66 @@ class DcdFrameStore(FrameStore):
         return positions
 
 
+class NetCDFFrameStore(FrameStore):
+    """Lazy AMBER NetCDF (.nc) coordinates; cells/times read at open.
+
+    The commonly-paired trajectory format for ``.prmtop`` topologies
+    (tfep_tpu.io.topfiles.read_prmtop). The AMBER convention stores
+    coordinates in angstrom and times in ps — already the framework
+    units — as float32 record variables, so per-frame reads are single
+    seeks with stride ``recsize`` (tfep_tpu/io/netcdf.py). The optional
+    per-variable ``scale_factor`` attribute is applied on read.
+    """
+
+    def __init__(self, path: str):
+        from tfep_tpu.io.netcdf import read_amber_netcdf_header
+        self._nc = read_amber_netcdf_header(path)
+        coords = self._nc.variables['coordinates']
+        n_frames, n_atoms, _ = coords.shape
+        super().__init__(path, n_frames, n_atoms)
+        self._scale = float(coords.attrs.get('scale_factor', 1.0))
+
+        if 'time' in self._nc.variables:
+            times = self._nc.read('time').astype(np.float64)
+            times *= float(
+                self._nc.variables['time'].attrs.get('scale_factor', 1.0))
+            self.times = times
+        else:
+            self.times = np.arange(n_frames, dtype=np.float64)
+
+        self.dimensions = None
+        if ('cell_lengths' in self._nc.variables
+                and 'cell_angles' in self._nc.variables):
+            lengths = self._nc.read('cell_lengths').astype(np.float64)
+            angles = self._nc.read('cell_angles').astype(np.float64)
+            lengths *= float(self._nc.variables['cell_lengths']
+                             .attrs.get('scale_factor', 1.0))
+            if np.abs(lengths).max() > 0:
+                self.dimensions = np.concatenate(
+                    [lengths, angles], axis=1).astype(np.float32)
+
+    def _load_frames(self, frame_indices) -> np.ndarray:
+        frames = self._nc.read(
+            'coordinates', records=np.asarray(frame_indices, dtype=np.int64))
+        frames = frames.astype(np.float32)
+        if self._scale != 1.0:
+            frames *= np.float32(self._scale)
+        return frames
+
+
 def open_frame_store(path: str) -> FrameStore:
     """Open a binary trajectory as a lazy frame store.
 
     The format is chosen by file extension. Lazy stores exist for the
-    binary formats where decoding dominates read cost — XTC, TRR, and DCD;
-    text formats (PDB/GRO/XYZ) are always read eagerly by
-    :mod:`tfep_tpu.io.traj`.
+    binary formats where decoding dominates read cost — XTC, TRR, DCD,
+    and AMBER NetCDF; text formats (PDB/GRO/XYZ) are always read eagerly
+    by :mod:`tfep_tpu.io.traj`.
 
     Parameters
     ----------
     path : str
-        Trajectory file path ending in ``.xtc``, ``.trr``, or ``.dcd``.
+        Trajectory file path ending in ``.xtc``, ``.trr``, ``.dcd``,
+        ``.nc``, or ``.ncdf``.
 
     Returns
     -------
@@ -300,7 +348,8 @@ def open_frame_store(path: str) -> FrameStore:
     """
     ext = os.path.splitext(path)[1].lower()
     stores = {'.xtc': XtcFrameStore, '.trr': TrrFrameStore,
-              '.dcd': DcdFrameStore}
+              '.dcd': DcdFrameStore, '.nc': NetCDFFrameStore,
+              '.ncdf': NetCDFFrameStore}
     if ext not in stores:
         raise ValueError(f'No lazy reader for {ext} files.')
     return stores[ext](path)

@@ -27,7 +27,7 @@ __all__ = ['System', 'Timestep', 'TrajectoryDataset', 'read_pdb',
            'box_vectors_to_dimensions', 'dimensions_to_box_vectors']
 
 #: Binary trajectory formats decodable frame-by-frame (lazy stores).
-_BINARY_FORMATS = {'.dcd', '.xtc', '.trr'}
+_BINARY_FORMATS = {'.dcd', '.xtc', '.trr', '.nc', '.ncdf'}
 
 
 def box_vectors_to_dimensions(box_vectors: np.ndarray) -> np.ndarray:
@@ -162,9 +162,10 @@ class System:
     @classmethod
     def from_file(cls, path: str, topology_path: Optional[str] = None,
                   lazy: bool = False) -> 'System':
-        """Load from a trajectory file (PDB/GRO/XYZ/DCD/XTC/TRR by extension).
+        """Load from a trajectory file (PDB/GRO/XYZ/DCD/XTC/TRR/NetCDF by
+        extension).
 
-        Binary formats (DCD/XTC/TRR) carry no topology: pass
+        Binary formats (DCD/XTC/TRR/AMBER ``.nc``) carry no topology: pass
         ``topology_path`` — a structure file (PDB/GRO) or a topology file
         (AMBER ``.prmtop``, GROMACS ``.top``) — for the atom attributes.
         With ``lazy=True`` (binary formats only) coordinates stream from

@@ -185,9 +185,10 @@ def write_frames(path: str, system, positions=None, dimensions=None,
                  **kwargs) -> None:
     """Write frames in the format implied by the file extension.
 
-    Supports ``.pdb``, ``.gro``, ``.xyz`` (native text writers here) and
+    Supports ``.pdb``, ``.gro``, ``.xyz`` (native text writers here),
     ``.xtc``/``.trr`` (binary, via :mod:`tfep_tpu.io.xdr`; positions
-    converted angstrom -> nm).
+    converted angstrom -> nm), and AMBER ``.nc``/``.ncdf`` (via
+    :mod:`tfep_tpu.io.netcdf`; angstrom natively).
     """
     ext = os.path.splitext(path)[1].lower()
     if ext == '.pdb':
@@ -207,4 +208,12 @@ def write_frames(path: str, system, positions=None, dimensions=None,
                     else dimensions_to_box_vectors(dimensions) / 10.0)
         writer = write_xtc if ext == '.xtc' else write_trr
         return writer(path, positions_nm, boxes_nm=boxes_nm, **kwargs)
+    if ext in ('.nc', '.ncdf'):
+        from tfep_tpu.io.netcdf import write_amber_netcdf
+
+        positions, dimensions = _frames_and_boxes(
+            system, positions, dimensions)
+        times = getattr(system, 'times', None)
+        return write_amber_netcdf(path, positions, times=times,
+                                  dimensions=dimensions, **kwargs)
     raise ValueError(f'Unsupported trajectory format: {ext}')
