@@ -31,6 +31,15 @@ N_ROUNDS = 4          # best-of-N: the TPU tunnel adds ±30% run-to-run noise
 TORCH_TIMED_STEPS = 3
 TORCH_ROUNDS = 2
 
+# Smoke mode (tools/ci.sh): validate the harness + JSON contract fast,
+# not the measurement protocol. Stage subprocesses inherit the env var.
+_SMOKE = os.environ.get('TFEP_BENCH_SMOKE') == '1'
+if _SMOKE:
+    BATCH = 256
+    N_MAF_LAYERS = 2
+    N_TIMED_STEPS = 2
+    N_ROUNDS = 1
+
 # Pinned figures from committed BASELINE.json ("published.r02"/"r03") —
 # STABLE denominators. The live torch-CPU run's own variance moved the
 # headline ratio 115.6 -> 101.9 between rounds while the absolute number
@@ -68,6 +77,16 @@ def _setup_jax_cache():
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
 
+#: Per-stage sampling diagnostics from the last _steady_state_best call:
+#: {'blocks': N, 'plateau_median': units/s, 'best': units/s}. The tracked
+#: metric stays the best-block figure (comparable with the committed
+#: pins); the plateau median — the median over blocks within 5% of the
+#: best, i.e. past the warm-up ramp — is recorded alongside so the
+#: order-statistics selection bias of best-of-N (more blocks => higher
+#: best) can be audited instead of trusted.
+LAST_STEADY_STATE_INFO: dict = {}
+
+
 def _steady_state_best(run_block, units_per_block, *, min_blocks=8,
                        patience=6, improve_tol=0.01, max_blocks=60,
                        budget_s=90.0):
@@ -82,14 +101,19 @@ def _steady_state_best(run_block, units_per_block, *, min_blocks=8,
     than ``improve_tol`` for ``patience`` consecutive blocks, bounded by
     ``max_blocks`` and a wall-clock ``budget_s`` so a slow stage can
     never blow the driver's envelope.
+
+    Fills :data:`LAST_STEADY_STATE_INFO` with the block count and the
+    plateau-median rate so callers can report them next to the best.
     """
     best_dt = float('inf')
     stale = 0
+    dts = []
     t_start = time.monotonic()
     for n in range(max_blocks):
         t0 = time.perf_counter()
         run_block()
         dt = time.perf_counter() - t0
+        dts.append(dt)
         if dt < best_dt * (1.0 - improve_tol):
             stale = 0
         else:
@@ -99,6 +123,14 @@ def _steady_state_best(run_block, units_per_block, *, min_blocks=8,
             break
         if time.monotonic() - t_start > budget_s:
             break
+    plateau = [d for d in dts if d <= best_dt * 1.05]
+    plateau_dt = sorted(plateau)[len(plateau) // 2]
+    LAST_STEADY_STATE_INFO.clear()
+    LAST_STEADY_STATE_INFO.update(
+        blocks=len(dts),
+        plateau_blocks=len(plateau),
+        plateau_median=units_per_block / plateau_dt,
+        best=units_per_block / best_dt)
     return units_per_block / best_dt
 
 
@@ -581,6 +613,17 @@ def _run_sharding_overhead_stage():
 
 
 def main():
+    if '--smoke' in sys.argv:
+        os.environ['TFEP_BENCH_SMOKE'] = '1'
+        value, platform = _run_stage('bench_jax()')
+        print(json.dumps({
+            'metric': f'bench smoke (spline MAF train step, {platform})',
+            'value': round(value, 1),
+            'unit': 'frames/s',
+            'vs_baseline': None,
+        }))
+        return
+
     value, platform = _run_stage('bench_jax()')
     try:
         mixed_value = _run_stage('bench_mixed_jax()')

@@ -77,6 +77,9 @@ def main():
                              "the f32 step.")
     parser.add_argument('--force-cpu-devices', type=int, default=0)
     args = parser.parse_args()
+    if args.timed_steps < 1:
+        parser.error('--timed-steps must be >= 1 (each timed block runs '
+                     'that many training steps).')
 
     if args.force_cpu_devices:
         os.environ['XLA_FLAGS'] = (

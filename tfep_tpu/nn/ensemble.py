@@ -80,14 +80,21 @@ def stack_modules(modules: Sequence[Any]):
     _check_same_structure([td for _, td in t_flat])
     f_flat = [jax.tree_util.tree_flatten(f, is_leaf=lambda x: x is None)
               for _, f in parts]
-    # Buffers must agree: they encode the (shared) structure.
+    # Buffers must agree: they encode the (shared) structure. NaN entries
+    # (e.g. padded/sentinel values) count as equal when aligned — an
+    # elementwise == would reject structurally identical members.
+    import numpy as np
+
     for i, (leaves, _) in enumerate(f_flat[1:], start=1):
         for l0, li in zip(f_flat[0][0], leaves):
             if l0 is None and li is None:
                 continue
-            same = (l0 is not None and li is not None
-                    and jnp.shape(l0) == jnp.shape(li)
-                    and bool(jnp.all(jnp.asarray(l0) == jnp.asarray(li))))
+            if l0 is not None and li is not None:
+                a, b = np.asarray(l0), np.asarray(li)
+                equal_nan = (a.dtype.kind == 'f' and b.dtype.kind == 'f')
+                same = np.array_equal(a, b, equal_nan=equal_nan)
+            else:
+                same = False
             if not same:
                 raise ValueError(
                     f'Member 0 and member {i} differ in a buffer '

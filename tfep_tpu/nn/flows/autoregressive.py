@@ -126,10 +126,14 @@ class AutoregressiveFlow(Flow):
         # degree histogram) but contribute nothing: drop them — each would
         # only add a no-op inverse iteration — keeping any per-group
         # inverse_param_rows aligned.
+        if inverse_param_rows is not None \
+                and len(inverse_param_rows) != len(groups):
+            raise ValueError(
+                f'inverse_param_rows must have one entry per transformer '
+                f'group ({len(groups)}), got {len(inverse_param_rows)}.')
         if any(len(g) == 0 for g in groups):
             keep = [i for i, g in enumerate(groups) if len(g)]
-            if inverse_param_rows is not None \
-                    and len(inverse_param_rows) == len(groups):
+            if inverse_param_rows is not None:
                 inverse_param_rows = [inverse_param_rows[i] for i in keep]
             groups = [groups[i] for i in keep]
         if conditioner_indices is not None:
@@ -264,6 +268,13 @@ class AutoregressiveFlow(Flow):
         map's log-det, taken from the final (fully-resolved) full
         transformer pass — the same contract as the reference's last-pass
         log_det_J (and exact regardless of which path ran before it).
+
+        The cost is intrinsically ~n_degree_groups conditioner passes;
+        if generation dominates your workload, prefer coupling-style
+        degree blocks (``generate_degrees(..., repeats=k)`` /
+        the maps' ``degrees_repeats``) — measured ~1.35M inverse
+        frames/s at two-block coupling vs ~145k fully autoregressive
+        (docs/PERFORMANCE.md).
         """
         y = jnp.asarray(y)  # traced indexing below requires a jax array
         n_iterations = self.inverse_masks.shape[0]

@@ -28,6 +28,15 @@ class MAF(AutoregressiveFlow):
     ``initialize_identity`` (default) the untrained flow is exactly the
     identity map. Build with :meth:`create`; the forward/inverse contract
     is the :class:`~tfep_tpu.nn.flows.Flow` one.
+
+    Generation-heavy workloads: fully-autoregressive degrees make
+    :meth:`inverse` intrinsically ~n_degree_groups times the forward cost
+    (measured ~145k vs ~718k frames/s on the bench config even with the
+    restricted per-group evaluation). If you generate more than you
+    evaluate, build ``degrees_in`` with ``generate_degrees(...,
+    repeats=k)`` — coupling-style degree blocks need only
+    ``ceil(n/k)`` inverse passes (~1.35M frames/s measured at two-block
+    coupling; see docs/PERFORMANCE.md "generation direction").
     """
 
     @classmethod

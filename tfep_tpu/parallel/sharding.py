@@ -174,7 +174,8 @@ def tensor_parallel_specs(tree, axis_name: str = MODEL_AXIS,
     return rec(tree)
 
 
-def shard_ensemble(stacked, mesh: Mesh, axis_name: str = BATCH_AXIS):
+def shard_ensemble(stacked, mesh: Mesh, axis_name: str = BATCH_AXIS,
+                   n_members: Optional[int] = None):
     """Shard a stacked ensemble's member axis over the mesh.
 
     Ensemble members (:func:`tfep_tpu.nn.ensemble.stack_modules`) are
@@ -187,11 +188,21 @@ def shard_ensemble(stacked, mesh: Mesh, axis_name: str = BATCH_AXIS):
 
     The member count must be divisible by the mesh axis size
     (``device_put`` cannot pad uneven shards).
+
+    Parameters
+    ----------
+    n_members : int, optional
+        The expected member count K. Pass it whenever available: the
+        all-leaves-share-axis-0 inference below cannot distinguish a
+        stacked ensemble from a plain module whose trainable leaves
+        happen to agree on their first dimension (e.g. all-square
+        layers), and would then silently shard a *weight* dimension as
+        the member axis. An explicit K turns that mistake into an error.
     """
-    from tfep_tpu.nn.ensemble import n_members
+    from tfep_tpu.nn import ensemble
     from tfep_tpu.nn.module import combine, partition
 
-    k = n_members(stacked)
+    k = ensemble.n_members(stacked)
     trainable, frozen = partition(stacked)
     # Sanity: a genuinely stacked ensemble has the member count as axis 0
     # of EVERY trainable leaf; a plain (unstacked) module passed by
@@ -203,6 +214,11 @@ def shard_ensemble(stacked, mesh: Mesh, axis_name: str = BATCH_AXIS):
             f'Not a stacked ensemble: trainable leaves disagree on the '
             f'leading (member) axis ({sorted(map(str, axis0))}). Build '
             f'the input with tfep_tpu.nn.ensemble.stack_modules.')
+    if n_members is not None and k != n_members:
+        raise ValueError(
+            f'The input looks like a {k}-member ensemble but n_members='
+            f'{n_members} was expected — is this really the output of '
+            f'stack_modules?')
     axis_size = mesh.shape[axis_name]
     if k % axis_size:
         raise ValueError(
