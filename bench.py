@@ -298,10 +298,13 @@ def bench_mixed_jax():
     return _steady_state_best(run_block, BATCH * n_steps)
 
 
-def bench_cnf_jax():
-    """CNF (EGNN dynamics) training step at the single-chip sweet spot
-    (batch 512; benchmarks/cnf_bench.py has the full sweep harness).
-    Tracked so regressions in the continuous-flow path are visible."""
+def build_cnf_train_step():
+    """Build the tracked CNF step: returns (train_step, flow, opt_state, x).
+
+    Shared by the throughput bench (bench_cnf_jax) and
+    benchmarks/roofline.py --step cnf, which feeds the same compiled step
+    through XLA's cost analysis.
+    """
     import functools
 
     import jax
@@ -343,6 +346,18 @@ def bench_cnf_jax():
         tr, _ = partition(flow)
         updates, new_opt_state = optimizer.update(grads, opt_state, tr)
         return apply_updates(flow, updates), new_opt_state, loss
+
+    return train_step, flow, opt_state, x
+
+
+def bench_cnf_jax():
+    """CNF (EGNN dynamics) training step at the single-chip sweet spot
+    (batch 512; benchmarks/cnf_bench.py has the full sweep harness).
+    Tracked so regressions in the continuous-flow path are visible."""
+    import jax
+
+    train_step, flow, opt_state, x = build_cnf_train_step()
+    batch = x.shape[0]
 
     flow, opt_state, loss = train_step(flow, opt_state, x)
     jax.block_until_ready(loss)

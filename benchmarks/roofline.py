@@ -1,7 +1,8 @@
-"""Roofline check: how close is the flagship training step to the hardware?
+"""Roofline check: how close is a tracked training step to the hardware?
 
-Compiles the headline spline-MAF training step (the exact program bench.py
-times), pulls the compiled executable's FLOP count from XLA's cost analysis,
+Compiles a tracked training step (the exact programs bench.py times — the
+headline spline-MAF step by default, the CNF/EGNN step with ``--step cnf``),
+pulls the compiled executable's FLOP count from XLA's cost analysis,
 times the step, and reports sustained FLOP/s against the chip's matmul peak.
 
 Two caveats printed with the numbers, so they are read as what they are:
@@ -14,9 +15,14 @@ Two caveats printed with the numbers, so they are read as what they are:
   tabled below; unknown platforms report absolute FLOP/s only.
 
 Usage:
-    python benchmarks/roofline.py
+    python benchmarks/roofline.py [--step spline|cnf]
+
+Run each step in its OWN process (one invocation per step): the remote
+compile tunnel degrades executables compiled later in a process's
+lifetime (see bench.py _run_stage).
 """
 
+import argparse
 import json
 import os
 import sys
@@ -36,7 +42,18 @@ def main():
 
     import bench
 
-    train_step, flow, opt_state, x = bench.build_spline_maf_train_step()
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--step', choices=['spline', 'cnf'],
+                        default='spline')
+    args = parser.parse_args()
+
+    if args.step == 'spline':
+        step_name = 'neural-spline MAF train step (bench.py headline config)'
+        train_step, flow, opt_state, x = bench.build_spline_maf_train_step()
+    else:
+        step_name = 'CNF/EGNN train step (bench.py cnf config: batch 512, ' \
+                    'rk4 x 8, Hutchinson trace)'
+        train_step, flow, opt_state, x = bench.build_cnf_train_step()
 
     compiled = train_step.lower(flow, opt_state, x).compile()
     cost = compiled.cost_analysis()
@@ -62,7 +79,7 @@ def main():
 
     tflops_sustained = flops / step_s / 1e12
     record = {
-        'step': 'neural-spline MAF train step (bench.py headline config)',
+        'step': step_name,
         'platform': jax.devices()[0].platform,
         'device': str(jax.devices()[0]),
         'flops_per_step': flops,

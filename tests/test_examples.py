@@ -15,6 +15,7 @@ is already driven, with multi-process orchestration, by
 Set ``TFEP_SKIP_EXAMPLE_TESTS=1`` to skip (e.g. for a quick local loop).
 """
 
+import fcntl
 import os
 import subprocess
 import sys
@@ -47,10 +48,22 @@ def test_example_runs_with_asserts(example, tmp_path):
     # Examples write logs/checkpoints under /tmp paths of their own; give
     # them an isolated cwd anyway so relative artifacts can't collide
     # under pytest-xdist.
-    proc = subprocess.run(
-        [sys.executable, os.path.join(EXAMPLES_DIR, example)],
-        cwd=str(tmp_path), env=env, capture_output=True, text=True,
-        timeout=1200)
+    # Serialize example subprocesses across xdist workers: each example is
+    # itself multithreaded XLA, so N workers running N examples on an
+    # N-core host oversubscribe ~N x and the slowest example (cnf_tfep.py,
+    # ~104 s standalone) can blow its timeout — the round-4 flake (1
+    # xdist failure, standalone pass). With the lock each example sees a
+    # mostly idle machine; unit tests keep running on the other workers.
+    lock_path = os.path.join('/tmp', 'tfep_tpu_example_tests.lock')
+    with open(lock_path, 'w') as lock_file:
+        fcntl.flock(lock_file, fcntl.LOCK_EX)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.join(EXAMPLES_DIR, example)],
+                cwd=str(tmp_path), env=env, capture_output=True, text=True,
+                timeout=1800)
+        finally:
+            fcntl.flock(lock_file, fcntl.LOCK_UN)
     assert proc.returncode == 0, (
         f'{example} failed (rc={proc.returncode}):\n'
         f'--- stdout ---\n{proc.stdout[-4000:]}\n'
