@@ -144,7 +144,7 @@ def test_fep_estimator_constant_bias_is_unbiased():
     """A constant bias gives uniform weights == the unbiased estimate."""
     work = rng.normal(0.5, 0.2, size=1000)
     bias = np.full_like(work, 3.21)
-    df_biased = float(fep_estimator(np.stack([work, bias])))
+    df_biased = float(fep_estimator(np.stack([work, bias], axis=-1)))
     df_plain = float(fep_estimator(work))
     np.testing.assert_allclose(df_biased, df_plain, rtol=1e-6)
 
@@ -154,7 +154,7 @@ def test_fep_estimator_bias_reweights():
     manual log-softmax reweighting reproduces the implementation."""
     work = rng.normal(0.0, 1.0, size=2000)
     bias = -work  # favor high-work frames
-    df = float(fep_estimator(np.stack([work, bias])))
+    df = float(fep_estimator(np.stack([work, bias], axis=-1)))
     log_w = bias - np.log(np.sum(np.exp(bias - bias.max()))) - bias.max()
     expected = -np.log(np.sum(np.exp(-work + log_w)))
     np.testing.assert_allclose(df, expected, rtol=1e-5)
@@ -170,7 +170,7 @@ def test_fep_estimator_vectorized_matches_loop():
     bias = rng.normal(size=(8, 300))
     data = np.stack([work, bias], axis=-1)
     vec = np.asarray(fep_estimator(data, vectorized=True))
-    loop = np.asarray([float(fep_estimator(np.stack([w, b])))
+    loop = np.asarray([float(fep_estimator(np.stack([w, b], axis=-1)))
                        for w, b in zip(work, bias)])
     np.testing.assert_allclose(vec, loop, rtol=1e-6)
 
@@ -186,7 +186,14 @@ def test_fep_estimator_uniform_weights_match_unweighted():
 
 def test_fep_estimator_weights_with_bias_unsupported():
     with pytest.raises(NotImplementedError):
-        fep_estimator(np.zeros((2, 10)), weights=np.ones(10) / 10)
+        fep_estimator(np.zeros((10, 2)), weights=np.ones(10) / 10)
+
+
+def test_fep_estimator_rejects_transposed_biased_layout():
+    """(2, n) — the reference's *documented* but non-executable layout —
+    is rejected with a pointer to the (n, 2) convention."""
+    with pytest.raises(ValueError, match='n_samples, 2'):
+        fep_estimator(np.zeros((2, 10)))
 
 
 def test_bootstrapped_fep_estimate_brackets_analytic():
@@ -259,7 +266,7 @@ def test_estimate_from_logger_biased(tmp_path):
     result = estimate_from_logger(logger, epoch_idx=0,
                                   bias_potentials=bias,
                                   n_resamples=100, seed=5)
-    df_manual = float(fep_estimator(jnp.stack([potential, bias])))
+    df_manual = float(fep_estimator(jnp.stack([potential, bias], axis=-1)))
     assert result['df'] == pytest.approx(df_manual, rel=1e-6)
     ci = result['confidence_interval']
     assert ci['low'] <= result['df'] <= ci['high']

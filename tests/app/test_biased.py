@@ -146,7 +146,8 @@ def test_identity_map_reweighted_df_hits_analytic(biased_run):
     work = (np.asarray(GaussianPotentialB()(jnp.asarray(flat))) - u_a)
 
     df_weighted = float(fep_estimator(jnp.stack([jnp.asarray(work),
-                                                 jnp.asarray(bias)])))
+                                                 jnp.asarray(bias)],
+                                                axis=-1)))
     df_unweighted = float(fep_estimator(jnp.asarray(work)))
 
     assert abs(df_weighted - ANALYTIC_DF) < 0.15

@@ -26,10 +26,18 @@ def fep_estimator(data, kT: float = 1.0, weights: Optional[jnp.ndarray] = None,
     Parameters
     ----------
     data : array
-        Shape ``(n_samples,)`` (work values, kT units) or ``(2, n_samples)``
-        (``data[0]`` work, ``data[1]`` log-weights/bias). With
+        Shape ``(n_samples,)`` (work values, kT units) or ``(n_samples, 2)``
+        (``data[:, 0]`` work, ``data[:, 1]`` log-weights/bias). With
         ``vectorized=True`` an extra leading ``n_bootstraps`` axis is expected
         (``(n_bootstraps, n_samples)`` or ``(n_bootstraps, n_samples, 2)``).
+
+        Note: the reference's docstring describes the biased layout as
+        ``(2, n_samples)``, but its executable behavior
+        (``work, bias = data.T``,
+        /root/reference/tfep/analysis/estimator.py:71) — and the only
+        layout its/our ``bootstrap`` can resample along the sample axis —
+        is ``(n_samples, 2)``; this framework follows the executable
+        convention (asserted in tests/parity/test_analysis_parity.py).
     kT : float, optional
         Set if the work/bias values are not already in kT units.
     weights : array, optional
@@ -52,7 +60,13 @@ def fep_estimator(data, kT: float = 1.0, weights: Optional[jnp.ndarray] = None,
         if data.ndim == 1:
             work, bias = data, None
         else:
-            work, bias = data[0], data[1]
+            if data.shape[-1] != 2:
+                raise ValueError(
+                    'Biased data must have shape (n_samples, 2) with '
+                    'data[:, 0] the work values and data[:, 1] the '
+                    f'log-weights, got {data.shape}. (A (2, n_samples) '
+                    'layout must be transposed.)')
+            work, bias = data[..., 0], data[..., 1]
 
     if bias is None:
         if weights is None:
@@ -216,8 +230,6 @@ def estimate_from_logger(
             if multimap:
                 # (..., n_frames, n_maps, 2) -> (..., n_frames * n_maps, 2)
                 d = d.reshape(*d.shape[:-3], -1, 2)
-            if not vectorized:
-                d = d.T     # (n, 2) -> (2, n) of fep_estimator's API
             return fep_estimator(d, kT=kT, vectorized=vectorized)
 
     df = float(statistic(stat_data))
