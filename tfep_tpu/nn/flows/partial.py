@@ -78,7 +78,7 @@ class PartialFlow(Flow):
         # kwargs thread through to the wrapped flow (e.g. a ContinuousFlow
         # Hutchinson ``key``).
         has_fixed = self.fixed_indices_buf.shape[0] > 0
-        x_full = x
+        x_full = x = jnp.asarray(x)  # .at[] update requires a jax array
         if has_fixed:
             x = x[:, self.propagated_indices]
 
