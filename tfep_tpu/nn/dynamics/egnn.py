@@ -170,7 +170,11 @@ class _EGLayer(Module):
         dist_emb = self.distance_embedding(safe_dist)    # (b, i, j, dfeat)
         first = self.message_mlp.layers[0]
         w = first.effective_weight()
-        w_i, w_j, w_e = w[:, :feat], w[:, feat:2 * feat], w[:, 2 * feat:]
+        # Reference input-block order (egnn.py:333): [h_sender, h_receiver,
+        # emb] — the FIRST weight block multiplies the sender (j), the
+        # second the receiver (i). Keeping the same order makes reference
+        # weights portable (asserted by tests/parity/test_egnn_parity.py).
+        w_j, w_i, w_e = w[:, :feat], w[:, feat:2 * feat], w[:, 2 * feat:]
         a_i = _mm(h, w_i, first.compute_dtype)           # (b, i, feat')
         a_j = _mm(h, w_j, first.compute_dtype)
         pre = (a_i[:, :, None, :] + a_j[:, None, :, :]
@@ -203,7 +207,9 @@ class _EGLayer(Module):
         batch, n, feat = h.shape
         first = self.message_mlp.layers[0]
         w = first.effective_weight()
-        w_i, w_j, w_e = w[:, :feat], w[:, feat:2 * feat], w[:, 2 * feat:]
+        # Same block order as the XLA path: sender block first (reference
+        # convention), receiver second.
+        w_j, w_i, w_e = w[:, :feat], w[:, feat:2 * feat], w[:, 2 * feat:]
 
         node_messages, magnitudes = fused_egnn_pairwise(
             _mm(h, w_i, None), _mm(h, w_j, None), safe_dist,
