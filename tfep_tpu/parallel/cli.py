@@ -132,7 +132,10 @@ class CLITool:
     SUBPROGRAM = None
 
     # Maps public option name -> CLIOption spec, accumulated across the
-    # class hierarchy (base-class options first).
+    # class hierarchy and ordered alphabetically by attribute name — the
+    # reference renders options through inspect.getmembers, which sorts
+    # (tool.py:157-163), so identical tool definitions produce identical
+    # argv on both frameworks (tests/parity/test_cli_plumed_parity.py).
     _cli_options: dict = {}
 
     def __init_subclass__(cls, **kwargs):
@@ -142,7 +145,7 @@ class CLITool:
             for name, attr in vars(klass).items():
                 if isinstance(attr, CLIOption):
                     registry[name] = attr
-        cls._cli_options = registry
+        cls._cli_options = dict(sorted(registry.items()))
 
     def __init__(self, *args, executable_path=None, **kwargs):
         self.args = args
