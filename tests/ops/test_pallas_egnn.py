@@ -273,10 +273,11 @@ def test_mirror_matches_real_layer():
     # The layer's own forward.
     h_out, pos_out = layer(h, pos)
 
-    # Rebuild via the mirror + the cheap XLA pieces.
+    # Rebuild via the mirror + the cheap XLA pieces. Block order: sender
+    # first (the reference convention, egnn.py _EGLayer.__call__).
     first = layer.message_mlp.layers[0]
     w = first.effective_weight()
-    w_i, w_j, w_e = w[:, :FEAT], w[:, FEAT:2 * FEAT], w[:, 2 * FEAT:]
+    w_j, w_i, w_e = w[:, :FEAT], w[:, FEAT:2 * FEAT], w[:, 2 * FEAT:]
     p = dict(
         mu=layer.distance_embedding.means,
         log_gammas=layer.distance_embedding.log_gammas,

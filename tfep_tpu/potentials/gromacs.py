@@ -35,8 +35,11 @@ GMX_INSTALLED = shutil.which('gmx') is not None
 class GmxGrompp(CLITool):
     """``gmx grompp`` preprocessor.
 
+    Options render alphabetically by attribute name (the reference's
+    ``inspect.getmembers`` ordering; see tests/parity):
+
     >>> GmxGrompp(mdp_path='sim.mdp', max_warnings=2).to_subprocess()
-    ['gmx', 'grompp', '-f', 'sim.mdp', '-maxwarn', '2']
+    ['gmx', 'grompp', '-maxwarn', '2', '-f', 'sim.mdp']
     """
     EXECUTABLE_PATH = 'gmx'
     SUBPROGRAM = 'grompp'
