@@ -12,6 +12,9 @@ from tfep_tpu.io.topfiles import (  # noqa: F401
     guess_bonds, read_gromacs_top, read_prmtop,
 )
 from tfep_tpu.io.frames import open_frame_store  # noqa: F401
+from tfep_tpu.io.netcdf import (  # noqa: F401
+    read_amber_netcdf_header, write_amber_netcdf,
+)
 from tfep_tpu.io.writers import (  # noqa: F401
     write_frames, write_gro, write_pdb, write_xyz,
 )
