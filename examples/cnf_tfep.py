@@ -80,11 +80,21 @@ tfep_map = ContinuousEGNNMap(
     trace_estimator='hutchinson',       # per-batch probes during training
 )
 
+# Gradient clipping + a gentler rate: at 2e-3 unclipped this training sat
+# at the edge of stability — bitwise run-to-run CPU noise (thread-pool-
+# dependent reduction order) amplified chaotically over the 240 AdamW
+# steps and occasionally spiked the loss in the final epochs (observed
+# 7.9 -> 15.4), flipping the variance-reduction assert below. Clipped and
+# slowed, every float-noise trajectory converges (the round-4/5 example-
+# gate flake; see tests/test_examples.py).
 trainer = Trainer(save_dir=None, max_epochs=30, shuffle=True,
-                  optimizer=optax.adamw(2e-3))
+                  optimizer=optax.chain(optax.clip_by_global_norm(1.0),
+                                        optax.adamw(1e-3)))
 trainer.fit(tfep_map)
 print('trained steps:', trainer.global_step,
       f'loss {trainer.loss_history[0]:.3f} -> {trainer.loss_history[-1]:.3f}')
+assert trainer.loss_history[-1] < trainer.loss_history[0], \
+    'training diverged'
 
 # --- Work values with the exact trace (Hutchinson noise would bias the
 # --- FEP exponential average), through the trained flow. -----------------
