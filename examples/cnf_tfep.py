@@ -80,21 +80,29 @@ tfep_map = ContinuousEGNNMap(
     trace_estimator='hutchinson',       # per-batch probes during training
 )
 
-# Gradient clipping + a gentler rate: at 2e-3 unclipped this training sat
-# at the edge of stability — bitwise run-to-run CPU noise (thread-pool-
-# dependent reduction order) amplified chaotically over the 240 AdamW
-# steps and occasionally spiked the loss in the final epochs (observed
-# 7.9 -> 15.4), flipping the variance-reduction assert below. Clipped and
-# slowed, every float-noise trajectory converges (the round-4/5 example-
-# gate flake; see tests/test_examples.py).
+# Stability + reproducibility (the round-4/5 example-gate flake, root
+# cause): with an unset shuffle_seed the sampler draws each epoch's
+# order from OS entropy, so every run trains on a different batch
+# sequence — and at 2e-3 unclipped some sequences terminally diverged
+# (observed final loss 15.4). Gradient clipping plus a cosine-decayed
+# rate makes training converge for *every* ordering probed (shuffled and
+# sequential; work variance 2.64 -> ~1.4-1.5 in all cases), and the
+# pinned shuffle_seed makes this run reproducible outright. No assert on
+# the loss trajectory: the per-batch loss is heavy-tailed (epoch means
+# fluctuate by >1 kT at converged, frozen parameters because a few
+# far-tail frames dominate a 256-frame batch), so the binding quality
+# gates are the end-state Δf CI and variance-reduction asserts below.
+n_steps_total = 30 * (N_FRAMES // 256)
 trainer = Trainer(save_dir=None, max_epochs=30, shuffle=True,
-                  optimizer=optax.chain(optax.clip_by_global_norm(1.0),
-                                        optax.adamw(1e-3)))
+                  shuffle_seed=7,
+                  optimizer=optax.chain(
+                      optax.clip_by_global_norm(1.0),
+                      optax.adamw(optax.cosine_decay_schedule(
+                          2e-3, decay_steps=n_steps_total))))
 trainer.fit(tfep_map)
+losses = np.asarray(trainer.loss_history)
 print('trained steps:', trainer.global_step,
-      f'loss {trainer.loss_history[0]:.3f} -> {trainer.loss_history[-1]:.3f}')
-assert trainer.loss_history[-1] < trainer.loss_history[0], \
-    'training diverged'
+      f'epoch-mean loss {losses[:8].mean():.3f} -> {losses[-8:].mean():.3f}')
 
 # --- Work values with the exact trace (Hutchinson noise would bias the
 # --- FEP exponential average), through the trained flow. -----------------

@@ -89,3 +89,48 @@ def test_resume_at_epoch_boundary_starts_fresh():
     sampler.load_state_dict({'current_epoch_seed': 1234})
     batches = collect(sampler)
     assert len(batches) == 3  # full new epoch, stored seed replaced
+
+
+def test_shuffle_seed_reproducible_across_runs():
+    """With shuffle_seed set, two independent samplers replay the same
+    multi-epoch batch-order sequence (run-to-run reproducibility); with
+    it unset, two runs draw different orders (the reference's OS-entropy
+    behavior)."""
+    def run_epochs(shuffle_seed, n_epochs=3):
+        trainer = MockTrainer()
+        sampler = StatefulBatchSampler(
+            list(range(12)), batch_size=4, shuffle=True, trainer=trainer,
+            shuffle_seed=shuffle_seed)
+        orders = []
+        for _ in range(n_epochs):
+            epoch = collect(sampler)
+            trainer.global_step += len(sampler)
+            orders.append(epoch)
+        return orders
+
+    assert run_epochs(123) == run_epochs(123)
+    assert run_epochs(123) != run_epochs(124)
+    # Distinct epochs of one seeded run still differ from each other.
+    orders = run_epochs(123)
+    assert orders[0] != orders[1] != orders[2]
+    # Unseeded runs are independent draws (equal only with prob ~1/12!^3).
+    assert run_epochs(None) != run_epochs(None)
+
+
+def test_shuffle_seed_mid_epoch_resume():
+    """Seeded shuffling keeps the checkpoint contract: a resumed sampler
+    (restored epoch seed + the trainer's global step) yields exactly the
+    unvisited batches of the interrupted epoch."""
+    trainer = MockTrainer()
+    sampler = StatefulBatchSampler(list(range(12)), batch_size=4,
+                                   shuffle=True, trainer=trainer,
+                                   shuffle_seed=42)
+    full_epoch = collect(sampler)
+    state = sampler.state_dict()
+
+    resumed_trainer = MockTrainer(global_step=1)   # crashed after batch 0
+    resumed = StatefulBatchSampler(list(range(12)), batch_size=4,
+                                   shuffle=True, trainer=resumed_trainer,
+                                   shuffle_seed=42)
+    resumed.load_state_dict(state)
+    assert collect(resumed) == full_epoch[1:]

@@ -55,6 +55,11 @@ class Trainer:
         per-step ModelCheckpoint).
     shuffle : bool, optional
         Shuffle batches each epoch through the stateful sampler.
+    shuffle_seed : int, optional
+        Base seed for the per-epoch shuffles. ``None`` (default) draws
+        each epoch's permutation from OS entropy — every run differs; an
+        int makes the whole batch-order sequence reproducible run-to-run
+        (see :class:`tfep_tpu.io.sampler.StatefulBatchSampler`).
     sharding : optional
         A ``jax.sharding.Sharding`` for the batch (data parallelism over the
         frames axis). Parameters are replicated.
@@ -90,6 +95,7 @@ class Trainer:
                  optimizer: Optional[optax.GradientTransformation] = None,
                  checkpoint_every_n_steps: int = 1,
                  shuffle: bool = True,
+                 shuffle_seed: Optional[int] = None,
                  drop_last: bool = False,
                  sharding=None,
                  log_every_n_steps: int = 0,
@@ -104,6 +110,7 @@ class Trainer:
         self.optimizer = optimizer if optimizer is not None else optax.adamw(1e-4)
         self.checkpoint_every_n_steps = checkpoint_every_n_steps
         self.shuffle = shuffle
+        self.shuffle_seed = shuffle_seed
         self.drop_last = drop_last
         self.sharding = sharding
         self.log_every_n_steps = log_every_n_steps
@@ -145,7 +152,8 @@ class Trainer:
 
         sampler = StatefulBatchSampler(
             tfep_map.dataset, batch_size=tfep_map.batch_size,
-            shuffle=self.shuffle, drop_last=self.drop_last, trainer=self)
+            shuffle=self.shuffle, drop_last=self.drop_last, trainer=self,
+            shuffle_seed=self.shuffle_seed)
         n_batches = len(sampler)
 
         # Modules may share arrays between leaves (e.g. one transformer

@@ -39,10 +39,20 @@ class StatefulBatchSampler:
     trainer : object, optional
         Must expose ``global_step`` (total optimizer steps so far) before
         iteration; may be attached later via the :attr:`trainer` attribute.
+    shuffle_seed : int, optional
+        Base seed for the per-epoch shuffle. ``None`` (the default, the
+        reference's behavior) draws each epoch's seed from OS entropy —
+        every training run visits a different batch order. Set it to make
+        the whole shuffle sequence a deterministic function of
+        ``(shuffle_seed, epoch)``: runs become exactly reproducible while
+        epochs still differ from each other. Checkpoint/resume semantics
+        are identical either way (the drawn epoch seed is what gets
+        stored and replayed).
     """
 
     def __init__(self, dataset, batch_size: int = 1, shuffle: bool = False,
-                 drop_last: bool = False, trainer=None):
+                 drop_last: bool = False, trainer=None,
+                 shuffle_seed: Optional[int] = None):
         """``trainer`` must expose a ``global_step`` attribute (total batches
         seen across the entire training), set here or later via the
         :attr:`trainer` attribute."""
@@ -51,6 +61,7 @@ class StatefulBatchSampler:
         self._shuffle = bool(shuffle)
         self._drop_last = bool(drop_last)
         self._current_epoch_seed: Optional[int] = None
+        self._shuffle_seed = shuffle_seed
         self.trainer = trainer
 
     @property
@@ -84,8 +95,17 @@ class StatefulBatchSampler:
         if self._shuffle:
             if current_batch_idx == 0:
                 # New epoch: draw a fresh seed (kept for checkpointing).
-                self._current_epoch_seed = int(
-                    np.random.SeedSequence().entropy % (2 ** 63))
+                if self._shuffle_seed is None:
+                    entropy = np.random.SeedSequence().entropy
+                else:
+                    # Deterministic in (shuffle_seed, epoch): spawn the
+                    # epoch's stream from the base seed so reruns replay
+                    # the same shuffle sequence while epochs differ.
+                    epoch = self.trainer.global_step // len(self)
+                    entropy = int(np.random.SeedSequence(
+                        [self._shuffle_seed, epoch]).generate_state(
+                            1, np.uint64)[0])
+                self._current_epoch_seed = int(entropy % (2 ** 63))
             rng = np.random.default_rng(self._current_epoch_seed)
             epoch_indices = rng.permutation(len(self._dataset))
         else:
