@@ -1,5 +1,5 @@
-"""Topology-file parsers: AMBER prmtop and GROMACS .top, plus distance-based
-bond guessing.
+"""Topology-file parsers: AMBER prmtop, GROMACS .top, and CHARMM/NAMD PSF,
+plus distance-based bond guessing.
 
 These supply bonds + elements to :class:`tfep_tpu.app.MixedMAFMap` (which
 builds Z-matrices from the bond graph) for trajectories whose coordinate
@@ -19,7 +19,7 @@ import numpy as np
 
 from tfep_tpu.io.topology import ELEMENT_MASSES, Topology, guess_element
 
-__all__ = ['read_prmtop', 'read_gromacs_top', 'guess_bonds']
+__all__ = ['read_prmtop', 'read_gromacs_top', 'read_psf', 'guess_bonds']
 
 # Atomic number -> element symbol for elements common in simulations.
 _Z_TO_ELEMENT = {
@@ -366,6 +366,111 @@ def read_gromacs_top(path: str) -> Topology:
             bonds.extend((i + offset, j + offset) for i, j in mol_bonds)
             offset += mol.n_atoms
 
+    return Topology(names=names, elements=elements, resnames=resnames,
+                    resids=resids, masses=masses, bonds=sorted(bonds))
+
+
+# =============================================================================
+# CHARMM/NAMD PSF
+# =============================================================================
+
+def read_psf(path: str) -> Topology:
+    """Parse a CHARMM/X-PLOR/NAMD PSF topology file.
+
+    The protein-structure file is the topology CHARMM and NAMD pair with
+    the DCD trajectories this package already decodes natively
+    (:mod:`tfep_tpu.io.dcd`); the reference reads both through MDAnalysis
+    (/root/reference/tfep/io/dataset/traj.py:43). The published format is
+    a sequence of ``<count> !NAME`` sections; this reader consumes
+    ``!NATOM`` (atom id, segment, residue id, residue name, atom name,
+    atom type, charge, mass, fixed flag) and ``!NBOND`` (1-based atom-index
+    pairs, eight integers per line) and ignores the force-field sections
+    (angles, dihedrals, cross-terms). Both the classic fixed-column
+    layout and the wide ``EXT`` (extended) layout parse identically:
+    PSF fields never contain whitespace, so whitespace tokenization
+    covers CHARMM, X-PLOR, and NAMD flavors (including trailing CHEQ
+    columns, which are ignored).
+
+    Parameters
+    ----------
+    path : str
+        Path to a ``.psf`` file.
+
+    Returns
+    -------
+    Topology
+        Atom names/residues/masses and the bond list; elements are
+        recovered from the masses (nearest-mass lookup, same policy as
+        :func:`read_prmtop` without ``ATOMIC_NUMBER``) with a name-based
+        fallback.
+    """
+    with open(path) as f:
+        first = f.readline()
+        if not first.lstrip().startswith('PSF'):
+            raise ValueError(f'{path} is not a PSF file (missing PSF '
+                             'header line).')
+        lines = f.read().splitlines()
+
+    header_re = re.compile(r'^\s*(\d+)\s+!(\w+)')
+    names: List[str] = []
+    resnames: List[str] = []
+    resids: List[int] = []
+    masses: List[float] = []
+    bonds: List[Tuple[int, int]] = []
+    n_atoms = None
+
+    i = 0
+    while i < len(lines):
+        match = header_re.match(lines[i])
+        if match is None:
+            i += 1
+            continue
+        count, section = int(match.group(1)), match.group(2).upper()
+        i += 1
+        if section == 'NATOM':
+            n_atoms = count
+            parsed = 0
+            while parsed < count:
+                fields = lines[i].split()
+                i += 1
+                if not fields:
+                    continue
+                if len(fields) < 8:
+                    raise ValueError(
+                        f'{path}: malformed PSF atom line '
+                        f'{parsed + 1}/{count}: {lines[i - 1]!r}')
+                # id segname resid resname name type charge mass [imove...]
+                names.append(fields[4])
+                resnames.append(fields[3])
+                resid_match = re.match(r'-?\d+', fields[2])
+                resids.append(int(resid_match.group())
+                              if resid_match else parsed + 1)
+                masses.append(float(fields[7]))
+                parsed += 1
+        elif section == 'NBOND':
+            values: List[int] = []
+            while len(values) < 2 * count and i < len(lines):
+                values.extend(int(x) for x in lines[i].split())
+                i += 1
+            if len(values) < 2 * count:
+                raise ValueError(
+                    f'{path}: !NBOND section truncated '
+                    f'({len(values)} of {2 * count} indices).')
+            for k in range(0, 2 * count, 2):
+                a, b = values[k] - 1, values[k + 1] - 1   # 1-based on disk
+                bonds.append((min(a, b), max(a, b)))
+        # Other sections (NTHETA, NPHI, ...) are skipped; their data lines
+        # don't match header_re, so the scan naturally jumps to the next
+        # section header.
+
+    if n_atoms is None:
+        raise ValueError(f'{path}: no !NATOM section found.')
+    if bonds and max(max(b) for b in bonds) >= n_atoms:
+        raise ValueError(f'{path}: bond index out of range '
+                         f'(n_atoms={n_atoms}).')
+
+    elements = [_element_from_mass(m) or guess_element(name)
+                for m, name in zip(masses, names)]
     return Topology(names=names, elements=elements, resnames=resnames,
                     resids=resids, masses=masses, bonds=sorted(bonds))
 

@@ -29,6 +29,9 @@ __all__ = ['System', 'Timestep', 'TrajectoryDataset', 'read_pdb',
 #: Binary trajectory formats decodable frame-by-frame (lazy stores).
 _BINARY_FORMATS = {'.dcd', '.xtc', '.trr', '.nc', '.ncdf'}
 
+#: Single-frame AMBER restart formats (ASCII or NetCDF, sniffed by magic).
+_RESTART_FORMATS = {'.inpcrd', '.rst7', '.restrt', '.ncrst'}
+
 
 def box_vectors_to_dimensions(box_vectors: np.ndarray) -> np.ndarray:
     """Convert triclinic box vectors to unit-cell dimensions.
@@ -162,18 +165,34 @@ class System:
     @classmethod
     def from_file(cls, path: str, topology_path: Optional[str] = None,
                   lazy: bool = False) -> 'System':
-        """Load from a trajectory file (PDB/GRO/XYZ/DCD/XTC/TRR/NetCDF by
-        extension).
+        """Load from a trajectory file (PDB/GRO/XYZ/DCD/XTC/TRR/NetCDF, or
+        a single-frame AMBER restart ``.inpcrd``/``.rst7``/``.restrt``/
+        ``.ncrst``, by extension).
 
-        Binary formats (DCD/XTC/TRR/AMBER ``.nc``) carry no topology: pass
-        ``topology_path`` — a structure file (PDB/GRO) or a topology file
-        (AMBER ``.prmtop``, GROMACS ``.top``) — for the atom attributes.
+        Binary trajectory formats (DCD/XTC/TRR/AMBER ``.nc``) and restarts
+        carry no topology: pass ``topology_path`` — a structure file
+        (PDB/GRO) or a topology file (AMBER ``.prmtop``, GROMACS ``.top``,
+        CHARMM/NAMD ``.psf``) — for the atom attributes.
         With ``lazy=True`` (binary formats only) coordinates stream from
         disk per batch through a :class:`~tfep_tpu.io.frames.FrameStore`
         instead of loading the whole trajectory into memory.
         """
         readers = {'.pdb': read_pdb, '.gro': read_gro, '.xyz': read_xyz}
         ext = os.path.splitext(path)[1].lower()
+        if ext in _RESTART_FORMATS:
+            if topology_path is None:
+                raise ValueError(
+                    f'{ext} restart files require a topology_path '
+                    '(PDB/GRO/prmtop/top/psf).')
+            from tfep_tpu.io.restart import read_amber_restart
+            topology = load_topology(topology_path)
+            positions, dimensions, times = read_amber_restart(path)
+            if positions.shape[1] != topology.n_atoms:
+                raise ValueError(
+                    f'Restart has {positions.shape[1]} atoms but the '
+                    f'topology has {topology.n_atoms}.')
+            return cls(topology, positions, dimensions=dimensions,
+                       times=None if times is None else np.asarray([times]))
         if ext in _BINARY_FORMATS:
             if topology_path is None:
                 raise ValueError(
@@ -293,6 +312,9 @@ def load_topology(path: str) -> Topology:
     if ext == '.top':
         from tfep_tpu.io.topfiles import read_gromacs_top
         return read_gromacs_top(path)
+    if ext == '.psf':
+        from tfep_tpu.io.topfiles import read_psf
+        return read_psf(path)
     return System.from_file(path).topology
 
 
