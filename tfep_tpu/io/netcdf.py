@@ -46,6 +46,11 @@ _NC_VARIABLE = 0x0B
 _NC_ATTRIBUTE = 0x0C
 _ABSENT = 0x00
 
+#: Largest file CDF-1's 32-bit begin offsets can address; past this the
+#: writer switches to CDF-2 (64-bit offsets). Module-level so tests can
+#: shrink it to exercise the CDF-2 path without writing 2 GiB.
+_CDF1_MAX_BYTES = 2**31 - 1
+
 #: external type code -> (numpy dtype (big-endian), size in bytes)
 _NC_TYPES = {
     1: (np.dtype('i1'), 1),     # NC_BYTE
@@ -399,7 +404,7 @@ def write_amber_netcdf(path: str, positions: np.ndarray,
     begins, data_start = layout(version)
     total = data_start + (n_frames - 1) * max(
         sum(var_vsize(v) for v in record_vars), 1)
-    if total > 2**31 - 1:
+    if total > _CDF1_MAX_BYTES:
         version = 2
         begins, _ = layout(version)
 
