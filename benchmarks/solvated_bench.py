@@ -70,6 +70,20 @@ def main():
     parser.add_argument('--n-bins', type=int, default=5)
     parser.add_argument('--timed-steps', type=int, default=5)
     parser.add_argument('--rounds', type=int, default=3)
+    parser.add_argument('--optimizer', type=str, default='adamw',
+                        choices=('adamw', 'adafactor', 'sgd'),
+                        help='adamw is the tracked default; adafactor '
+                             '(factored second moments) and sgd bound the '
+                             'optimizer-state HBM traffic, which is a '
+                             'large share of the step at 258M params.')
+    parser.add_argument('--no-weight-norm', dest='weight_norm',
+                        action='store_false', default=True,
+                        help='Disable masked weight normalization (the '
+                             'reference-paritied weight_norm=False '
+                             'option). At this scale the per-step '
+                             'normalization chain makes several full '
+                             'passes over the 258M weights and dominates '
+                             'the step; see docs/PERFORMANCE.md.')
     parser.add_argument('--compute-dtype', type=str, default=None,
                         help="Mixed-precision matmul policy for the MADE "
                              "stacks (e.g. 'bfloat16'); parameters stay "
@@ -111,11 +125,15 @@ def main():
     system = build_solvated_system(args.waters, n_frames=args.batch)
     t_system = time.time() - t0
 
-    class SumPotential:
+    class HarmonicPotential:
+        """Bounded-below toy target (kT units): loss stays finite at any
+        setting, so a nan here means a numeric bug rather than the
+        unbounded runaway a linear toy potential invites. Cost is one
+        elementwise pass per frame — timing-neutral."""
         energy_unit = None
 
         def __call__(self, x, cell=None):
-            return jnp.sum(x, axis=-1)
+            return 0.05 * jnp.sum(x ** 2, axis=-1)
 
     if args.hidden is None:
         # MADE requires the hidden width to cover every relevant (embedded)
@@ -127,12 +145,13 @@ def main():
 
     t0 = time.time()
     tfep_map = MixedMAFMap(
-        potential_energy_func=SumPotential(),
+        potential_energy_func=HarmonicPotential(),
         temperature=300.0 * ureg.kelvin,
         system=system, batch_size=args.batch,
         tfep_logger_dir_path=None,
         n_maf_layers=args.n_maf_layers, n_bins=args.n_bins,
         flow_kwargs={'hidden_layers': [args.hidden],
+                     'weight_norm': args.weight_norm,
                      **({'compute_dtype': args.compute_dtype}
                         if args.compute_dtype else {})})
     tfep_map.setup()
@@ -140,7 +159,9 @@ def main():
 
     flow = _dealias(tfep_map.flow)
     n_params = n_parameters(flow)
-    optimizer = optax.adamw(1e-4)
+    optimizer = {'adamw': lambda: optax.adamw(1e-4),
+                 'adafactor': lambda: optax.adafactor(1e-4),
+                 'sgd': lambda: optax.sgd(1e-4)}[args.optimizer]()
     trainable, _ = partition(flow)
     opt_state = optimizer.init(trainable)
     batch = {k: jnp.asarray(v) for k, v in tfep_map.dataset.get_batch(
