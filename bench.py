@@ -575,13 +575,18 @@ def _run_stage(expr: str):
         except subprocess.TimeoutExpired as e:
             last_err = f'stage timed out: {e}'
             continue
-        diags = [json.loads(line[len('DIAG '):])
-                 for line in out.stdout.splitlines()
-                 if line.startswith('DIAG ')]
-        if diags:
-            STAGE_DIAGS[stage_key] = diags[0] if len(diags) == 1 else diags
         for line in out.stdout.splitlines():
             if line.startswith('RESULT '):
+                # Commit the sampling diagnostics only for an attempt
+                # that actually produced the tracked figure — a failed
+                # attempt's DIAG lines must not masquerade as the audit
+                # of a number that never made the record.
+                diags = [json.loads(d[len('DIAG '):])
+                         for d in out.stdout.splitlines()
+                         if d.startswith('DIAG ')]
+                if diags:
+                    STAGE_DIAGS[stage_key] = (diags[0] if len(diags) == 1
+                                              else diags)
                 return eval(line[len('RESULT '):])
         last_err = (f'bench stage failed: {out.stdout[-500:]} '
                     f'{out.stderr[-2000:]}')
@@ -602,6 +607,12 @@ def _run_solvated_stage():
         capture_output=True, text=True, timeout=560, cwd=here)
     for token in out.stdout.split():
         if token.startswith('frames/s='):
+            diags = [json.loads(line[len('DIAG '):])
+                     for line in out.stdout.splitlines()
+                     if line.startswith('DIAG ')]
+            if diags:
+                STAGE_DIAGS['solvated'] = (diags[0] if len(diags) == 1
+                                           else diags)
             return float(token.split('=', 1)[1])
     raise RuntimeError(f'solvated stage failed: {out.stdout[-300:]} '
                        f'{out.stderr[-1000:]}')

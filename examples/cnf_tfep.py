@@ -43,6 +43,8 @@ from tfep_tpu.units import ureg
 
 rng = np.random.default_rng(3)
 N_FRAMES, N_ATOMS = 2048, 4
+BATCH_SIZE, MAX_EPOCHS = 256, 30
+STEPS_PER_EPOCH = N_FRAMES // BATCH_SIZE
 SIGMA_A, SIGMA_B = 1.0, 0.75
 DF_ANALYTIC = -3 * (N_ATOMS - 1) * np.log(SIGMA_B / SIGMA_A)
 
@@ -72,7 +74,7 @@ tfep_map = ContinuousEGNNMap(
     potential_energy_func=RelativeGaussianPotential(),
     temperature=300.0 * ureg.kelvin,
     system=system,
-    batch_size=256,
+    batch_size=BATCH_SIZE,
     tfep_logger_dir_path=logdir,
     r_cutoff=50.0,                      # fully connected at these sizes
     n_egnn_layers=2, node_feat_dim=16, distance_feat_dim=8, time_feat_dim=4,
@@ -92,8 +94,8 @@ tfep_map = ContinuousEGNNMap(
 # fluctuate by >1 kT at converged, frozen parameters because a few
 # far-tail frames dominate a 256-frame batch), so the binding quality
 # gates are the end-state Δf CI and variance-reduction asserts below.
-n_steps_total = 30 * (N_FRAMES // 256)
-trainer = Trainer(save_dir=None, max_epochs=30, shuffle=True,
+n_steps_total = MAX_EPOCHS * STEPS_PER_EPOCH
+trainer = Trainer(save_dir=None, max_epochs=MAX_EPOCHS, shuffle=True,
                   shuffle_seed=7,
                   optimizer=optax.chain(
                       optax.clip_by_global_norm(1.0),
@@ -102,7 +104,8 @@ trainer = Trainer(save_dir=None, max_epochs=30, shuffle=True,
 trainer.fit(tfep_map)
 losses = np.asarray(trainer.loss_history)
 print('trained steps:', trainer.global_step,
-      f'epoch-mean loss {losses[:8].mean():.3f} -> {losses[-8:].mean():.3f}')
+      f'epoch-mean loss {losses[:STEPS_PER_EPOCH].mean():.3f} -> '
+      f'{losses[-STEPS_PER_EPOCH:].mean():.3f}')
 
 # --- Work values with the exact trace (Hutchinson noise would bias the
 # --- FEP exponential average), through the trained flow. -----------------

@@ -286,3 +286,65 @@ def test_system_from_restart_atom_mismatch(tmp_path):
     rst.write_text(format_inpcrd(np.zeros((2, 3))))
     with pytest.raises(ValueError, match='atoms'):
         System.from_file(str(rst), topology_path=str(path))
+
+
+def test_read_inpcrd_two_atom_ambiguity(tmp_path):
+    """2-atom files: 6 trailing values are ambiguous (velocities and a
+    box line are indistinguishable in the ASCII format). Values that look
+    like a cell (positive lengths, angles in (0, 180]) are read as the
+    box; thermal-velocity-like values are dropped rather than attached as
+    a nonsense unit cell."""
+    pos = np.array([[0.0, 0.0, 0.0], [1.5, 0.0, 0.0]])
+
+    boxish = tmp_path / 'box.rst7'
+    boxish.write_text(format_inpcrd(pos, box=[18.0, 18.0, 18.0,
+                                              90.0, 90.0, 90.0]))
+    _, dimensions, _ = read_inpcrd(str(boxish))
+    np.testing.assert_allclose(dimensions[0], [18, 18, 18, 90, 90, 90])
+
+    velish = tmp_path / 'vel.rst7'
+    velish.write_text(format_inpcrd(pos, velocities=np.array(
+        [[0.31, -0.52, 0.11], [-0.27, 0.44, -0.63]])))
+    _, dimensions, _ = read_inpcrd(str(velish))
+    assert dimensions is None
+
+
+def test_read_ncrst_cell_angles_scale_factor(tmp_path):
+    """scale_factor applies to every variable that carries it — including
+    cell_angles (stored here as centidegrees)."""
+    scipy_io = pytest.importorskip('scipy.io')
+    path = tmp_path / 'scaled.ncrst'
+    nc = scipy_io.netcdf_file(str(path), 'w', version=1)
+    nc.Conventions = b'AMBERRESTART'
+    nc.createDimension('atom', 2)
+    nc.createDimension('spatial', 3)
+    nc.createDimension('cell_spatial', 3)
+    nc.createDimension('cell_angular', 3)
+    coords = nc.createVariable('coordinates', 'd', ('atom', 'spatial'))
+    coords[:] = np.zeros((2, 3)); coords.units = b'angstrom'
+    lengths = nc.createVariable('cell_lengths', 'd', ('cell_spatial',))
+    lengths[:] = [20.0, 20.0, 20.0]; lengths.units = b'angstrom'
+    angles = nc.createVariable('cell_angles', 'd', ('cell_angular',))
+    angles[:] = [0.9, 0.9, 1.2]; angles.units = b'degree'
+    angles.scale_factor = 100.0
+    nc.close()
+    _, dimensions, _ = read_ncrst(str(path))
+    np.testing.assert_allclose(dimensions[0], [20, 20, 20, 90, 90, 120])
+
+
+def test_read_psf_rejects_zero_bond_index(tmp_path):
+    path = tmp_path / 'x.psf'
+    path.write_text('PSF\n\n       2 !NATOM\n'
+                    '       1 A    1    RES  X    XT    0.0    12.011    0\n'
+                    '       2 A    1    RES  Y    YT    0.0    12.011    0\n'
+                    '\n       1 !NBOND\n       0       2\n')
+    with pytest.raises(ValueError, match='1-based'):
+        read_psf(str(path))
+
+
+def test_read_psf_truncated_atoms(tmp_path):
+    path = tmp_path / 'x.psf'
+    path.write_text('PSF\n\n       3 !NATOM\n'
+                    '       1 A    1    RES  X    XT    0.0    12.011    0\n')
+    with pytest.raises(ValueError, match='NATOM section truncated'):
+        read_psf(str(path))

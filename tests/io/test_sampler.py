@@ -134,3 +134,26 @@ def test_shuffle_seed_mid_epoch_resume():
                                    shuffle_seed=42)
     resumed.load_state_dict(state)
     assert collect(resumed) == full_epoch[1:]
+
+
+def test_shuffle_seed_rejects_negative():
+    with pytest.raises(ValueError, match='non-negative'):
+        StatefulBatchSampler(list(range(4)), batch_size=2, shuffle=True,
+                             shuffle_seed=-1)
+
+
+def test_shuffle_seed_mid_epoch_without_state_dict():
+    """A seeded sampler started mid-epoch with only global_step restored
+    recomputes the epoch seed from (shuffle_seed, epoch) and replays the
+    interrupted epoch's permutation exactly."""
+    trainer = MockTrainer()
+    sampler = StatefulBatchSampler(list(range(12)), batch_size=4,
+                                   shuffle=True, trainer=trainer,
+                                   shuffle_seed=42)
+    full_epoch = collect(sampler)
+
+    bare = StatefulBatchSampler(list(range(12)), batch_size=4,
+                                shuffle=True,
+                                trainer=MockTrainer(global_step=1),
+                                shuffle_seed=42)  # no load_state_dict
+    assert collect(bare) == full_epoch[1:]

@@ -308,6 +308,8 @@ class NetCDFFrameStore(FrameStore):
             angles = self._nc.read('cell_angles').astype(np.float64)
             lengths *= float(self._nc.variables['cell_lengths']
                              .attrs.get('scale_factor', 1.0))
+            angles *= float(self._nc.variables['cell_angles']
+                            .attrs.get('scale_factor', 1.0))
             if np.abs(lengths).max() > 0:
                 self.dimensions = np.concatenate(
                     [lengths, angles], axis=1).astype(np.float32)

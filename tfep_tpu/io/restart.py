@@ -87,6 +87,16 @@ def read_inpcrd(path: str) -> RestartData:
     dimensions = None
     if len(rest) == 0:
         pass
+    elif len(rest) == 6 and n_coords == 6:
+        # 2-atom file: 6 trailing values are genuinely ambiguous in the
+        # ASCII format (velocities and a box line are indistinguishable).
+        # Use the established disambiguation heuristic (cf. ParmEd's rst7
+        # reader): a box has positive lengths and angles in (0, 180].
+        lengths, angles = rest[:3], rest[3:]
+        if all(v > 0 for v in lengths) and all(0 < a <= 180
+                                               for a in angles):
+            dimensions = np.asarray(rest, dtype=np.float64).reshape(1, 6)
+        # else: velocities — dropped, like the unambiguous case below.
     elif len(rest) == 6:                                # box only
         dimensions = np.asarray(rest, dtype=np.float64).reshape(1, 6)
     elif len(rest) == n_coords:                         # velocities only
@@ -137,6 +147,8 @@ def read_ncrst(path: str) -> RestartData:
         angles = nc.read('cell_angles').astype(np.float64)
         lengths *= float(
             nc.variables['cell_lengths'].attrs.get('scale_factor', 1.0))
+        angles *= float(
+            nc.variables['cell_angles'].attrs.get('scale_factor', 1.0))
         if np.abs(lengths).max() > 0:
             dimensions = np.concatenate([lengths, angles])[None, :]
 

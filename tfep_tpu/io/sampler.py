@@ -61,6 +61,12 @@ class StatefulBatchSampler:
         self._shuffle = bool(shuffle)
         self._drop_last = bool(drop_last)
         self._current_epoch_seed: Optional[int] = None
+        if shuffle_seed is not None and int(shuffle_seed) < 0:
+            # SeedSequence rejects negative entropy — fail here with
+            # context rather than deep inside the first epoch's __iter__.
+            raise ValueError(
+                f'shuffle_seed must be a non-negative int or None, got '
+                f'{shuffle_seed}.')
         self._shuffle_seed = shuffle_seed
         self.trainer = trainer
 
@@ -93,8 +99,16 @@ class StatefulBatchSampler:
         current_batch_idx = self.trainer.global_step % len(self)
 
         if self._shuffle:
-            if current_batch_idx == 0:
+            if current_batch_idx == 0 or (
+                    self._shuffle_seed is not None
+                    and self._current_epoch_seed is None):
                 # New epoch: draw a fresh seed (kept for checkpointing).
+                # The second condition covers a seeded mid-epoch start
+                # where only global_step was restored (no
+                # load_state_dict): the epoch seed is a pure function of
+                # (shuffle_seed, epoch), so recomputing it reproduces the
+                # interrupted epoch's permutation exactly — an unseeded
+                # sampler cannot do this and must rely on the stored seed.
                 if self._shuffle_seed is None:
                     entropy = np.random.SeedSequence().entropy
                 else:

@@ -431,6 +431,10 @@ def read_psf(path: str) -> Topology:
             n_atoms = count
             parsed = 0
             while parsed < count:
+                if i >= len(lines):
+                    raise ValueError(
+                        f'{path}: !NATOM section truncated '
+                        f'({parsed} of {count} atom lines).')
                 fields = lines[i].split()
                 i += 1
                 if not fields:
@@ -458,6 +462,11 @@ def read_psf(path: str) -> Topology:
                     f'({len(values)} of {2 * count} indices).')
             for k in range(0, 2 * count, 2):
                 a, b = values[k] - 1, values[k + 1] - 1   # 1-based on disk
+                if min(a, b) < 0:
+                    raise ValueError(
+                        f'{path}: !NBOND contains index '
+                        f'{min(values[k], values[k + 1])} (PSF bond '
+                        'indices are 1-based and must be >= 1).')
                 bonds.append((min(a, b), max(a, b)))
         # Other sections (NTHETA, NPHI, ...) are skipped; their data lines
         # don't match header_re, so the scan naturally jumps to the next
