@@ -70,6 +70,10 @@ def main():
     parser.add_argument('--n-bins', type=int, default=5)
     parser.add_argument('--timed-steps', type=int, default=5)
     parser.add_argument('--rounds', type=int, default=3)
+    parser.add_argument('--roofline', action='store_true',
+                        help='Also report XLA-counted FLOPs/step and the '
+                             'bytes-accessed upper bound of the compiled '
+                             'step (cf. benchmarks/roofline.py).')
     parser.add_argument('--optimizer', type=str, default='adamw',
                         choices=('adamw', 'adafactor', 'sgd'),
                         help='adamw is the tracked default; adafactor '
@@ -183,6 +187,22 @@ def main():
     jax.block_until_ready(loss)
     t_compile = time.time() - t0
 
+    roofline = None
+    if args.roofline:
+        # XLA's cost analysis of the exact compiled step: counted FLOPs
+        # plus the logical bytes-accessed upper bound, so the
+        # parameter-traffic-bound claim in docs/PERFORMANCE.md is
+        # checkable from the record rather than inferred from knob
+        # deltas (same caveats as benchmarks/roofline.py: bytes accessed
+        # upper-bounds HBM traffic; f32 matmul peak is ~1/4 of bf16).
+        cost = train_step.lower(flow, opt_state, batch).compile() \
+            .cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        roofline = {'flops_per_step': float(cost.get('flops', 0.0)),
+                    'bytes_accessed_upper_bound':
+                        float(cost.get('bytes accessed', 0.0))}
+
     # Adaptive steady-state best-of, shared with every bench.py stage so
     # the tracked metrics stay protocol-comparable (the repo root is
     # already on sys.path, inserted above before the tfep_tpu imports).
@@ -211,6 +231,15 @@ def main():
           f'system_build={t_system:.1f}s zmatrix_setup={t_setup:.1f}s '
           f'compile={t_compile:.1f}s loss={float(loss):.4f} '
           f'frames/s={frames_per_s:.1f}')
+    if roofline is not None:
+        step_s = args.batch / frames_per_s
+        print(f'roofline: flops/step={roofline["flops_per_step"]:.3e} '
+              f'sustained_tflop_s='
+              f'{roofline["flops_per_step"] / step_s / 1e12:.2f} '
+              f'bytes_accessed_upper_bound='
+              f'{roofline["bytes_accessed_upper_bound"]:.3e} '
+              f'implied_gb_s_upper_bound='
+              f'{roofline["bytes_accessed_upper_bound"] / step_s / 1e9:.0f}')
 
 
 if __name__ == '__main__':
