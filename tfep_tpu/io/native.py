@@ -50,9 +50,14 @@ def native_lib():
     try:
         if (not os.path.isfile(lib_path)
                 or os.path.getmtime(lib_path) < os.path.getmtime(src)):
+            # Compile to a per-process path and publish atomically:
+            # concurrent processes (e.g. pytest-xdist workers) must never
+            # CDLL a half-written .so.
+            tmp_path = f'{lib_path}.{os.getpid()}'
             subprocess.run(
-                ['g++', '-O3', '-shared', '-fPIC', '-o', lib_path, src],
+                ['g++', '-O3', '-shared', '-fPIC', '-o', tmp_path, src],
                 check=True, capture_output=True)
+            os.replace(tmp_path, lib_path)
         lib = ctypes.CDLL(lib_path)
         for name, argtypes in _SIGNATURES.items():
             fn = getattr(lib, name)
