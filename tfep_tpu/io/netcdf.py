@@ -95,7 +95,15 @@ class NetCDFFile:
     @classmethod
     def open(cls, path: str) -> 'NetCDFFile':
         with open(path, 'rb') as f:
-            return cls._parse(path, f)
+            try:
+                return cls._parse(path, f)
+            except struct.error as e:
+                # A short read mid-header unpacks <4/8 bytes; surface it
+                # with file context under the same ValueError contract as
+                # every other malformed-input path (cf. the DCD reader).
+                raise ValueError(
+                    f'{path}: truncated or corrupt NetCDF header '
+                    f'({e}).') from e
 
     @classmethod
     def _parse(cls, path: str, f) -> 'NetCDFFile':
