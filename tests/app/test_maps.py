@@ -595,3 +595,60 @@ def test_app_forward_inverse_round_trip(tmp_path):
                                np.asarray(x), atol=1e-8)
     np.testing.assert_allclose(
         np.asarray(fwd['log_det_J'] + back['log_det_J']), 0.0, atol=1e-8)
+
+
+# ---------------------------------------------------------------------- #
+# Batch prefetch
+# ---------------------------------------------------------------------- #
+
+def _train_two_epochs(tmp_path, name, prefetch):
+    tfep_map = make_map(tmp_path, name=name)
+    trainer = Trainer(save_dir=None, max_epochs=2, shuffle=True,
+                      shuffle_seed=11, prefetch=prefetch)
+    trainer.fit(tfep_map)
+    from tfep_tpu.nn.module import partition
+    leaves = jax.tree_util.tree_leaves(partition(tfep_map.flow)[0])
+    return trainer.loss_history, [np.asarray(l) for l in leaves]
+
+
+def test_prefetch_trains_identically(tmp_path):
+    """prefetch=True changes when the host read happens, not the math:
+    same seeded shuffle, same loss history, bit-identical parameters."""
+    losses_sync, params_sync = _train_two_epochs(tmp_path, 'sync', False)
+    losses_pre, params_pre = _train_two_epochs(tmp_path, 'pre', True)
+    assert losses_sync == losses_pre
+    for a, b in zip(params_sync, params_pre):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_prefetch_early_exit_max_steps(tmp_path):
+    """Stopping mid-epoch (max_steps) must release the prefetch worker
+    and train exactly max_steps batches."""
+    tfep_map = make_map(tmp_path, name='early')
+    trainer = Trainer(save_dir=None, max_steps=3, shuffle=True,
+                      shuffle_seed=5, prefetch=True)
+    trainer.fit(tfep_map)
+    assert trainer.global_step == 3
+    assert len(trainer.loss_history) == 3
+
+
+def test_prefetch_crash_resume_invariant(tmp_path):
+    """The mid-epoch resume contract holds under prefetch: the union of
+    visited samples across the crash is exactly one epoch, no repeats."""
+    save_dir = str(tmp_path / 'ckpt_prefetch')
+    log_a = tmp_path / 'pf_a'
+
+    tfep_map = make_map(tmp_path, name='pf_a')
+    trainer = Trainer(save_dir=save_dir, max_steps=1, shuffle=True,
+                      shuffle_seed=3, prefetch=True)
+    trainer.fit(tfep_map)                      # "crash" after 1 of 2 batches
+
+    tfep_map2 = make_map(tmp_path, name='pf_a')
+    trainer2 = Trainer(save_dir=save_dir, max_epochs=1, shuffle=True,
+                       shuffle_seed=3, prefetch=True)
+    trainer2.fit(tfep_map2, resume=True)
+    assert trainer2.global_step == 2
+
+    data = tfep_map2.tfep_logger.read_train_tensors(epoch_idx=0)
+    visited = np.sort(np.asarray(data['dataset_sample_index']))
+    np.testing.assert_array_equal(visited, np.arange(N_FRAMES))

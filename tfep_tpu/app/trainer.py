@@ -60,6 +60,14 @@ class Trainer:
         each epoch's permutation from OS entropy — every run differs; an
         int makes the whole batch-order sequence reproducible run-to-run
         (see :class:`tfep_tpu.io.sampler.StatefulBatchSampler`).
+    prefetch : bool, optional
+        Read the next batch on a background thread while the device runs
+        the current step (the counterpart of the reference's
+        ``DataLoader(num_workers>0)``). Worth turning on with
+        ``lazy_trajectory=True`` datasets, where ``get_batch`` is a disk
+        seek + decode; identical math and resume semantics either way.
+        Ignored by the ``engine_overlap`` pipeline, which already
+        overlaps host work with device compute.
     sharding : optional
         A ``jax.sharding.Sharding`` for the batch (data parallelism over the
         frames axis). Parameters are replicated.
@@ -96,6 +104,7 @@ class Trainer:
                  checkpoint_every_n_steps: int = 1,
                  shuffle: bool = True,
                  shuffle_seed: Optional[int] = None,
+                 prefetch: bool = False,
                  drop_last: bool = False,
                  sharding=None,
                  log_every_n_steps: int = 0,
@@ -111,6 +120,7 @@ class Trainer:
         self.checkpoint_every_n_steps = checkpoint_every_n_steps
         self.shuffle = shuffle
         self.shuffle_seed = shuffle_seed
+        self.prefetch = prefetch
         self.drop_last = drop_last
         self.sharding = sharding
         self.log_every_n_steps = log_every_n_steps
@@ -204,10 +214,12 @@ class Trainer:
                     self.global_step >= self.max_steps:
                 break
             epoch_idx = self.current_epoch
-            for batch_indices in sampler:
+            for batch_indices, host_batch in self._epoch_batches(
+                    tfep_map, sampler):
                 batch_idx = self.global_step % n_batches
                 batch = self._device_batch(tfep_map, batch_indices,
-                                           step=self.global_step)
+                                           step=self.global_step,
+                                           host_batch=host_batch)
 
                 tick = self._profile_tick()
                 flow, opt_state, loss, aux = step_fn(flow, opt_state, batch)
@@ -279,8 +291,72 @@ class Trainer:
             self._profiling = False
 
     # ------------------------------------------------------------------ #
-    def _device_batch(self, tfep_map, batch_indices, step=None):
-        batch = tfep_map.dataset.get_batch(batch_indices)
+    def _epoch_batches(self, tfep_map, sampler):
+        """Yield ``(batch_indices, host_batch)`` for one epoch.
+
+        With ``prefetch=False`` (default) ``host_batch`` is None and the
+        dataset read happens synchronously in :meth:`_device_batch` — the
+        reference's single-process DataLoader behavior. With
+        ``prefetch=True`` a background thread reads one batch ahead
+        (``dataset.get_batch``: the disk seek + decode of a lazy
+        trajectory), overlapping host IO with the device step — the
+        counterpart of the reference's ``DataLoader(num_workers>0)``
+        pipeline. Batch order, contents, and resume semantics are
+        identical either way; only *when* the host read happens changes.
+        """
+        if not self.prefetch:
+            for batch_indices in sampler:
+                yield batch_indices, None
+            return
+
+        import queue
+        import threading
+
+        q: 'queue.Queue' = queue.Queue(maxsize=1)
+        stop = threading.Event()
+        sentinel = object()
+
+        def worker():
+            try:
+                for indices in sampler:
+                    payload = (indices, tfep_map.dataset.get_batch(indices))
+                    while not stop.is_set():
+                        try:
+                            q.put(payload, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
+                outcome = (sentinel, None)
+            except BaseException as exc:   # surfaced in the main thread
+                outcome = (sentinel, exc)
+            while not stop.is_set():
+                try:
+                    q.put(outcome, timeout=0.1)
+                    return
+                except queue.Full:
+                    continue
+
+        thread = threading.Thread(target=worker, daemon=True,
+                                  name='tfep-batch-prefetch')
+        thread.start()
+        try:
+            while True:
+                indices, payload = q.get()
+                if indices is sentinel:
+                    if payload is not None:
+                        raise payload
+                    return
+                yield indices, payload
+        finally:
+            # Early exit (max_steps mid-epoch): release the worker.
+            stop.set()
+
+    def _device_batch(self, tfep_map, batch_indices, step=None,
+                      host_batch=None):
+        batch = (host_batch if host_batch is not None
+                 else tfep_map.dataset.get_batch(batch_indices))
         if self.sharding is None:
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
         else:
