@@ -198,10 +198,13 @@ def main():
         cost = train_step.lower(flow, opt_state, batch).compile() \
             .cost_analysis()
         if isinstance(cost, list):
-            cost = cost[0]
-        roofline = {'flops_per_step': float(cost.get('flops', 0.0)),
-                    'bytes_accessed_upper_bound':
-                        float(cost.get('bytes accessed', 0.0))}
+            cost = cost[0] if cost else None
+        if cost:
+            roofline = {'flops_per_step': float(cost.get('flops', 0.0)),
+                        'bytes_accessed_upper_bound':
+                            float(cost.get('bytes accessed', 0.0))}
+        else:
+            print('roofline: cost analysis unavailable on this backend')
 
     # Adaptive steady-state best-of, shared with every bench.py stage so
     # the tracked metrics stay protocol-comparable (the repo root is

@@ -636,7 +636,6 @@ def test_prefetch_crash_resume_invariant(tmp_path):
     """The mid-epoch resume contract holds under prefetch: the union of
     visited samples across the crash is exactly one epoch, no repeats."""
     save_dir = str(tmp_path / 'ckpt_prefetch')
-    log_a = tmp_path / 'pf_a'
 
     tfep_map = make_map(tmp_path, name='pf_a')
     trainer = Trainer(save_dir=save_dir, max_steps=1, shuffle=True,

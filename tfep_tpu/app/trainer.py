@@ -309,49 +309,25 @@ class Trainer:
                 yield batch_indices, None
             return
 
-        import queue
-        import threading
+        from concurrent.futures import ThreadPoolExecutor
 
-        q: 'queue.Queue' = queue.Queue(maxsize=1)
-        stop = threading.Event()
-        sentinel = object()
-
-        def worker():
-            try:
-                for indices in sampler:
-                    payload = (indices, tfep_map.dataset.get_batch(indices))
-                    while not stop.is_set():
-                        try:
-                            q.put(payload, timeout=0.1)
-                            break
-                        except queue.Full:
-                            continue
-                    if stop.is_set():
-                        return
-                outcome = (sentinel, None)
-            except BaseException as exc:   # surfaced in the main thread
-                outcome = (sentinel, exc)
-            while not stop.is_set():
-                try:
-                    q.put(outcome, timeout=0.1)
-                    return
-                except queue.Full:
-                    continue
-
-        thread = threading.Thread(target=worker, daemon=True,
-                                  name='tfep-batch-prefetch')
-        thread.start()
-        try:
-            while True:
-                indices, payload = q.get()
-                if indices is sentinel:
-                    if payload is not None:
-                        raise payload
-                    return
-                yield indices, payload
-        finally:
-            # Early exit (max_steps mid-epoch): release the worker.
-            stop.set()
+        # One-ahead: submit batch k+1's read before yielding batch k. The
+        # sampler iterates on THIS thread (seed-draw timing identical to
+        # the synchronous path); only dataset.get_batch runs on the
+        # worker. Futures propagate read errors natively, and an early
+        # exit (max_steps mid-epoch closes the generator) drains at most
+        # the one in-flight read via the executor's shutdown.
+        with ThreadPoolExecutor(
+                max_workers=1,
+                thread_name_prefix='tfep-batch-prefetch') as pool:
+            pending = None          # (indices, future) of the next batch
+            for indices in sampler:
+                future = pool.submit(tfep_map.dataset.get_batch, indices)
+                if pending is not None:
+                    yield pending[0], pending[1].result()
+                pending = (indices, future)
+            if pending is not None:
+                yield pending[0], pending[1].result()
 
     def _device_batch(self, tfep_map, batch_indices, step=None,
                       host_batch=None):

@@ -54,10 +54,14 @@ def native_lib():
             # concurrent processes (e.g. pytest-xdist workers) must never
             # CDLL a half-written .so.
             tmp_path = f'{lib_path}.{os.getpid()}'
-            subprocess.run(
-                ['g++', '-O3', '-shared', '-fPIC', '-o', tmp_path, src],
-                check=True, capture_output=True)
-            os.replace(tmp_path, lib_path)
+            try:
+                subprocess.run(
+                    ['g++', '-O3', '-shared', '-fPIC', '-o', tmp_path, src],
+                    check=True, capture_output=True)
+                os.replace(tmp_path, lib_path)
+            finally:
+                if os.path.exists(tmp_path):   # failed compile leftovers
+                    os.unlink(tmp_path)
         lib = ctypes.CDLL(lib_path)
         for name, argtypes in _SIGNATURES.items():
             fn = getattr(lib, name)

@@ -97,13 +97,20 @@ class NetCDFFile:
         with open(path, 'rb') as f:
             try:
                 return cls._parse(path, f)
-            except struct.error as e:
-                # A short read mid-header unpacks <4/8 bytes; surface it
-                # with file context under the same ValueError contract as
-                # every other malformed-input path (cf. the DCD reader).
+            except ValueError:
+                raise                # already carries file context
+            except (struct.error, IndexError, KeyError,
+                    UnicodeDecodeError) as e:
+                # Parse-boundary failures on a malformed file: short reads
+                # (struct.error on <4/8 bytes, IndexError on a short
+                # magic), corrupt type codes (KeyError in _NC_TYPES),
+                # out-of-range dimension ids, or garbage name bytes.
+                # Surface them with file context under the same ValueError
+                # contract as every other malformed-input path (cf. the
+                # DCD reader).
                 raise ValueError(
                     f'{path}: truncated or corrupt NetCDF header '
-                    f'({e}).') from e
+                    f'({type(e).__name__}: {e}).') from e
 
     @classmethod
     def _parse(cls, path: str, f) -> 'NetCDFFile':
